@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crop_video query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the DuckDB
+twin for each hash-checkable query. Implementations live in
+``videos_to_tfrecords_spark/plans/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# importing the query modules populates the registry
+import videos_to_tfrecords_spark.plans.reference_queries  # noqa: F401,E402
+import videos_to_tfrecords_spark.plans.relational_queries  # noqa: F401,E402
+
+try:  # extension modules land incrementally; keep the contract importable
+    import videos_to_tfrecords_spark.plans.text_queries  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    import videos_to_tfrecords_spark.plans.similarity_queries  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    import videos_to_tfrecords_spark.plans.pipeline_queries  # noqa: F401,E402
+except ImportError:
+    pass
+
+from videos_to_tfrecords_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7.1 M0): the reference's crop_video mode —
+    sliding event-time windows × key, P9 partial-window suppression,
+    time-sorted sequence assembly — on /root/testdata/sf0.001."""
+    return QUERIES["crop_video_events"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,38 @@
+"""Query registry backing ``__spark_entry__``.
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable, usually
+paired with an equivalent ANSI-SQL oracle string DuckDB can run on the same
+parquet tables. Queries without an oracle are genuinely non-SQL-expressible
+(proto serialization, seeded randomness, approximate sketches) and get the
+driver's weaker rows-only check; each says why in its docstring.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+- money/doubles are aggregated in exact integer cents (``round(x*100)`` per
+  row, then integer sums) — float summation order is engine-dependent,
+  integer sums are not;
+- every collected sequence is sorted by a total (tie-broken) key;
+- window bounds and timestamps are exact integer epoch µs/ms;
+- column aliases are identical on both sides (the driver sorts columns by
+  name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

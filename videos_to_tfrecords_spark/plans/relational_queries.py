@@ -1,0 +1,360 @@
+"""Relational surface queries (SURVEY §2.7 — absent in the reference, free
+from Spark SQL): joins of every flavor, aggregates, sorts/limits/top-k, set
+ops, analytic window functions, rollup/pivot, approx sketches.
+
+Money aggregates use exact integer cents (see plans/registry.py) so hashes
+match DuckDB bit-for-bit. Scale notes are per-query docstrings: which side
+broadcasts, where the shuffles are, why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS charge_c6,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→groupBy-agg. The shipdate predicate and
+    the 6-column projection push down to the parquet scan; the single shuffle
+    is the 2-key groupBy with map-side partial aggregation — the canonical
+    plan that scales linearly to 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base_c = _cents("l_extendedprice")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(base_c).alias("sum_base_cents"),
+            F.sum(base_c * (100 - disc_pct)).alias("revenue_c4"),
+            F.sum(base_c * (100 - disc_pct) * (100 + tax_pct)).alias("charge_c6"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "customers_by_region",
+    """
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ two dims. Both dims are broadcast (explicit hint;
+    nation/region are tiny at every SF), so the join is shuffle-free — only
+    the final groupBy exchanges. The plan a 1000-executor cluster wants."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+@query(
+    "revenue_by_priority",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact equi-join (orders×lineitem). Left unhinted: Catalyst/AQE
+    picks sort-merge (both sides shuffle on the join key) and splits skewed
+    partitions at runtime — the correct strategy when neither side fits in
+    memory at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum(rev).alias("revenue_c4"))
+    )
+
+
+@query(
+    "customers_with_orders",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Semi joins ship only the key column of the
+    probe side — at scale, dramatically narrower than an inner join + distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "order_status_set_ops",
+    """
+SELECT 'f_only' AS op, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+   EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+UNION ALL
+SELECT 'both' AS op, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+   INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+UNION ALL
+SELECT 'either' AS op, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+   UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7: the reference's 3-way split is the
+    inverse of a union and never recombines). EXCEPT/INTERSECT/UNION with
+    set (distinct) semantics in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_as(f_cust.subtract(o_cust), "f_only")  # subtract = EXCEPT (set)
+        .unionByName(count_as(f_cust.intersect(o_cust), "both"))
+        .unionByName(count_as(f_cust.union(o_cust).distinct(), "either"))
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window function — one shuffle on the
+    partition key, no global sort. The deterministic tie-break (orderkey)
+    makes it hash-comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", _cents("o_totalprice").alias("price_cents"), "rnk")
+    )
+
+
+@query(
+    "running_quantity_by_supplier",
+    """
+WITH r AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty
+  FROM lineitem
+)
+SELECT * FROM r WHERE l_orderkey % 25 = 0
+""",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running aggregate over a total (tie-broken) per-partition
+    order; output subsampled so the compared result stays small while the
+    window computes over everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.withColumn("run_qty", F.sum(F.col("l_quantity").cast("long")).over(w))
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+    )
+
+
+@query(
+    "distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — a groupBy-all-columns shuffle with map-side partial dedup."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "rollup_quantity",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total as NULL rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "pivot_status_quantity",
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='O') AS BIGINT) AS qty_o,
+       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='F') AS BIGINT) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → columns on a low-cardinality key. Values enumerated
+    up-front so the plan is a single pass (no extra distinct-values job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f")
+    )
+
+
+@query(
+    "global_top_orders",
+    """
+SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-K then a tiny driver merge, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", _cents("o_totalprice").alias("price_cents"))
+    )
+
+
+@query(
+    "distinct_parts_per_flag",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("approx_distinct_parts")  # no oracle: HLL sketches differ per engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketch values are
+    implementation-specific so there is no cross-engine oracle; accuracy vs
+    the exact count is pytest-asserted (±5%) in tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@query(
+    "json_props_histogram",
+    r"""
+SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON value extraction from the events.props payload (SURVEY §2.2
+    extension). Implemented with get_json_object (Jackson, JVM-side); the
+    oracle uses a regex so no DuckDB JSON extension is assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

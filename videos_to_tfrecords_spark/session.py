@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Replaces the reference's runner selection (reference run_preprocess.py:136-144:
+``"DataflowRunner" if args.cloud else "DirectRunner"``) with a single
+SparkSession whose physical execution is delegated to Catalyst + AQE.
+
+Scale posture: AQE on (runtime coalesce, skew-join splitting), shuffle
+partitions sized by caller (defaults to cores in local mode), UTC session
+timezone so results are oracle-comparable, Arrow enabled for every
+Python-boundary crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "videos_to_tfrecords_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    In local mode there is a single JVM; on a real cluster the same conf
+    holds — AQE re-plans shuffles at runtime, which is what makes the
+    sf0.001 plans survive a 100 TB scale-up without retuning.
+    """
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet scans: pushdown + pruning are on by default; keep splits
+        # bounded so a 100 TB table yields sane task counts.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,57 @@
+"""Parquet table loaders over the driver testdata layout.
+
+The reference's only source is a driver-side eager file glob expanded into an
+in-memory PCollection (reference preprocess.py:373-377 + 313-324). Spark's
+file sources do that listing lazily and distributed, with partition pruning;
+``load_table`` is the engine's scan entry point and deliberately nothing more
+than ``spark.read.parquet`` so Catalyst keeps pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown reach the
+    parquet reader because nothing opaque sits between it and the query.
+
+    events.ts is physically TIMESTAMP(NANOS) parquet, which Spark only reads
+    as a nanos long (``nanosAsLong``); it is normalized here to a proper
+    µs-precision TimestampType via exact integer division (``div`` — a
+    double division of ~1.7e18 ns would lose precision past 2^53). DuckDB
+    oracles mirror the truncation with ``epoch_ns(ts)//1000``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too —
+    the SQL front-end the reference lacks (SURVEY §2.7) is free in Spark."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
