@@ -1,0 +1,42 @@
+"""Text primitives: tokenization and shingling — pure Catalyst expressions.
+
+Whitespace tokenization matches the documents table's space-separated text;
+shingles are n-token windows (the MinHash/Jaccard unit). Both stay inside
+whole-stage codegen: no UDFs in the hot path of a 100 TB text scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-token shingles ('tok1 tok2 tok3'); empty if < n tokens.
+
+    Built as transform over an index sequence (1-based to mirror SQL array
+    semantics); guarded so sequence() never runs descending.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks_col: str = "t", n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`, over a pre-split list column
+    (1-based list indexing; lambdas capture outer columns)."""
+    joined = " || ' ' || ".join(f"{toks_col}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_col}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks_col}) - {n - 1}), i -> {joined}) "
+        f"ELSE [] END"
+    )

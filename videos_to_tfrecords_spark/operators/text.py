@@ -1,0 +1,116 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §7.1 M5).
+
+All pure Catalyst expressions — at 100 TB these run inside whole-stage
+codegen on the scan, with the text column read once and no Python boundary.
+
+Operators: token/char stats, quality scoring (length/punct/stopword ratios),
+n-gram language-ID heuristic, positional document fingerprint (the
+distributed analog of a rolling hash: position-salted token hashes folded
+with an order-sensitive XOR — associative, so it map-side combines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.functions.hashing import h15
+from videos_to_tfrecords_spark.functions.textfn import tokens
+
+#: stopword list for quality scoring (kept tiny + fixed: it is part of the
+#: operator's contract, mirrored verbatim in oracles)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: marker n-grams per language for the heuristic language ID; counts of
+#: space-padded occurrences, argmax with fixed tie-break order.
+LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "es": (" el ", " la ", " los "),
+    "fr": (" le ", " les ", " des "),
+}
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """Exact substring occurrence count via length arithmetic (integer-exact
+    in every engine, unlike regex counting)."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_chars_calc / avg token length (×100, floored)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    # tokens are space-separated: total token chars = chars - (n_tok - 1)
+    avg_len_x100 = F.floor(F.lit(100) * (n_chars - (n_tok - 1)) / n_tok).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("avg_token_len_x100", avg_len_x100)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio quality signal (×1000, floored) + raw hit count.
+
+    A 100 TB-scale quality filter is exactly this shape: cheap per-row
+    arithmetic on the scan, then a pushed-down predicate on the score."""
+    toks = tokens(text_col)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    n_tok = F.size(toks).cast("long")
+    ratio_x1000 = F.floor(F.lit(1000) * stop_hits / n_tok).cast("long")
+    return df.withColumn("stop_hits", stop_hits).withColumn(
+        "stop_ratio_x1000", ratio_x1000
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: marker-n-gram occurrence scores per language,
+    argmax with deterministic tie-break (declaration order), 'und' when all
+    scores are zero. Adds ``score_<lang>`` columns + the prediction."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # cascading CASE = argmax with first-declared tie-break: lang L wins iff
+    # score_L > 0 and score_L >= every LATER score (an earlier lang that
+    # could beat L already won its own WHEN).
+    pred = F.lit("und")
+    chain = None
+    for idx, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for later in langs[idx + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    pred = chain.otherwise(pred)
+    out_df = df
+    for lang in langs:
+        out_df = out_df.withColumn(f"score_{lang}", scores[lang])
+    return out_df.withColumn(out, pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Order-sensitive document fingerprint: XOR-fold of position-salted
+    token hashes. Equal texts ⇒ equal fingerprints; any token move/change
+    flips it. Pure array expressions — no explode, no shuffle."""
+    toks = tokens(text_col)
+    hashed = F.transform(
+        toks,
+        lambda t, i: h15(F.concat((i + 1).cast("string"), F.lit(":"), t)),
+    )
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+    )
+    return df.withColumn(out, fp)

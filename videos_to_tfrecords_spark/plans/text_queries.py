@@ -1,0 +1,203 @@
+"""Text-analysis + dedup queries over `documents` (SURVEY §7.1 M5).
+
+Oracle notes: every hash is the portable md5-prefix so DuckDB reproduces it
+bit-for-bit; ratios are integer-scaled + floored (IEEE division of exact
+integers floors identically in both engines); the MinHash-LSH query's oracle
+is the EXACT all-pairs Jaccard ground truth — the band geometry (8×2 at
+threshold 0.5 against a corpus whose near-dups sit at J≈0.99 and background
+at J<0.1) makes a RECALL miss vanishingly unlikely, and the verify step
+removes all false positives, so LSH output == ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.functions.hashing import h15_sql
+from videos_to_tfrecords_spark.functions.textfn import shingles_sql
+from videos_to_tfrecords_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from videos_to_tfrecords_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+
+@query(
+    "doc_token_stats",
+    """
+WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(floor(100.0 * (length(text) - (len(toks) - 1)) / len(toks)) AS BIGINT)
+         AS avg_token_len_x100,
+       length(text) = n_chars AS matches_meta
+FROM t
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats (M5 text analysis), cross-checked against
+    the table's precomputed n_chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_token_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "avg_token_len_x100",
+        (F.col("n_chars_calc") == F.col("n_chars")).alias("matches_meta"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "doc_quality_score",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_hits,
+       CAST(floor(1000.0 * len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)) AS BIGINT)
+         AS stop_ratio_x1000
+FROM t
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality scoring (M5): the shape of every cheap
+    quality filter a 100 TB text pipeline runs at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "stop_hits", "stop_ratio_x1000")
+
+
+def _lang_oracle() -> str:
+    def occ(m: str) -> str:
+        return f"(length(p) - length(replace(p, '{m}', ''))) // {len(m)}"
+
+    score_exprs = {
+        lang: " + ".join(occ(m) for m in markers) for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{later}" for later in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    scores_sel = ", ".join(f"CAST({e} AS BIGINT) AS s_{lang}" for lang, e in score_exprs.items())
+    out_cols = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    return f"""
+WITH p AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT doc_id, {scores_sel} FROM p)
+SELECT doc_id, {out_cols}, {case} AS lang_pred FROM s
+"""
+
+
+@query("doc_lang_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-n-gram language ID (M5): occurrence scores per
+    language, cascading argmax with declaration-order tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_lang_id(docs)
+    cols = ["doc_id"] + [F.col(f"score_{g}").alias(f"score_{g}") for g in LANG_MARKERS]
+    return out.select(*cols, "lang_pred")
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+             unnest(list_transform(toks,
+                    (x, i) -> {h15_sql("concat(CAST(i AS VARCHAR), ':', x)")})) AS hv
+      FROM t)
+SELECT doc_id, CAST(bit_xor(hv) AS BIGINT) AS fingerprint FROM h GROUP BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional XOR fingerprint (M5 'rolling hash' analog): equal docs ⇒
+    equal prints; order-sensitive via position salting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "doc_exact_dedup",
+    """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (M5): canonical = min id per
+    md5 group. Only (hash, id) ever shuffles — never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+j AS (SELECT id_a, id_b,
+             CAST(floor(1000.0 * common / (sa.n + sb.n - common)) AS BIGINT) AS j_x1000
+      FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+SELECT * FROM j WHERE j_x1000 >= 500
+"""
+
+
+@query("doc_minhash_lsh_pairs", _JACCARD_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (M5): shingle → 16-perm minhash → 8×2
+    banding → bucket join → exact-Jaccard verify ≥ 0.5. Oracle is exact
+    ground truth; equality holds because verification kills false positives
+    and band geometry makes misses ~impossible at this threshold (see
+    module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(docs, threshold_x1000=500)
+
+
+@query("doc_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the inverted shingle index (M5) — the
+    exact baseline of the LSH path, same output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold_x1000=500)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    assemble = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, {h15_sql("concat('tok:', tok)")} AS th FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v
+"""
+
+
+@query("doc_simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (M5): 16-bit majority-vote of token-hash bits,
+    one explode + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
