@@ -1,0 +1,59 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR and
+print ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is measured with the noop sink (full computation, no driver
+collect), after a session warm-up action, so per-query numbers reflect plan
+execution rather than JVM startup or result shipping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from videos_to_tfrecords_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm up the session (JVM, Arrow, parquet footers)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

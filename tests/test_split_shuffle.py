@@ -1,0 +1,55 @@
+"""R1/R2 invariants (SURVEY §5): splits disjoint+complete with ratio
+tolerance; shuffle preserves the multiset while decorrelating order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.shuffle import shuffle
+from videos_to_tfrecords_spark.operators.split import (
+    hash_bucket_split,
+    randomly_split,
+    with_random_split,
+)
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+
+def test_random_split_disjoint_complete_ratioed(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    parts = randomly_split(orders, seed=42)
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == n  # complete
+    key_sets = {k: {r.o_orderkey for r in v.select("o_orderkey").collect()} for k, v in parts.items()}
+    assert not (key_sets["Train"] & key_sets["Val"])  # disjoint
+    assert not (key_sets["Train"] & key_sets["Test"])
+    assert not (key_sets["Val"] & key_sets["Test"])
+    # ±5 pp at n=1500 (FIXTURES.md oracle note)
+    assert abs(counts["Train"] / n - 0.70) < 0.05
+    assert abs(counts["Val"] / n - 0.15) < 0.05
+    assert abs(counts["Test"] / n - 0.15) < 0.05
+    # dataset column stamped with the split name (preprocess.py:58-66)
+    assert parts["Val"].filter(F.col("dataset") != "Val").count() == 0
+
+
+def test_split_ratio_validation():
+    with pytest.raises(ValueError):
+        with_random_split(None, 0.5, 0.2, 0.2)  # sums to 0.9 → rejected
+
+
+def test_hash_split_deterministic(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = hash_bucket_split(orders, "o_orderkey").groupBy("dataset").count().collect()
+    b = hash_bucket_split(orders, "o_orderkey").groupBy("dataset").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_shuffle_preserves_multiset_and_decorrelates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber").limit(2000)
+    before = sorted(map(tuple, li.collect()))
+    shuffled = shuffle(li, num_partitions=4, seed=11)
+    after_rows = shuffled.collect()
+    assert sorted(map(tuple, after_rows)) == before  # multiset preserved
+    # order actually changed (decorrelation — the whole point of R2)
+    assert list(map(tuple, after_rows)) != list(map(tuple, li.collect()))

@@ -1,0 +1,100 @@
+"""Text/dedup/similarity operator properties beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from videos_to_tfrecords_spark.operators.similarity import brute_force_topk, lsh_topk
+from videos_to_tfrecords_spark.operators.text import with_fingerprint, with_lang_id
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.doc_id: r for r in exact_dedup(df).collect()}
+    assert out[1].canonical_id == 1 and not out[1].is_duplicate
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert out[3].canonical_id == 3 and not out[3].is_duplicate
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "c b a"), (3, "a b c")])
+    fp = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_lang_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the hat of doom"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "zzz qqq www"),
+        ],
+    )
+    out = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "w%d " * 30 % tuple(range(30))
+    near = base.replace("w7 ", "w7x ")  # one-token edit → J still high
+    far = "q%d " * 30 % tuple(range(100, 130))
+    df = _docs(spark, [(1, base.strip()), (2, near.strip()), (3, far.strip())])
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_dedup_pairs(df, threshold_x1000=500).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # LSH agrees with the exact inverted-index path at this threshold
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold_x1000=500).collect()}
+    assert pairs == exact
+
+
+def test_simhash_near_dups_close(spark):
+    base = "w%d " * 40 % tuple(range(40))
+    near = base.replace("w7 ", "w7x ")
+    far = "q%d " * 40 % tuple(range(100, 140))
+    df = _docs(spark, [(1, base.strip()), (2, near.strip()), (3, far.strip())])
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_lsh_topk_finds_planted_near_dups(spark):
+    """Sign-LSH's contract: vectors at small angle land in one bucket. Plant
+    20 near-identical twins among 100 background vectors (deterministic:
+    seeded data + hash-derived planes → fixed outcome, no flake)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(100):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i < 20:  # twin at cos ≈ 0.998
+            t = v + rng.normal(scale=0.03, size=16)
+            t /= np.linalg.norm(t)
+            rows.append((1000 + i, [float(x) for x in t]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = lsh_topk(df, k=3, n_planes=4).collect()
+    found = {r.query_id: set() for r in approx}
+    for r in approx:
+        found[r.query_id].add(r.cand_id)
+    hits = sum(1 for i in range(20) if (1000 + i) in found.get(i, set()))
+    # θ≈3.5° twins: P(bucket split) ≈ 4·θ/π ≈ 8% per pair
+    assert hits >= 15
+    # and the exact brute-force baseline finds every twin
+    exact = brute_force_topk(df, df, k=1).collect()
+    nn = {r.query_id: r.cand_id for r in exact}
+    assert all(nn[i] == 1000 + i for i in range(20))

@@ -1,0 +1,114 @@
+"""TFRecord framing + SequenceExample proto: goldens and round-trips
+(SURVEY §7.3: masked CRC32C is easy to get subtly wrong — anchor on the
+published CRC32C check value and hand-assembled wire bytes)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from videos_to_tfrecords_spark.sources.tfrecord import (
+    crc32c,
+    decode_sequence_example,
+    encode_sequence_example,
+    masked_crc32c,
+    read_records,
+    with_sequence_example,
+    write_record,
+    write_tfrecords,
+)
+
+
+def test_crc32c_check_value():
+    # the standard CRC-32C (Castagnoli) check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_masked_crc_is_tf_mask():
+    crc = crc32c(b"123456789")
+    expected = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert masked_crc32c(b"123456789") == expected
+
+
+def test_sequence_example_minimal_golden_bytes():
+    # context {"a": [1]} (int64), empty feature_lists — hand-assembled wire:
+    # SequenceExample{1: Features{1: entry{1:"a", 2: Feature{3: Int64List{1:[1]}}}}, 2: {}}
+    buf = encode_sequence_example({"a": [1]}, {})
+    assert buf == bytes.fromhex("0a0c0a0a0a016112051a030a010112 00".replace(" ", ""))
+
+
+def test_sequence_example_roundtrip():
+    context = {
+        "label": "Animation",  # str → utf-8 bytes (features.py:49-53)
+        "filename": b"gs://x/y.mp4",
+        "frame_per_sec": 30.0,
+        "frame_total": 90,  # int path
+        "skipme": None,  # unsupported → dropped (features.py:55-56)
+    }
+    lists = {
+        "logits": [[0.5, -1.5], [2.0, 3.0]],
+        "timestamp_ms": [0.0, 500.0],
+    }
+    ctx, fl = decode_sequence_example(encode_sequence_example(context, lists))
+    assert ctx["label"] == [b"Animation"]
+    assert ctx["filename"] == [b"gs://x/y.mp4"]
+    assert ctx["frame_per_sec"] == [30.0]
+    assert ctx["frame_total"] == [90]
+    assert "skipme" not in ctx
+    assert fl["timestamp_ms"] == [[0.0], [500.0]]
+    assert fl["logits"] == [[0.5, -1.5], [2.0, 3.0]]
+
+
+def test_scalar_promotion():
+    # features.py:41-42: scalar auto-promoted to 1-element list
+    ctx, _ = decode_sequence_example(encode_sequence_example({"x": 2.5}, {}))
+    assert ctx["x"] == [2.5]
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "t.tfrecord")
+    payloads = [b"hello", b"", b"x" * 1000]
+    with open(path, "wb") as fh:
+        for p in payloads:
+            write_record(fh, p)
+    assert list(read_records(path)) == payloads
+
+
+def test_tfrecord_crc_detects_corruption(tmp_path):
+    path = os.path.join(tmp_path, "t.tfrecord")
+    with open(path, "wb") as fh:
+        write_record(fh, b"hello world")
+    data = bytearray(open(path, "rb").read())
+    data[14] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    try:
+        list(read_records(path))
+        raise AssertionError("corruption not detected")
+    except ValueError as e:
+        assert "crc" in str(e)
+
+
+def test_sharded_write_layout(spark, sf_dir):
+    """S4 path scheme (reference preprocess.py:120):
+    {out}/data/{split}/{split}-NNNNN-of-MMMMM.tfrecord, prefix lowercased."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(20)
+    protos = with_sequence_example(
+        ev.selectExpr("event_type", "value", "array(value) AS vals"),
+        context_cols=["event_type"],
+        list_cols=["vals"],
+    ).repartition(3)
+    with tempfile.TemporaryDirectory() as out:
+        n = write_tfrecords(protos, "proto", out, "Train")
+        files = sorted(glob.glob(os.path.join(out, "data", "train", "*.tfrecord")))
+        assert n == 20
+        assert len(files) == 3
+        assert os.path.basename(files[0]) == "train-00000-of-00003.tfrecord"
+        total = sum(len(list(read_records(f))) for f in files)
+        assert total == 20
+        # records parse back as SequenceExamples
+        ctx, fl = decode_sequence_example(next(iter(read_records(files[0]))))
+        assert set(ctx) == {"event_type"} and set(fl) == {"vals"}

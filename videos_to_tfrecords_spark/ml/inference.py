@@ -1,0 +1,74 @@
+"""Batched model inference over embedding/tensor columns.
+
+Reference parity — the ``Inception`` DoFn (reference preprocess.py:192-265):
+- ``setup()`` builds the model once per worker (preprocess.py:203-215)
+  → here: model factory invoked once per Python worker, before the Arrow
+  batch loop of an iterator pandas UDF.
+- ``process()`` buffers rows into batches and flushes at batch_size
+  (preprocess.py:246-265) → here: Arrow batching
+  (spark.sql.execution.arrow.maxRecordsPerBatch) does this natively.
+- ``finish_bundle()`` drains partial batches (preprocess.py:217-227)
+  → here: the iterator simply ends; nothing to drain by construction.
+- ``make_predictions()`` stacks inputs and calls predict_on_batch
+  (preprocess.py:229-244) → here: np.stack + a single vectorized call per
+  Arrow batch.
+
+The model is pluggable: any ``factory() -> (np.ndarray[B,D] -> np.ndarray[B,K])``.
+Production would load TF-Hub/torch weights in the factory (executor-side,
+once); tests and the stub use a deterministic linear projection so results
+are reproducible without model downloads. The reference's shape-homogeneous
+batching concern (preprocess.py:250-253) disappears for fixed-width
+embeddings; for images, group by shape before this op (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ModelFactory = Callable[[], Callable[[np.ndarray], np.ndarray]]
+
+
+def linear_stub_model(in_dim: int = 64, out_dim: int = 8, seed: int = 7) -> ModelFactory:
+    """Deterministic stand-in for InceptionV3 (2048-d feature extractor,
+    reference preprocess.py:203-215): a fixed random linear map + relu."""
+
+    def factory() -> Callable[[np.ndarray], np.ndarray]:
+        rng = np.random.RandomState(seed)
+        w = rng.uniform(-1.0, 1.0, size=(in_dim, out_dim)).astype(np.float64)
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            return np.maximum(batch @ w, 0.0)
+
+        return predict
+
+    return factory
+
+
+def batch_inference(
+    df: DataFrame,
+    input_col: str,
+    model_factory: ModelFactory,
+    output_col: str = "logits",
+    drop_input: bool = True,
+) -> DataFrame:
+    """Vectorized inference via an iterator pandas UDF: model built once per
+    worker, applied per Arrow batch. ``drop_input`` mirrors the reference's
+    `del element["image"]` (preprocess.py:241) — never shuffle the wide
+    input downstream of inference."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = model_factory()  # per-worker init ≡ DoFn.setup()
+        for series in batches:
+            stacked = np.stack(series.to_numpy())  # ≡ np.concatenate (preprocess.py:233)
+            out = model(stacked)  # ≡ predict_on_batch (preprocess.py:234)
+            yield pd.Series([row.astype(np.float32).tolist() for row in out])
+
+    out = df.withColumn(output_col, infer(F.col(input_col)))
+    return out.drop(input_col) if drop_input else out

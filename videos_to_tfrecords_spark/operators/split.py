@@ -40,12 +40,19 @@ def with_random_split(
     if abs(train + val + test - 1.0) > 1e-9:
         # reference preprocess.py:51-53 validates ratios sum to 1.0
         raise ValueError(f"split ratios must sum to 1.0, got {train+val+test}")
-    r = F.rand(seed)
-    return df.withColumn(
-        out,
-        F.when(r < test, F.lit("Test")).when(r < test + val, F.lit("Val")).otherwise(
-            F.lit("Train")
-        ),
+    # materialize the draw FIRST: rand() is non-deterministic, and embedding
+    # the same expression tree in both WHEN branches would draw twice
+    # (Catalyst's CollapseProject guard keeps this projection separate)
+    r = F.col("_split_r")
+    return (
+        df.withColumn("_split_r", F.rand(seed))
+        .withColumn(
+            out,
+            F.when(r < test, F.lit("Test"))
+            .when(r < test + val, F.lit("Val"))
+            .otherwise(F.lit("Train")),
+        )
+        .drop("_split_r")
     )
 
 

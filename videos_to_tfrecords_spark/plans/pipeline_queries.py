@@ -1,0 +1,147 @@
+"""End-to-end pipeline + multimodal + inference + streaming queries.
+
+These exercise the Python-boundary operators (mapInPandas decode, pandas-UDF
+inference, proto serialization, Structured Streaming). Where the fake decode
+is closed-form, the query is STILL hash-checked against SQL arithmetic —
+proving the opaque-operator plumbing, not just the formula. Inference and
+proto bytes are rows-only (no SQL analog) with pytest golden checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.ml.inference import batch_inference, linear_stub_model
+from videos_to_tfrecords_spark.ml.video import decode_videos
+from videos_to_tfrecords_spark.operators.multimodal import (
+    decode_media_frames,
+    with_media_payload,
+)
+from videos_to_tfrecords_spark.operators.sequence import format_features, to_full_video
+from videos_to_tfrecords_spark.operators.split import hash_bucket_split
+from videos_to_tfrecords_spark.plans.reference_queries import _files_df
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table
+from videos_to_tfrecords_spark.sources.tfrecord import with_sequence_example
+from videos_to_tfrecords_spark.streaming.pipeline import streaming_tumbling_counts
+
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+       sha256(md5(text)) AS sha_hex
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column convention (M5): opaque binary payload + typed meta
+    struct; metadata projection + content hash stay relational."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    # hash of the payload's lowercase-hex form: DuckDB's sha256 takes
+    # VARCHAR only (and Spark's hex() would uppercase)
+    docs2 = docs.select("doc_id", F.md5("text").alias("payload_hex"))
+    return media.join(docs2, "doc_id").select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.sha2("payload_hex", 256)).alias("sha_hex"),
+    )
+
+
+@query(
+    "media_decode_frames",
+    """
+SELECT doc_id,
+       CAST(t.i AS BIGINT) AS frame_idx,
+       CAST(t.i AS DOUBLE) * 500.0 AS timestamp_ms,
+       CAST((doc_id * 31 + t.i) % 1000 AS BIGINT) AS checksum
+FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS i) t
+""",
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode as a flat-map UDTF over mapInPandas (M5): 1 asset → N
+    frame rows. The decode body is a deterministic fake (no codecs in this
+    container) with a closed-form output, so the Arrow-batched Python
+    plumbing itself is hash-checked against SQL arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_frames(docs)
+
+
+@query("inference_logits")  # rows-only: float matmul has no exact SQL twin
+def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference (U2, reference preprocess.py:192-265) as an
+    iterator pandas UDF with per-worker model init. Stub linear model (no
+    model downloads here); numeric goldens asserted in tests/test_ml.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = batch_inference(emb, "embedding", linear_stub_model(64, 8), drop_input=True)
+    return out.select(
+        "vec_id",
+        F.size("logits").cast("long").alias("n_logits"),
+        (F.array_position("logits", F.array_max("logits")) - 1).cast("long").alias("argmax_idx"),
+    )
+
+
+@query("video_pipeline_e2e")  # rows-only: spans decode+inference+proto encode
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole mainline (preprocess.py:371-416) re-expressed
+    Spark-first: filename table → extension filter → label extraction →
+    deterministic split → video decode (fake, mapInPandas UDTF) → batched
+    inference (pandas UDF) → full_video sequence assembly → FormatFeatures
+    pivot → SequenceExample proto bytes. Output: per-split sequence counts
+    and total proto bytes (deterministic; schema-stable)."""
+    files = _files_df(spark, sf_dir)
+    from videos_to_tfrecords_spark.operators.filenames import (
+        extract_label,
+        filter_extensions,
+    )
+
+    labeled = extract_label(filter_extensions(files))
+    split = hash_bucket_split(labeled, "doc_id")
+    frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
+    embedded = batch_inference(frames, "image", linear_stub_model(12, 4), drop_input=True)
+    full = to_full_video(
+        embedded.select(
+            "filename", "label", "dataset", "timestamp_ms", "frame_per_sec",
+            "frame_total", "logits",
+        ),
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+    )
+    seqs = format_features(
+        full,
+        context_cols=["label", "dataset", "frame_per_sec", "frame_total"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    protos = with_sequence_example(
+        seqs,
+        context_cols=["filename", "label", "dataset", "frame_per_sec", "frame_total"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    return (
+        protos.groupBy("dataset")
+        .agg(
+            F.count("*").alias("n_sequences"),
+            F.sum(F.length("proto")).alias("total_proto_bytes"),
+        )
+        .orderBy("dataset")
+    )
+
+
+@query(
+    "streaming_tumbling_counts",
+    """
+SELECT ((epoch_ns(ts)//1000) // 86400000000) * 86400 AS win_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of the tumbling-window aggregate (§7
+    extension): readStream file source → windowed agg → memory sink, drained
+    synchronously. Hash-matches the batch oracle — one logical plan, two
+    execution modes."""
+    return streaming_tumbling_counts(spark, sf_dir)

@@ -1,0 +1,97 @@
+"""Structured Streaming variants of the engine's event-time operators.
+
+The reference is a bounded Beam pipeline with event-time windows but no
+streaming features (SURVEY §2.5: no watermarks/triggers/state). These are
+the engine's §7 extensions: the same windowed aggregations over an unbounded
+source. File-source streams over the test parquet drive them to completion
+synchronously (processAllAvailable) so they are testable — and the results
+match the batch plans bit-for-bit, which is the point: one logical plan,
+batch or streaming physical execution.
+
+Scale posture: watermark + append mode is the production shape (bounded
+state); ``complete`` output mode is used for the bounded-input demo because
+append only emits windows the watermark has passed — on a bounded file
+source the tail windows would never flush.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet → long ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs normalization
+    as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window counts as a streaming query, drained to a
+    memory sink. Same logical plan as the batch tumbling_window_stats."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        (F.unix_micros("w.start") / 1_000_000).cast("long").alias("win_start_s"),
+        "event_type",
+        "n",
+    )
+
+
+def streaming_sliding_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shaped variant: watermark + sliding window + append
+    mode (bounded state). On a bounded source the un-flushed tail is
+    expected — asserted in tests, not oracle-compared."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_app_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        (F.unix_micros("w.start") / 1_000_000).cast("long").alias("win_start_s"),
+        "event_type",
+        "n",
+    )
