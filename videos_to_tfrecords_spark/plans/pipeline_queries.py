@@ -42,12 +42,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_payload(docs)
     # hash of the payload's lowercase-hex form: DuckDB's sha256 takes
-    # VARCHAR only (and Spark's hex() would uppercase)
-    docs2 = docs.select("doc_id", F.md5("text").alias("payload_hex"))
-    return media.join(docs2, "doc_id").select(
+    # VARCHAR only, and Spark's hex() uppercases → lower() it. No join:
+    # everything derives from the payload column in one narrow pass.
+    return media.select(
         "doc_id",
         F.col("meta.n_bytes").alias("n_bytes"),
-        F.lower(F.sha2("payload_hex", 256)).alias("sha_hex"),
+        F.sha2(F.lower(F.hex("payload")), 256).alias("sha_hex"),
     )
 
 

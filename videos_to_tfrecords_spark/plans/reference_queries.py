@@ -35,16 +35,24 @@ _SLIDE_US = SLIDE_MS * 1000
 
 def _events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → per-user relative-ms timeline (the reference's frame
-    timestamps are ms offsets from video start, SURVEY §1.3)."""
+    timestamps are ms offsets from video start, SURVEY §1.3).
+
+    Per-key min/max via groupBy + broadcast join back, NOT window functions:
+    a WindowExec sorts the whole table per key, while the aggregate is a
+    hash-agg producing |keys| rows that broadcast — the plan that holds when
+    the events table is 100 TB and keys are few-per-million-rows."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
     us = F.unix_micros("ts")
-    return ev.select(
+    base = ev.select("user_id", "value", "event_type", us.alias("us"))
+    bounds = base.groupBy("user_id").agg(
+        F.min("us").alias("min_us"), F.max("us").alias("max_us")
+    )
+    return base.join(F.broadcast(bounds), "user_id").select(
         "user_id",
         "value",
         "event_type",
-        ((us - F.min(us).over(w)) / F.lit(1000.0)).alias("rel_ms"),
-        ((F.max(us).over(w) - F.min(us).over(w)) / F.lit(1000.0)).alias("length_ms"),
+        ((F.col("us") - F.col("min_us")) / F.lit(1000.0)).alias("rel_ms"),
+        ((F.col("max_us") - F.col("min_us")) / F.lit(1000.0)).alias("length_ms"),
     )
 
 

@@ -113,9 +113,13 @@ FROM n GROUP BY label
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm profile per class label: exact integer self-dot, IEEE
     sqrt (correctly rounded — engine-identical), floored."""
+    from videos_to_tfrecords_spark.operators.similarity import _pair_dot
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # vectorized exact self-dot (the declarative scaled_int_dot twin is
+    # interpreted per element — ~10× slower on wide arrays)
     norm_scaled = F.floor(
-        F.sqrt(scaled_int_dot("embedding", "embedding").cast("double"))
+        F.sqrt(_pair_dot()("embedding", "embedding").cast("double"))
     ).cast("long")
     return (
         emb.withColumn("norm_scaled", norm_scaled)
