@@ -13,7 +13,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # full PushedFilters/ReadSchema text in explain output (default
+        # truncates metadata at 100 chars — test_plans asserts on it)
+        extra_conf={"spark.sql.maxMetadataStringLength": "2000"},
+    )
     yield s
 
 

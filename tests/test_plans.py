@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around must be visible in `.explain` output, not just hoped for —
+predicate/projection pushdown to parquet, broadcast joins for dims,
+map-side partial aggregation, sort-free top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_push_to_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 needed columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp_ntz>"
+        in plan
+    )
+    assert "*(1)" in plan  # whole-stage codegen span covers filter+project
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.relational_queries import q_join_broadcast
+
+    plan = plan_of(q_join_broadcast(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.relational_queries import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, sf_dir))
+    # two HashAggregates (partial + final) around one exchange: map-side combine
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.relational_queries import q_orderby_limit
+
+    plan = plan_of(q_orderby_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-K, no global sort
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.relational_queries import q_semi_join
+
+    assert "LeftSemi" in plan_of(q_semi_join(spark, sf_dir))
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.advanced_queries import q_asof_join
+
+    plan = plan_of(q_asof_join(spark, sf_dir))
+    # union + one window — no join operator at all in the as-of core
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_uses_broadcast_for_bounds(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.reference_queries import q_crop_video
+
+    plan = plan_of(q_crop_video(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # per-key bounds join, not a window sort

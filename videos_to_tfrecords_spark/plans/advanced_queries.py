@@ -1,0 +1,291 @@
+"""Advanced relational + OLAP-pattern queries: as-of join, sessionization,
+skew-safe salted aggregation, exact percentiles, lead/lag deltas, scalar
+subqueries, string/date function surfaces, cube, and the SQL front-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.relational import asof_join, salted_sum, sessionize
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table, register_views
+
+
+@query(
+    "asof_last_purchase",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, (epoch_ns(ts)//1000) AS ts_us FROM events),
+p AS (SELECT user_id, ts_us, max(event_id) AS purchase_id
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT c.event_id, c.user_id,
+       p.purchase_id AS asof_purchase_id,
+       c.ts_us - p.ts_us AS gap_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): each click paired with the
+    user's latest prior-or-same-time purchase. Implemented as tag + union +
+    one carry-forward window pass — a single shuffle, no range explosion;
+    the oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_value_cols=["purchase_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_purchase_id"),
+        (F.col("ts_us") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "user_sessions",
+    """
+WITH e AS (SELECT event_id, user_id, (epoch_ns(ts)//1000) AS ts_us FROM events),
+s AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+x AS (SELECT user_id, ts_us, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
+      FROM s)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 2 h ⇒ new session): lag + running-sum sharing
+    one window sort, then a per-session rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    sessions = sessionize(
+        ev, key_col="user_id", ts_col="ts_us", gap=7_200_000_000, order_tiebreak=["event_id"]
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "salted_revenue_by_supplier",
+    """
+SELECT l_suppkey,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted aggregation: pre-aggregate on (key, salt) then
+    combine partials. Identical result to the plain groupBy (the oracle IS
+    the plain groupBy) — the point is the shuffle shape under a hot key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li,
+        key_cols=["l_suppkey"],
+        value_col=F.round(F.col("l_extendedprice") * 100).cast("long"),
+        alias="revenue_cents",
+        n_salt=8,
+    )
+
+
+@query(
+    "quantity_percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — verified bit-identical to
+    DuckDB's quantile_cont). The approximate twin for 100 TB is
+    percentile_approx / approx sketches (see approx_distinct_parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )
+
+
+@query(
+    "shipment_gaps",
+    """
+WITH r AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         epoch(l_shipdate) - lag(epoch(l_shipdate)) OVER
+           (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS gap_s
+  FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, CAST(gap_s AS BIGINT) AS gap_s
+FROM r WHERE l_orderkey % 25 = 0
+""",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: seconds between a supplier's consecutive shipments
+    (total tie-broken order), output subsampled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    ep = F.unix_timestamp("l_shipdate")
+    return (
+        li.withColumn("gap_s", (ep - F.lag(ep).over(w)).cast("long"))
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "gap_s")
+    )
+
+
+@query(
+    "above_nation_average",
+    """
+WITH n AS (SELECT c_nationkey,
+                  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY c_nationkey)
+SELECT c.c_custkey, c.c_name
+FROM customer c JOIN n ON c.c_nationkey = n.c_nationkey
+WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * n.n > n.sum_cents
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated 'above my group's average' predicate, with the float
+    average avoided entirely: acctbal·n > Σ acctbal compares exact integers
+    (cross-multiplication — deterministic in every engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    nation_stats = cust.groupBy("c_nationkey").agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n")
+    )
+    return (
+        cust.join(F.broadcast(nation_stats), "c_nationkey")
+        .filter(cents * F.col("n") > F.col("sum_cents"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "string_functions",
+    """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       substr(c_name, 1, 8) AS pre,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS tagged,
+       replace(c_name, '0', 'O') AS repl,
+       reverse(c_name) AS rev,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       trim(concat(' ', c_name, ' ')) AS trimmed
+FROM customer
+""",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string surface (SURVEY §2.2 lists the reference's tiny
+    string usage; the engine exposes the full built-in set)."""
+    c = load_table(spark, sf_dir, "customer")
+    key_str = F.col("c_custkey").cast("string")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat("c_mktsegment", F.lit("#"), key_str).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("0"), F.lit("O")).alias("repl"),
+        F.reverse("c_name").alias("rev"),
+        F.lpad(key_str, 8, "0").alias("padded"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+       CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_s,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+FROM orders WHERE o_orderkey % 20 = 0
+""",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval surface (absent in the reference — SURVEY §2.2 notes
+    no date math at all). dow convention aligned: Spark dayofweek is 1=Sun,
+    DuckDB dow is 0=Sun → subtract 1."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_start_s"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("days_since"),
+    )
+
+
+@query(
+    "cube_quantity",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations incl. grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_Q5ISH = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("sql_frontend_q5", _Q5ISH)
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end the reference lacks (SURVEY §2.7): the same ANSI
+    text runs on Spark (via temp views) and on DuckDB — Catalyst plans the
+    5-way join with the dims broadcast, identically to the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5ISH)
