@@ -68,3 +68,14 @@ def test_sample_frames_exact_anchored_semantics(spark):
         r.timestamp_ms for r in sample_frames_exact(df, skip_msec=500.0).collect()
     )
     assert kept == [0.0, 900.0, 1401.0]
+
+
+def test_native_predict_batch_udf_matches_iterator_path(spark):
+    from videos_to_tfrecords_spark.ml.inference import batch_inference_native
+
+    vecs = [[float(x) for x in np.linspace(-1, 1, 8)], [0.5] * 8]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "id long, vec array<float>")
+    a = {r.id: r.logits for r in batch_inference(df, "vec", linear_stub_model(8, 3), drop_input=False).collect()}
+    b = {r.id: r.logits for r in batch_inference_native(df, "vec", linear_stub_model(8, 3), input_width=8, drop_input=False).collect()}
+    for i in a:
+        np.testing.assert_allclose(a[i], b[i], rtol=1e-6)

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §5 calls out:
+window-assignment closed form, proto round-trip fidelity, TFRecord framing."""
+
+from __future__ import annotations
+
+import io
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from videos_to_tfrecords_spark.sources.tfrecord import (
+    decode_sequence_example,
+    encode_sequence_example,
+    masked_crc32c,
+    write_record,
+)
+
+
+@st.composite
+def feature_values(draw):
+    kind = draw(st.sampled_from(["float", "int", "str", "bytes"]))
+    n = draw(st.integers(1, 5))
+    if kind == "float":
+        # float32-representable values survive the FloatList round-trip
+        import struct as _s
+
+        vals = draw(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=n, max_size=n))
+        return [_s.unpack("<f", _s.pack("<f", v))[0] for v in vals]
+    if kind == "int":
+        return draw(
+            st.lists(st.integers(-(2**62), 2**62), min_size=n, max_size=n)
+        )
+    if kind == "str":
+        return draw(st.lists(st.text(max_size=20), min_size=n, max_size=n))
+    return draw(st.lists(st.binary(max_size=20), min_size=n, max_size=n))
+
+
+@given(
+    ctx=st.dictionaries(st.text(min_size=1, max_size=10), feature_values(), max_size=4),
+    lists=st.dictionaries(
+        st.text(min_size=1, max_size=10),
+        st.lists(feature_values(), max_size=3),
+        max_size=3,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_sequence_example_roundtrip_property(ctx, lists):
+    buf = encode_sequence_example(ctx, lists)
+    got_ctx, got_lists = decode_sequence_example(buf)
+
+    def norm(v):
+        out = []
+        for x in v:
+            if isinstance(x, str):
+                out.append(x.encode("utf-8"))
+            else:
+                out.append(x)
+        return out
+
+    for k, v in ctx.items():
+        assert got_ctx[k] == norm(v), k
+    for k, frames in lists.items():
+        assert got_lists[k] == [norm(f) for f in frames], k
+
+
+@given(payloads=st.lists(st.binary(max_size=200), max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_tfrecord_stream_roundtrip_property(payloads):
+    bio = io.BytesIO()
+    for p in payloads:
+        write_record(bio, p)
+    # reparse by hand
+    data = bio.getvalue()
+    pos, got = 0, []
+    import struct
+
+    while pos < len(data):
+        (length,) = struct.unpack("<Q", data[pos : pos + 8])
+        payload = data[pos + 12 : pos + 12 + length]
+        (crc,) = struct.unpack("<I", data[pos + 12 + length : pos + 16 + length])
+        assert masked_crc32c(payload) == crc
+        got.append(payload)
+        pos += 16 + length
+    assert got == payloads
+
+
+def closed_form_windows(ts_ms: float, size: int, slide: int) -> set[int]:
+    top = math.floor(ts_ms / slide) * slide
+    return {top - k * slide for k in range(math.ceil(size / slide)) if top - k * slide > ts_ms - size}
+
+
+@given(
+    ts=st.lists(st.floats(0, 10**8, allow_nan=False), min_size=1, max_size=30),
+    geom=st.sampled_from([(15000, 1000), (4000, 2000), (5000, 5000), (10000, 3000)]),
+)
+@settings(max_examples=15, deadline=None)
+def test_window_assignment_property(spark, ts, geom):
+    """Spark's window assignment == the closed form, for ms-grid offsets
+    (values quantized to whole ms to avoid float-vs-µs edge ambiguity)."""
+    size, slide = geom
+    rows = [(float(int(t)),) for t in ts]
+    from videos_to_tfrecords_spark.operators.sequence import assign_windows
+
+    df = spark.createDataFrame(rows, "ts_ms double")
+    got: dict[float, set[int]] = {}
+    for r in assign_windows(df, "ts_ms", size, slide).collect():
+        got.setdefault(r.ts_ms, set()).add(r.win_start_ms)
+    for t, wins in got.items():
+        assert wins == closed_form_windows(t, size, slide), (t, size, slide)

@@ -112,3 +112,38 @@ def test_sharded_write_layout(spark, sf_dir):
         # records parse back as SequenceExamples
         ctx, fl = decode_sequence_example(next(iter(read_records(files[0]))))
         assert set(ctx) == {"event_type"} and set(fl) == {"vals"}
+
+
+def test_split_write_and_distributed_read(spark, sf_dir):
+    """R3+S4 per-split layout, then read back through the binaryFile-based
+    distributed source and compare multisets."""
+    from videos_to_tfrecords_spark.operators.split import hash_bucket_split
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        read_tfrecords_df,
+        write_split_tfrecords,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(60)
+    split = hash_bucket_split(ev, "event_id")
+    protos = with_sequence_example(
+        split.selectExpr("dataset", "event_type", "array(value) AS vals"),
+        context_cols=["dataset", "event_type"],
+        list_cols=["vals"],
+    ).repartition(2)
+    with tempfile.TemporaryDirectory() as out:
+        counts = write_split_tfrecords(protos, "proto", "dataset", out)
+        assert sum(counts.values()) == 60
+        back = read_tfrecords_df(spark, os.path.join(out, "data", "*", "*.tfrecord"))
+        rows = back.collect()
+        assert len(rows) == 60
+        # every record parses and carries its split name in context
+        datasets = []
+        for r in rows:
+            ctx, _ = decode_sequence_example(bytes(r.record))
+            datasets.append(ctx["dataset"][0].decode())
+        import collections
+
+        assert collections.Counter(datasets) == collections.Counter(
+            {k: v for k, v in counts.items() if v}
+        )

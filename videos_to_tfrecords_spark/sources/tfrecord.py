@@ -338,3 +338,51 @@ def write_tfrecords(df, bytes_col: str, output_dir: str, prefix: str) -> int:
 
     counts = df.select(bytes_col).rdd.mapPartitionsWithIndex(write_partition).collect()
     return sum(counts)
+
+
+def write_split_tfrecords(
+    df, bytes_col: str, split_col: str, output_dir: str, splits=("Train", "Val", "Test")
+) -> dict[str, int]:
+    """The reference's per-split sink layout (R3 + S4: one sink per tagged
+    split, preprocess.py:389-416): each split filtered from the same frame
+    and written under its own prefix. Callers should cache/checkpoint the
+    upstream frame when all splits are consumed so the pipeline runs once
+    per branch (Beam's single-pass tagged outputs have no single-plan Spark
+    analog — SURVEY §2.3 R3)."""
+    from pyspark.sql import functions as F
+
+    return {
+        s: write_tfrecords(df.filter(F.col(split_col) == s), bytes_col, output_dir, s)
+        for s in splits
+    }
+
+
+def read_tfrecords_df(spark, path_glob: str):
+    """Distributed TFRecord source: binaryFile scan (distributed listing +
+    whole-file content) → per-file record parsing in an Arrow-batched flat
+    map. One task per file; at 100 TB pair with sharded files so tasks are
+    balanced. Returns (path, record binary) rows."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches):
+        for pdf in batches:
+            paths, records = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                pos = 0
+                while pos < len(buf):
+                    (length,) = struct.unpack("<Q", buf[pos : pos + 8])
+                    payload = buf[pos + 12 : pos + 12 + length]
+                    (pcrc,) = struct.unpack(
+                        "<I", buf[pos + 12 + length : pos + 16 + length]
+                    )
+                    if masked_crc32c(payload) != pcrc:
+                        raise ValueError(f"{path}: bad payload crc at offset {pos}")
+                    paths.append(path)
+                    records.append(payload)
+                    pos += 16 + length
+            yield pd.DataFrame({"path": paths, "record": records})
+
+    return files.select("path", "content").mapInPandas(parse, "path string, record binary")
