@@ -37,3 +37,22 @@ def test_streaming_watermarked_append_runs(spark, sf_dir):
     # (the un-passed tail stays in state — expected; see module docstring)
     out = streaming_sliding_watermarked(spark, sf_dir).collect()
     assert isinstance(out, list)
+
+
+def test_stateful_running_counts_match_batch(spark, sf_dir):
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_user_running_counts,
+    )
+
+    got = {
+        r.user_id: r.n_events
+        for r in streaming_user_running_counts(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

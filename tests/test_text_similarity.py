@@ -98,3 +98,20 @@ def test_lsh_topk_finds_planted_near_dups(spark):
     exact = brute_force_topk(df, df, k=1).collect()
     nn = {r.query_id: r.cand_id for r in exact}
     assert all(nn[i] == 1000 + i for i in range(20))
+
+
+def test_connected_components_both_paths(spark):
+    from videos_to_tfrecords_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], "id_a long, id_b long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+    fast = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert fast == want
+    # force the distributed label-propagation path
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert dist == want

@@ -275,6 +275,82 @@ def ngram_jaccard_pairs(
     return jaccard_verify_from_texts(pairs, df, id_col, text_col, threshold_x1000=threshold_x1000)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over the dup-pair
+    graph (component id = min node id in the component).
+
+    Hybrid strategy: the dup-pair graph is the FILTERED output of near-dup
+    detection — tiny relative to the corpus even at 100 TB — so below
+    ``small_graph_threshold`` edges a driver-side union-find finishes in
+    milliseconds (the edge list is already a collected-size artifact).
+    Above it, iterative min-label propagation: each node adopts the minimum
+    component among itself and its neighbors until fixpoint — O(diameter)
+    rounds of join+aggregate, lineage truncated per round."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        # materialize ONCE: every consumer below re-reads edges, and without
+        # this the whole upstream pair-generation pipeline would re-run per
+        # round through the lineage
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = row.src, row.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the root IS the component id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(node, find(node)) for node in parent]
+        return pairs.sparkSession.createDataFrame(rows, "node long, component long")
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per-bit ±1 votes of (multiset) token hashes,
     assembled into a ``bits``-wide integer. Single explode + one aggregation."""

@@ -363,3 +363,29 @@ def q_frame_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "bucket", "event_id")
     )
+
+
+@query(
+    "arithmetic_normalize",
+    """
+SELECT event_id,
+       CAST(floor(value / 255.0 * 1000000) AS BIGINT) AS norm_x1e6,
+       CAST(round(value) AS BIGINT) AS rounded,
+       CAST(1000.0 * 90.0 / 30.0 AS BIGINT) AS video_length_ms,
+       list_reverse(string_split(event_type, ''))[1] AS last_char
+FROM events
+""",
+)
+def q_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7's scalar arithmetic surface (reference preprocess.py:178-184,293):
+    /255 normalization, round(), the video_length = 1000·frame_total/fps
+    formula (literal operands here), and an array reverse (the BGR→RGB
+    channel flip's relational analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.floor(F.col("value") / 255.0 * 1_000_000).cast("long").alias("norm_x1e6"),
+        F.round("value").cast("long").alias("rounded"),
+        (F.lit(1000.0) * 90.0 / 30.0).cast("long").alias("video_length_ms"),
+        F.reverse(F.split("event_type", ""))[0].alias("last_char"),
+    )

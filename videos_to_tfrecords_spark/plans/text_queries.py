@@ -201,3 +201,83 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + one aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs)
+
+
+@query(
+    "doc_dup_clusters",
+    f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY node
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (M5): exact-Jaccard dup pairs → connected
+    components by iterative min-label propagation (a driver-looped joins
+    algorithm — the 'iterative algorithms' category). Oracle: DuckDB
+    recursive CTE computing min reachable id — exact graph closure."""
+    from videos_to_tfrecords_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    # LSH pairs (verified-exact) as edges: same pair set as the exact path
+    # at this threshold (recall argument in the module docstring), cheaper
+    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+@query(
+    "corpus_bigram_topk",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram
+       FROM tok),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20
+""",
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (M5 text analysis: the vocab/merge-count
+    shape of BPE-style tokenizer training): global bigram top-k with
+    deterministic tie-break. Partial aggregation makes the count map-side;
+    the top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count_bigrams(batches):
+        import collections
+
+        import pandas as pd
+
+        for pdf in batches:
+            # partial combine inside the task (map-side), like a combiner
+            counts = collections.Counter()
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                counts.update(
+                    f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+                )
+            yield pd.DataFrame(
+                {"bigram": list(counts.keys()), "n": list(counts.values())}
+            )
+
+    partial = docs.select("text").mapInPandas(count_bigrams, "bigram string, n long")
+    return (
+        partial.groupBy("bigram")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

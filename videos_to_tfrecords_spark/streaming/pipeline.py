@@ -95,3 +95,45 @@ def streaming_sliding_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         "n",
     )
+
+
+def streaming_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (§7 extension; the reference has
+    no keyed state — SURVEY §2.5): per-user running event count kept in
+    arbitrary state via applyInPandasWithState. Drained on the bounded
+    source, the final per-user counts equal the batch groupBy — asserted in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counts = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = counts.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink may hold several emissions per key; the LAST
+    # (max) is the final running count
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
