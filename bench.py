@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -22,8 +24,21 @@ def main() -> None:
     from videos_to_tfrecords_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm up the session (JVM, Arrow, parquet footers)
+    # warm up: JVM/codegen, the Python-worker pool (pandas UDF), and every
+    # table's parquet footer — so per-query timings measure the query, not
+    # one-time session costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
+    from videos_to_tfrecords_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))

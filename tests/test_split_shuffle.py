@@ -53,3 +53,18 @@ def test_shuffle_preserves_multiset_and_decorrelates(spark, sf_dir):
     assert sorted(map(tuple, after_rows)) == before  # multiset preserved
     # order actually changed (decorrelation — the whole point of R2)
     assert list(map(tuple, after_rows)) != list(map(tuple, li.collect()))
+
+
+def test_salted_sum_matches_plain_on_skewed_data(spark):
+    """The skew defense must be result-identical: one hot key holding ~90%
+    of rows, salted two-phase agg == plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.relational import salted_sum
+
+    hot = spark.range(90_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(10_000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+    df = hot.unionByName(cold)
+    salted = {r.k: r.s for r in salted_sum(df, ["k"], "v", alias="s", n_salt=16).collect()}
+    plain = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert salted == plain
