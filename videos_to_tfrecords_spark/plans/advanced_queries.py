@@ -289,3 +289,110 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-way join with the dims broadcast, identically to the DataFrame API."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5ISH)
+
+
+@query(
+    "array_functions",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n,
+       list_sort(toks)[1] AS first_sorted,
+       list_sort(toks)[-1] AS last_sorted,
+       array_to_string(toks[1:3], '|') AS head3,
+       CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+FROM t
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: sort, slice, contains, distinct — all
+    codegen'd JVM expressions over the tokenized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.array_sort(toks)[0].alias("first_sorted"),
+        F.element_at(F.array_sort(toks), -1).alias("last_sorted"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("head3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "regexp_functions",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS words_with_a,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       regexp_replace(text[1:40], '[aeiou]', '_', 'g') AS devoweled_head
+FROM documents
+""",
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface (extract/extract-all-count/replace) — patterns kept to
+    the POSIX-compatible core so both engines' regex dialects agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+a[a-z]*")).cast("long").alias("words_with_a"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled_head"),
+    )
+
+
+@query(
+    "conditional_functions",
+    """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       greatest(CAST(round(o_totalprice*100) AS BIGINT), 10000000) AS floored_cents,
+       least(CAST(round(o_totalprice*100) AS BIGINT), 30000000) AS capped_cents,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null surface: coalesce, nullif, greatest/least, CASE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.greatest(cents, F.lit(10_000_000)).alias("floored_cents"),
+        F.least(cents, F.lit(30_000_000)).alias("capped_cents"),
+        F.when(F.col("o_totalprice") > 200_000, "big")
+        .when(F.col("o_totalprice") > 100_000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@query(
+    "bag_set_ops",
+    """
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+   INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+UNION ALL
+SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+   EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+""",
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — INTERSECT ALL / EXCEPT ALL preserve
+    multiplicities, unlike the set-semantics variants in order_status_set_ops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return count_as(a.intersectAll(r), "intersect_all").unionByName(
+        count_as(a.exceptAll(r), "except_all")
+    )

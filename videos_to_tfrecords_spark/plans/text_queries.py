@@ -281,3 +281,46 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "dedup_corpus_summary",
+    f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+drop_set AS (SELECT node FROM reach GROUP BY node HAVING node != min(r))
+SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars_kept
+FROM documents WHERE doc_id NOT IN (SELECT node FROM drop_set)
+""",
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing dedup RESULT (M5): keep one canonical doc per
+    near-dup cluster (the minimum id), drop the rest — composed as cluster
+    labels → anti-join against the corpus → summary aggregate."""
+    from videos_to_tfrecords_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    drop_set = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(drop_set, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_chars").alias("total_chars_kept"),
+    )
