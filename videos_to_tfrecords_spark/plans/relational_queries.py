@@ -358,3 +358,55 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "part_brand_stats",
+    """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part GROUP BY p_brand
+""",
+)
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-catalog profile: min/max/count-distinct over the part table."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(_cents("p_retailprice")).alias("price_cents"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "supplier_shipped_revenue",
+    """
+SELECT s_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+""",
+)
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ two broadcast dims (supplier, nation): revenue per supplier —
+    completes table coverage (every TESTDATA table now exercised)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("n_items"), F.sum(rev).alias("revenue_c4"))
+    )
