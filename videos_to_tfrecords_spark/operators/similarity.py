@@ -176,3 +176,74 @@ def lsh_topk(
     return bucketed.groupBy("bucket").applyInPandas(
         topk_in_bucket, "query_id long, cand_id long, dot_scaled long, rnk long"
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by exact scaled-integer squared distance (deterministic, tie-broken on
+    centroid id). The centroid set is broadcast — the corpus never
+    shuffles; at 100 TB this is one narrow pass, and the assignment column
+    then partitions the corpus into probe lists."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn("dist2", _pair_dist2()(F.col(vec_col), F.col("cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def _pair_dist2():
+    @F.pandas_udf("long")
+    def pair_dist2(a: pd.Series, b: pd.Series) -> pd.Series:
+        ai, bi = _to_int_matrix(a), _to_int_matrix(b)
+        d = ai - bi
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return pair_dist2
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 40,
+    query_mod: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """IVF ANN (M5 'IVF variant as the scale path'): deterministic coarse
+    centroids (id-mod sample), nearest-centroid assignment, then top-k by
+    exact dot WITHIN the query's probe list only. Single-probe (nprobe=1);
+    production raises nprobe for recall. Fully integer-exact, so the whole
+    approximate pipeline is oracle-checkable."""
+    centroids = df.filter(F.col(id_col) % centroid_mod == 0)
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    q = assigned.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    scored = (
+        q.join(cand, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "dot_scaled", "rnk")
+    )

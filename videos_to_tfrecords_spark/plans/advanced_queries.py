@@ -396,3 +396,40 @@ def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_as(a.intersectAll(r), "intersect_all").unionByName(
         count_as(a.exceptAll(r), "except_all")
     )
+
+
+@query(
+    "session_window_native",
+    """
+WITH e AS (SELECT event_id, user_id, (epoch_ns(ts)//1000) AS ts_us FROM events),
+s AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+x AS (SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 7200000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id, sid
+""",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged event-time sessions, usable
+    in batch too): window = [first_event, last_event + gap). The oracle
+    derives the same sessions from the lag/cumsum formulation — two
+    independent definitions agreeing is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

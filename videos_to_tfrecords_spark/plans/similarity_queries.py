@@ -129,3 +129,47 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm_scaled").alias("sum_norm_scaled"),
         )
     )
+
+
+_DIST2 = (
+    "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> "
+    "(CAST(round(p[1] * 1000000) AS BIGINT) - CAST(round(p[2] * 1000000) AS BIGINT)) * "
+    "(CAST(round(p[1] * 1000000) AS BIGINT) - CAST(round(p[2] * 1000000) AS BIGINT)))) AS BIGINT)"
+)
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id % 40 = 0),
+d AS (SELECT a.vec_id, b.centroid_id, {_DIST2.replace('b.v', 'b.v')} AS dist2
+      FROM e a, (SELECT centroid_id, v FROM cent) b(centroid_id, v)),
+asg AS (SELECT vec_id, centroid_id FROM
+        (SELECT vec_id, centroid_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         FROM d) WHERE rn = 1),
+q AS (SELECT asg.vec_id AS query_id, e.v AS qv, asg.centroid_id
+      FROM asg JOIN e ON e.vec_id = asg.vec_id WHERE asg.vec_id % 100 = 0),
+c AS (SELECT asg.vec_id AS cand_id, e.v AS cv, asg.centroid_id
+      FROM asg JOIN e ON e.vec_id = asg.vec_id),
+s AS (SELECT query_id, cand_id,
+             CAST(list_sum(list_transform(list_zip(qv, cv), p ->
+                  CAST(round(p[1] * 1000000) AS BIGINT) * CAST(round(p[2] * 1000000) AS BIGINT)))
+                  AS BIGINT) AS dot_scaled
+      FROM q JOIN c USING (centroid_id) WHERE query_id != cand_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_scaled DESC, cand_id) AS rnk FROM s)
+SELECT query_id, cand_id, dot_scaled, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (M5): deterministic id-mod centroids → nearest-centroid
+    assignment (exact integer distances) → top-k within the query's probe
+    list. Single-probe; the inverted-file structure is what scales — the
+    corpus partitions by centroid and only one probe list is scanned per
+    query. Entirely integer-exact ⇒ the approximate path hash-matches SQL."""
+    from videos_to_tfrecords_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, centroid_mod=40, query_mod=100, k=3)
