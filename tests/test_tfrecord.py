@@ -147,3 +147,29 @@ def test_split_write_and_distributed_read(spark, sf_dir):
         assert collections.Counter(datasets) == collections.Counter(
             {k: v for k, v in counts.items() if v}
         )
+
+
+def test_python_datasource_roundtrip(spark, sf_dir):
+    """spark.read/write.format('tfrecord') via the Spark 4 Python Data
+    Source API: write a sharded dataset, read it back, verify multiset."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.sources.tfrecord_datasource import register
+
+    register(spark)
+    ev = load_table(spark, sf_dir, "events").limit(40)
+    protos = with_sequence_example(
+        ev.selectExpr("event_type", "array(value) AS vals"),
+        context_cols=["event_type"],
+        list_cols=["vals"],
+    ).repartition(3)
+    with tempfile.TemporaryDirectory() as out:
+        path = os.path.join(out, "ds")
+        protos.select("proto").write.format("tfrecord").mode("overwrite").option("path", path).save()
+        files = sorted(glob.glob(os.path.join(path, "*.tfrecord")))
+        assert len(files) == 3
+        back = spark.read.format("tfrecord").load(os.path.join(path, "*.tfrecord"))
+        rows = back.collect()
+        assert len(rows) == 40
+        want = sorted(bytes(r.proto) for r in protos.collect())
+        got = sorted(bytes(r.record) for r in rows)
+        assert got == want

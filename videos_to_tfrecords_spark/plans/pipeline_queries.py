@@ -145,3 +145,45 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronously. Hash-matches the batch oracle — one logical plan, two
     execution modes."""
     return streaming_tumbling_counts(spark, sf_dir)
+
+
+@query("video_pipeline_crop_mode")  # rows-only: spans decode+inference+windows
+def q_pipeline_crop_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's --mode=crop_video E2E (preprocess.py:399-403): decode
+    → inference → SLIDING-window sequence assembly with the P9 partial-
+    window rule (video_length = 1000·frame_total/frame_per_sec, exactly
+    preprocess.py:293) → FormatFeatures → per-split window counts."""
+    files = _files_df(spark, sf_dir)
+    from videos_to_tfrecords_spark.operators.filenames import (
+        extract_label,
+        filter_extensions,
+    )
+    from videos_to_tfrecords_spark.operators.sequence import crop_video
+
+    labeled = extract_label(filter_extensions(files))
+    split = hash_bucket_split(labeled, "doc_id")
+    frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
+    embedded = batch_inference(frames, "image", linear_stub_model(12, 4), drop_input=True)
+    length_ms = F.lit(1000.0) * F.col("frame_total") / F.col("frame_per_sec")
+    crop = crop_video(
+        embedded.withColumn("length_ms", length_ms),
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+        size_ms=2000,
+        slide_ms=1000,
+        length_ms_col="length_ms",
+        partial_policy="reference",
+    )
+    seqs = format_features(
+        crop,
+        context_cols=["label", "dataset"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    return (
+        seqs.groupBy("dataset")
+        .agg(
+            F.count("*").alias("n_sequences"),
+            F.sum(F.size("timestamp_ms")).alias("n_frames_total"),
+        )
+        .orderBy("dataset")
+    )
