@@ -296,13 +296,11 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        # materialize ONCE: every consumer below re-reads edges, and without
-        # this the whole upstream pair-generation pipeline would re-run per
-        # round through the lineage
-        .localCheckpoint()
     )
-    n_edges = edges.count()
-    if n_edges <= small_graph_threshold:
+    # limit-probe: one job decides the path AND fetches the small graph —
+    # if the probe returns ≤ threshold rows, that IS the complete edge set
+    probe = edges.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -311,7 +309,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in edges.collect():
+        for row in probe:
             a, b = row.src, row.dst
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -323,6 +321,10 @@ def connected_components(
         rows = [(node, find(node)) for node in parent]
         return pairs.sparkSession.createDataFrame(rows, "node long, component long")
 
+    # distributed path: materialize edges once — every iteration re-reads
+    # them, and without this the upstream pair-generation pipeline would
+    # re-run per round through the lineage
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.functions.hashing import h15_sql
-from videos_to_tfrecords_spark.functions.vector import scaled_int_dot, scaled_int_dot_sql
+from videos_to_tfrecords_spark.functions.vector import scaled_int_dot_sql
 from videos_to_tfrecords_spark.operators.similarity import (
     N_PLANES,
     brute_force_topk,
