@@ -117,3 +117,38 @@ def salted_sum(
         .agg(F.sum(v).alias("_partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side ``n_salt`` times and
+    spread the big side's hot keys across salts, so one hot join key fans
+    out over ``n_salt`` reducers instead of melting one. Result-identical
+    to the plain join (its oracle); the manual twin of AQE's skew-join
+    splitting for when the small side is replicable but not broadcast-able."""
+    keys = list(key_cols)
+    salt = F.pmod(
+        F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt)
+    ).alias("_salt")
+    big_s = big.withColumn("_salt", salt)
+    salts = big.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    small_s = small.crossJoin(F.broadcast(salts))
+    out = big_s.join(small_s, [*keys, "_salt"])
+    return out.drop("_salt")
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """MERGE/upsert emulation without a lakehouse format (pyspark guide:
+    'MERGE INTO needs Delta; emulate with anti-join + union'): rows from
+    ``updates`` win, unmatched target rows survive. At 100 TB both legs are
+    one shuffle on the key (or zero with bucketed storage); Delta/Iceberg
+    would add ACID on top of the same plan shape."""
+    keys = list(key_cols)
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)

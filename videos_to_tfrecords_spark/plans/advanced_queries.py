@@ -433,3 +433,154 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "salted_join_revenue",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN: small side replicated n_salt×, big side's hot
+    keys spread across salts. Result-identical to the plain join (which is
+    the oracle) — the manual defense when a join key is pathologically hot
+    and the small side can't broadcast whole."""
+    from videos_to_tfrecords_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"),
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (CDC/upsert): synthesized updates (status 'X',
+    +1.00 price for every 7th order) win over the target; unmatched rows
+    survive. anti-join + unionByName — the lakehouse-free upsert plan."""
+    from videos_to_tfrecords_spark.operators.relational import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@query(
+    "price_quartiles_ntile",
+    """
+SELECT q,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(round(o_totalprice*100)) AS BIGINT) AS min_cents,
+       CAST(max(round(o_totalprice*100)) AS BIGINT) AS max_cents
+FROM (SELECT o_totalprice,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q
+      FROM orders)
+GROUP BY q
+""",
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing via ntile over a total order. Note: an unqualified
+    global ORDER BY window runs single-partition — acceptable for rank-style
+    outputs over pre-aggregated/small frames; at 100 TB use
+    repartitionByRange + per-range ranks instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("q", F.ntile(4).over(w).cast("long"))
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
+            F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
+        )
+    )
+
+
+@query(
+    "vocab_token_ids",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token)
+SELECT token, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+FROM freq
+""",
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: global token frequencies → contiguous ids
+    by (freq desc, token). The distributed agg shrinks the corpus to the
+    vocab FIRST; ranking the (inherently small) vocab on one partition is
+    then fine at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "outer_join_profile",
+    """
+WITH j AS (
+  SELECT c.c_custkey, o.o_orderkey
+  FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT CAST(count(*) FILTER (WHERE c_custkey IS NOT NULL AND o_orderkey IS NOT NULL) AS BIGINT)
+         AS n_matched,
+       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_customer_only,
+       CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_order_only
+FROM j
+""",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with null-side profiling — the join flavor matrix's
+    last cell (inner/semi/anti/left covered elsewhere)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.agg(
+        F.count(
+            F.when(F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull(), 1)
+        ).alias("n_matched"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_customer_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_order_only"),
+    )
