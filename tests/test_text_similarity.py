@@ -115,3 +115,17 @@ def test_connected_components_both_paths(spark):
         for r in connected_components(pairs, small_graph_threshold=0).collect()
     }
     assert dist == want
+
+
+def test_jaccard_verify_both_strategies_agree(spark):
+    from videos_to_tfrecords_spark.operators.dedup import jaccard_verify_from_texts
+
+    base = "w%d " * 30 % tuple(range(30))
+    near = base.replace("w7 ", "w7x ")
+    docs = _docs(spark, [(1, base.strip()), (2, near.strip()), (3, "a b c d e")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    bc = sorted(map(tuple, jaccard_verify_from_texts(pairs, docs).collect()))
+    jn = sorted(
+        map(tuple, jaccard_verify_from_texts(pairs, docs, broadcast_doc_limit=0).collect())
+    )
+    assert bc == jn and len(bc) == 1 and bc[0][:2] == (1, 2)

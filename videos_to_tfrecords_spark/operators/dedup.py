@@ -140,15 +140,52 @@ def jaccard_verify_from_texts(
     text_col: str = "text",
     n: int = 3,
     threshold_x1000: int = 500,
+    broadcast_doc_limit: int = 200_000,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs, recomputed from the pair's own two
-    texts in an Arrow-batched UDF.
+    """Exact Jaccard for candidate pairs. j_x1000 = floor(1000·|∩|/|∪|),
+    engine-exact.
 
-    Scale rationale: the candidate set is tiny relative to the corpus, so
-    joining the pair list back to the documents (two broadcast-able hash
-    joins on the id) and re-shingling just those texts beats shuffling or
-    caching a corpus-wide shingle table — the 100 TB shingle index never
-    materializes twice. j_x1000 = floor(1000·|∩|/|∪|), engine-exact."""
+    Two physical strategies, picked by candidate-doc count (limit-probe —
+    one job decides AND fetches):
+    - broadcast verify (common case): candidate docs ≪ corpus, so their
+      texts broadcast and each pair verifies map-side against in-memory
+      shingle sets — the pair list never joins, only (id_a, id_b) shuffles.
+    - join verify (adversarial case): pair list joins the doc texts twice
+      and re-shingles per pair in an Arrow batch."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col)
+    probe = cand_docs.limit(broadcast_doc_limit + 1).collect()
+    if len(probe) <= broadcast_doc_limit:
+        sets = {
+            row[0]: frozenset(
+                " ".join(row[1].split(" ")[i : i + n])
+                for i in range(len(row[1].split(" ")) - n + 1)
+            )
+            for row in probe
+        }
+        bc = docs.sparkSession.sparkContext.broadcast(sets)
+
+        @F.pandas_udf("long")
+        def jx_bc(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            s = bc.value
+            out = []
+            for a, b in zip(ia, ib):
+                sa, sb = s[a], s[b]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                out.append((1000 * inter) // union if union else 0)
+            return pd.Series(out)
+
+        return (
+            pairs.withColumn("j_x1000", jx_bc("id_a", "id_b"))
+            .filter(F.col("j_x1000") >= threshold_x1000)
+            .select("id_a", "id_b", "j_x1000")
+        )
+
     da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
     joined = pairs.join(da, "id_a").join(db, "id_b")
