@@ -119,3 +119,21 @@ def test_single_frame_narrow(spark):
     df = spark.createDataFrame([("a", 1.0, 5.0)], "filename string, timestamp_ms double, v double")
     out = single_frame(df, ts_ms_col="timestamp_ms", key_cols=["filename"]).collect()
     assert len(out) == 1 and len(out[0].frames) == 1
+
+
+def test_crop_video_tumbling_fallback(spark):
+    """period omitted → tumbling (reference preprocess.py:330): every frame
+    in exactly one window."""
+    rows = [("v", float(t * 500), float(t)) for t in range(8)]  # 0..3500ms
+    df = spark.createDataFrame(rows, "filename string, timestamp_ms double, v double")
+    out = crop_video(
+        df,
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+        size_ms=2000,
+        slide_ms=None,  # tumbling fallback
+        partial_policy="keep_all",
+    ).collect()
+    assert sorted(r.win_start_ms for r in out) == [0, 2000]
+    total_frames = sum(len(r.frames) for r in out)
+    assert total_frames == 8  # each frame exactly once

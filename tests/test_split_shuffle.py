@@ -68,3 +68,47 @@ def test_salted_sum_matches_plain_on_skewed_data(spark):
     salted = {r.k: r.s for r in salted_sum(df, ["k"], "v", alias="s", n_salt=16).collect()}
     plain = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert salted == plain
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check of the union+carry-forward as-of against pandas'
+    reference implementation on seeded random data."""
+    import numpy as np
+    import pandas as pd
+
+    from videos_to_tfrecords_spark.operators.relational import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 60),
+            "ts": rng.randint(0, 1000, 60).astype("int64"),
+            "lid": np.arange(60, dtype="int64"),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, 30),
+                "ts": rng.randint(0, 1000, 30).astype("int64"),
+                "rv": np.arange(30, dtype="int64") * 10,
+            }
+        )
+        .groupby(["k", "ts"], as_index=False)
+        .agg(rv=("rv", "max"))  # unique (k, ts) on the right
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = {
+        r.lid: r.asof_rv
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["rv"]).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in want_df.itertuples()}
+    assert got == want

@@ -324,3 +324,22 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum("n_chars").alias("total_chars_kept"),
     )
+
+
+@query(
+    "lateral_token_positions",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       CAST(u.pos AS BIGINT) AS pos,
+       toks[u.pos + 1] AS token
+FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 1)) AS pos) u
+""",
+)
+def q_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten with position (posexplode — the UDTF-shaped
+    relational primitive under the reference's 1-row→N-rows operators)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
