@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracles mirror the truncation with ``epoch_ns(ts)//1000``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle comparisons convert NTZ dates with unix_timestamp(), which
+    # reads the session timezone — pin it on whatever session we're given
+    # (the driver builds its own; DuckDB's epoch() is UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
