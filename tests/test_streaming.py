@@ -56,3 +56,21 @@ def test_stateful_running_counts_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_dedup_events
+
+    got = {
+        r.event_type: r.n_users for r in streaming_dedup_events(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

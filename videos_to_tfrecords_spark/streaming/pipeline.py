@@ -49,6 +49,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts as a streaming query, drained to a
     memory sink. Same logical plan as the batch tumbling_window_stats."""
+    # streaming state stores partition by spark.sql.shuffle.partitions at
+    # query START and keep it for the query's life — a driver session's
+    # default 200 means 200 state stores for a tiny demo; pin a sane value
+    # for the stream and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     agg = (
         events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -65,6 +71,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
         (F.unix_micros("w.start") / 1_000_000).cast("long").alias("win_start_s"),
         "event_type",
@@ -137,3 +144,24 @@ def streaming_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (the LLM-pipeline dedup primitive under
+    unbounded input): dropDuplicates on a key within a watermark — state
+    stays bounded because expired keys age out. On the bounded test source
+    the result equals batch distinct-per-key counts."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = dedup.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
