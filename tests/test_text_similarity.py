@@ -129,3 +129,38 @@ def test_jaccard_verify_both_strategies_agree(spark):
         map(tuple, jaccard_verify_from_texts(pairs, docs, broadcast_doc_limit=0).collect())
     )
     assert bc == jn and len(bc) == 1 and bc[0][:2] == (1, 2)
+
+
+def test_pack_sequences_invariants(spark):
+    from videos_to_tfrecords_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 120) for i in range(200)], "doc_id long, n_tokens long"
+    ).repartition(4)
+    packed = pack_sequences(docs, capacity=256).collect()
+    assert len(packed) == 200  # every doc packed exactly once
+    by_bin: dict[str, list] = {}
+    for r in packed:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for bin_id, rows in by_bin.items():
+        total = sum(r.n_tokens for r in rows)
+        assert total <= 256 or len(rows) == 1  # capacity, oversize solo
+        # offsets are a proper prefix layout
+        rows.sort(key=lambda r: r.offset)
+        off = 0
+        for r in rows:
+            assert r.offset == off
+            off += r.n_tokens
+    # fill efficiency: greedy first-fit should use bins reasonably
+    avg_fill = sum(min(sum(r.n_tokens for r in v), 256) for v in by_bin.values()) / (
+        256 * len(by_bin)
+    )
+    assert avg_fill > 0.6
+
+
+def test_normalized_text(spark):
+    from videos_to_tfrecords_spark.operators.text import with_normalized_text
+
+    df = spark.createDataFrame([(1, "Hello,  WORLD!! 42  ")], "doc_id long, text string")
+    out = with_normalized_text(df).collect()[0]
+    assert out.text_norm == "hello world 42"

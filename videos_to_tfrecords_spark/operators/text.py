@@ -114,3 +114,13 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
         hashed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
     )
     return df.withColumn(out, fp)
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text", out: str = "text_norm") -> DataFrame:
+    """Training-corpus text normalization: lowercase, strip non-alnum (to
+    space), collapse whitespace runs, trim — the canonical pre-tokenization
+    cleanup, as pure codegen'd regexp expressions."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return df.withColumn(out, F.trim(c))

@@ -343,3 +343,45 @@ def q_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@query(
+    "doc_normalized_text",
+    r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS text_norm,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (M5): lowercase, strip
+    punctuation, collapse whitespace — pure codegen regexp on the scan."""
+    from videos_to_tfrecords_spark.operators.text import with_normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = with_normalized_text(docs)
+    return out.select(
+        "doc_id", "text_norm", F.length("text_norm").cast("long").alias("n_chars_norm")
+    )
+
+
+@query("sequence_packing_summary")  # rows-only: greedy scan has no SQL analog
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (M5: tokenized corpus → fixed-capacity training
+    bins): greedy first-fit per partition, zero shuffle. Deterministic via
+    repartitionByRange; bin invariants (capacity, prefix offsets, fill
+    rate) are pytest-asserted."""
+    from videos_to_tfrecords_spark.operators.packing import pack_sequences
+    from videos_to_tfrecords_spark.operators.text import with_token_stats
+
+    docs = with_token_stats(load_table(spark, sf_dir, "documents"))
+    sized = docs.select("doc_id", "n_tokens").repartitionByRange(4, "doc_id")
+    packed = pack_sequences(sized, capacity=256)
+    return packed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
