@@ -389,3 +389,49 @@ def q_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000.0) * 90.0 / 30.0).cast("long").alias("video_length_ms"),
         F.reverse(F.split("event_type", ""))[0].alias("last_char"),
     )
+
+
+@query(
+    "url_parsing",
+    f"""
+WITH files AS ({_FILES_SQL})
+SELECT doc_id,
+       split_part(filename, '://', 1) AS scheme,
+       split_part(split_part(filename, '://', 2), '/', 1) AS bucket,
+       string_split(filename, '/')[-1] AS basename
+FROM files
+""",
+)
+def q_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (the reference's urlparse at preprocess.py:163):
+    scheme / bucket / object basename from storage URLs — split-based so
+    the same semantics run on both engines."""
+    files = _files_df(spark, sf_dir)
+    return files.select(
+        "doc_id",
+        F.split_part(F.col("filename"), F.lit("://"), F.lit(1)).alias("scheme"),
+        F.split_part(
+            F.split_part(F.col("filename"), F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1)
+        ).alias("bucket"),
+        F.element_at(F.split("filename", "/"), -1).alias("basename"),
+    )
+
+
+@query(
+    "timestamp_formatting",
+    """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+       strftime(o_orderdate, '%Y%m%d-%H%M%S') AS job_ts
+FROM orders WHERE o_orderkey % 50 = 0
+""",
+)
+def q_timestamp_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting (the reference's strftime job-name stamps,
+    run_preprocess.py:32): date_format patterns matching strftime output."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
+        F.date_format("o_orderdate", "yyyyMMdd-HHmmss").alias("job_ts"),
+    )
