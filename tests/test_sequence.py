@@ -137,3 +137,25 @@ def test_crop_video_tumbling_fallback(spark):
     assert sorted(r.win_start_ms for r in out) == [0, 2000]
     total_frames = sum(len(r.frames) for r in out)
     assert total_frames == 8  # each frame exactly once
+
+
+def test_crop_video_composite_keys(spark):
+    """Multi-column grouping key (the reference's (window, filename) is one
+    key; the operator generalizes to composite keys)."""
+    rows = [
+        ("a", "x", 0.0, 1.0),
+        ("a", "x", 500.0, 2.0),
+        ("a", "y", 0.0, 3.0),
+        ("b", "x", 0.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "f string, cam string, timestamp_ms double, v double")
+    out = crop_video(
+        df,
+        ts_ms_col="timestamp_ms",
+        key_cols=["f", "cam"],
+        size_ms=2000,
+        slide_ms=2000,
+        partial_policy="keep_all",
+    ).collect()
+    groups = {(r.f, r.cam): [fr.v for fr in r.frames] for r in out}
+    assert groups == {("a", "x"): [1.0, 2.0], ("a", "y"): [3.0], ("b", "x"): [4.0]}

@@ -112,3 +112,16 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     )
     want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in want_df.itertuples()}
     assert got == want
+
+
+def test_asof_join_multiple_value_columns(spark):
+    from videos_to_tfrecords_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 100, 7)], "k long, ts long, lv long")
+    right = spark.createDataFrame(
+        [(1, 50, 10, "a"), (1, 90, 20, "b"), (1, 150, 30, "c")],
+        "k long, ts long, rv long, tag string",
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["rv", "tag"]).collect()[0]
+    assert (out.asof_rv, out.asof_tag, out.asof_ts) == (20, "b", 90)
+    assert out.lv == 7
