@@ -1,33 +1,55 @@
 """Similarity search over embedding columns (SURVEY §7.1 M5).
 
-Two paths, as a production ANN stack would tier them:
-- brute-force top-k: query-set × corpus join, exact dot, ranked per query.
-  The correctness baseline; at 100 TB it only works for small query sets
-  with the query side broadcast (the corpus never re-partitions).
-- random-hyperplane (sign) LSH: Rademacher hyperplanes derived from the
-  portable hash — sign bits bucket the corpus; candidates are same-bucket
-  pairs, verified exactly. Deterministic cross-engine (no RNG state), so
-  even the approximate path is oracle-checkable.
+Tiered like a production ANN stack:
+
+- brute-force top-k: query-set × corpus, exact dot, ranked per query.
+  Correctness baseline; at 100 TB only for broadcast-sized query sets
+  (the corpus never re-partitions).
+- sign-LSH top-k (`lsh_topk`): deterministic Rademacher hyperplanes bucket
+  the corpus; per-bucket ranking runs as a *blocked* (query-chunk ×
+  cand-chunk) grid so no task ever materializes more than ~2·chunk_cap
+  rows, however large a bucket gets. Plane count can be derived from the
+  corpus size so expected bucket population stays bounded.
+- multi-probe LSH (`lsh_topk_multiprobe`): queries additionally probe all
+  buckets within Hamming distance 1 — recall recovers most of what
+  single-probe loses at the cost of (n_planes+1)× candidate lookups.
+- banded threshold pairs (`cosine_threshold_pairs_banded`): the
+  embedding near-dup primitive at scale — sign-LSH bands generate
+  candidates via an equi-join (shuffle ∝ docs·bands + candidate pairs, NO
+  corpus-proportional broadcast), then the exact integer dot verifies.
+  Mirrors the MinHash-band → exact-Jaccard design in operators/dedup.py.
+- IVF (`ivf_topk`): FIXED-k centroids from a deterministic kmeans-lite
+  (h15-seeded init + integer Lloyd updates), nearest-centroid assignment,
+  exact ranking within the query's nprobe nearest probe lists. Centroid
+  count is a constant, so the assignment broadcast is O(k·dim) regardless
+  of corpus size (round-1 weakness: centroids ∝ corpus — fixed).
 
 Numeric contract: similarity = Σ round(aᵢ·1e6)·round(bᵢ·1e6) in int64 —
 exact, engine-independent (rounding is half-away-from-zero in Spark,
-DuckDB, and the numpy kernels here). The vector math runs in Arrow-batched
-numpy (int64 matmul), which measured ~10-50× faster than interpreted
-Catalyst higher-order lambdas for 64-d vectors; the declarative twin stays
-in functions/vector.py for expression contexts.
+DuckDB, and the numpy kernels here). Centroid updates use Python's floor
+division (`//`) on exact int64 sums; the SQL oracle mirrors it with
+floor(sum/count). The vector math runs in Arrow-batched numpy (int64
+matmul), measured ~10-50× faster than interpreted Catalyst higher-order
+lambdas for 64-d vectors; the declarative twin stays in functions/vector.py.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from videos_to_tfrecords_spark.functions.hashing import h15
+
 N_PLANES = 8
 _SCALE = 1_000_000
+# target expected bucket population when deriving the plane count from the
+# corpus size: planes = max(N_PLANES, ceil(log2(n / _TARGET_BUCKET_ROWS)))
+_TARGET_BUCKET_ROWS = 128
 
 
 def _to_int_matrix(series: pd.Series) -> np.ndarray:
@@ -80,10 +102,11 @@ def cosine_threshold_pairs(
     threshold_scaled: int = 450_000_000_000,  # ≈ cosine 0.45 at 1e6 scaling
     id_filter_mod: int | None = None,
 ) -> DataFrame:
-    """All (a < b) pairs above a similarity threshold — the embedding
-    near-dup primitive. Optional id-mod sampling bounds the left side so the
-    sampled side broadcasts; the threshold predicate runs inside the
-    vectorized scorer's task, so only matches survive to the output."""
+    """All (a < b) pairs above a similarity threshold, EXACT (no candidate
+    pruning). The left side is broadcast, so this variant is only for
+    broadcast-sized left sides (a query set, a sampled probe) — at corpus ×
+    corpus scale use :func:`cosine_threshold_pairs_banded`, which generates
+    candidates by LSH banding instead of broadcasting."""
     base = df.select(F.col(id_col), F.col(vec_col))
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     if id_filter_mod:
@@ -99,6 +122,122 @@ def cosine_threshold_pairs(
     )
 
 
+def _role_tagged_grid(
+    df: DataFrame, keys: list[str], chunk_cap: int
+) -> DataFrame:
+    """Blocked self-join scaffolding shared by lsh_topk and the banded
+    verifier. ``df`` carries ``keys + (query_id, v)``; each key-group is
+    hash-split into ceil(|group|/chunk_cap) chunks and every row is
+    emitted once per grid cell it participates in, tagged with its role:
+    as a query row for its own chunk row (qc=my, all cc), as a candidate
+    for its own chunk column (all qc, cc=my). A downstream
+    groupBy(keys, qc, cc) then sees ≤ ~2·chunk_cap rows per task however
+    large the key-group is (hash-balanced: a balls-in-bins expectation,
+    not a hard ceiling). Results are independent of the chunking, so
+    oracles never see this — it is purely physical.
+
+    The counts join is a plain equi-join (Spark/AQE broadcasts it when
+    small; at 2^planes buckets it stays a co-partitioned shuffle join —
+    never a corpus-proportional broadcast)."""
+    counts = df.groupBy(*keys).agg(
+        F.ceil(F.count("*") / F.lit(chunk_cap)).cast("int").alias("n_chunks")
+    )
+    chunked = df.join(counts, keys).withColumn(
+        "my_chunk",
+        F.pmod(
+            h15(F.col("query_id").cast("string"), salt="chunk"), F.col("n_chunks")
+        ).cast("int"),
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+    q_side = chunked.select(
+        *keys,
+        F.col("my_chunk").alias("qc"),
+        grid.alias("cc"),
+        F.lit(True).alias("is_q"),
+        "query_id",
+        "v",
+    )
+    c_side = chunked.select(
+        *keys,
+        grid.alias("qc"),
+        F.col("my_chunk").alias("cc"),
+        F.lit(False).alias("is_q"),
+        "query_id",
+        "v",
+    )
+    return q_side.unionByName(c_side)
+
+
+def cosine_threshold_pairs_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_scaled: int = 400_000_000_000,
+    n_planes: int = 24,
+    n_bands: int = 6,
+    chunk_cap: int = 4096,
+) -> DataFrame:
+    """Near-dup pairs above a similarity threshold at corpus scale:
+    candidates = (a < b) pairs sharing at least one sign-LSH band, verified
+    by the exact integer dot ≥ threshold. No broadcast anywhere — the band
+    explode shuffles n·n_bands rows and the verify join shuffles only the
+    candidate pairs, so the plan survives a corpus that is 1000× the
+    executors' memory. Per-plane collision prob is 1 - θ/π; with 4-bit
+    bands at cos 0.4 the banded recall is ≈ 1-(1-0.159)^6 ≈ 0.65 —
+    raise n_planes/n_bands for higher thresholds (near-dup corpora are
+    clustered, so real-world candidate volume ∝ dup pairs, not n²).
+
+    Semantics (banded-candidates ∩ threshold) are deterministic — the
+    hyperplanes are hash-derived, not random — so the approximate result
+    itself is oracle-checkable, mirroring doc_minhash_lsh_pairs.
+    """
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    sig = hyperplane_bucket(df, id_col, vec_col, n_planes, out="sig").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"), "sig"
+    )
+    bands = sig.select(
+        "query_id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * bits).bitwiseAND(mask)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    grid = _role_tagged_grid(bands, ["band", "bkey"], chunk_cap)
+
+    def local_matches(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "dot_scaled": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "dot_scaled": "int64"}
+        )
+        qmask = pdf["is_q"].to_numpy()
+        qs, cs = pdf[qmask], pdf[~qmask]
+        if not len(qs) or not len(cs):
+            return empty
+        qi, ci = _to_int_matrix(qs["v"]), _to_int_matrix(cs["v"])
+        qids = qs["query_id"].to_numpy()
+        cids = cs["query_id"].to_numpy()
+        dots = qi @ ci.T  # ≤ chunk_cap² int64 cells, vectorized
+        # id_a < id_b inside the kernel ⇒ each unordered pair survives in
+        # exactly one grid cell (the transposed cell fails the inequality),
+        # so no within-band dedupe is needed
+        r, c = np.where((dots >= threshold_scaled) & (qids[:, None] < cids[None, :]))
+        return pd.DataFrame(
+            {"id_a": qids[r], "id_b": cids[c], "dot_scaled": dots[r, c]}
+        ).astype({"id_a": "int64", "id_b": "int64", "dot_scaled": "int64"})
+
+    matches = grid.groupBy("band", "bkey", "qc", "cc").applyInPandas(
+        local_matches, "id_a long, id_b long, dot_scaled long"
+    )
+    # a pair sharing m bands matches in m band groups: final dedupe is on
+    # MATCHES only (tiny), not on the candidate set
+    return matches.distinct()
+
+
 def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic Rademacher hyperplanes: sign for (plane p, dim i) is
     the parity of the portable md5-prefix hash of "p,i" — identical to the
@@ -111,6 +250,15 @@ def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     return m
 
 
+def auto_planes(n_rows: int, target_bucket_rows: int = _TARGET_BUCKET_ROWS) -> int:
+    """Plane count that keeps the EXPECTED bucket population ≤ target:
+    2^planes buckets for n rows. Floors at N_PLANES so small test corpora
+    keep the 8-plane geometry the oracles encode."""
+    if n_rows <= target_bucket_rows:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
 def hyperplane_bucket(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -121,7 +269,7 @@ def hyperplane_bucket(
     """Sign-LSH bucket id: bucket = Σ_p [v·plane_p > 0] << p, computed as a
     single int64 matmul per Arrow batch. Bucketing a 100 TB corpus is one
     embarrassingly-parallel narrow pass; the bucket column then drives a
-    co-located self-join."""
+    co-located equi-join."""
 
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
@@ -135,46 +283,134 @@ def hyperplane_bucket(
     return df.withColumn(out, bucket_of(F.col(vec_col)))
 
 
+def _partial_topk_fn(k: int):
+    """Blocked partial top-k: rows arrive role-tagged (is_q); rank the
+    query rows of this (bucket, qc, cc) cell against the candidate rows,
+    keep k per query. Exact: the final global rank over per-cell partials
+    equals the rank over the whole bucket because every candidate chunk
+    contributes its k best and (-dot, cand_id) is a total order."""
+
+    def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "cand_id": [], "dot_scaled": []}
+        ).astype({"query_id": "int64", "cand_id": "int64", "dot_scaled": "int64"})
+        qmask = pdf["is_q"].to_numpy()
+        qs, cs = pdf[qmask], pdf[~qmask]
+        if not len(qs) or not len(cs):
+            return empty
+        qi, ci = _to_int_matrix(qs["v"]), _to_int_matrix(cs["v"])
+        qids = qs["query_id"].to_numpy()
+        cids = cs["query_id"].to_numpy()
+        dots = qi @ ci.T  # exact int64, ≤ chunk_cap² cells
+        # candidate order by (-dot, cand_id) per query via lexsort
+        out_q, out_c, out_d = [], [], []
+        for r in range(len(qids)):
+            order = np.lexsort((cids, -dots[r]))
+            taken = 0
+            for c in order:
+                if cids[c] == qids[r]:
+                    continue
+                out_q.append(qids[r])
+                out_c.append(cids[c])
+                out_d.append(dots[r, c])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame(
+            {"query_id": out_q, "cand_id": out_c, "dot_scaled": out_d}
+        ).astype({"query_id": "int64", "cand_id": "int64", "dot_scaled": "int64"})
+
+    return partial_topk
+
+
 def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int | str = N_PLANES,
+    chunk_cap: int = 4096,
+) -> DataFrame:
+    """ANN top-k within LSH buckets, with BOUNDED task size. Round 1 ran one
+    ``applyInPandas`` task per bucket — an O(|bucket|²) single-task bomb
+    when a bucket grows with the corpus. Now:
+
+    - ``n_planes="auto"`` derives the plane count from the corpus size so
+      the expected bucket population stays ≤ _TARGET_BUCKET_ROWS (one
+      count() job; pass the known corpus size in production);
+    - every bucket is hash-split into ceil(|bucket|/chunk_cap) chunks and
+      the pairwise ranking runs as a blocked (query-chunk × cand-chunk)
+      grid — each task sees ≤ ~2·chunk_cap rows (chunks are hash-balanced:
+      the cap is a balls-in-bins expectation, not a hard ceiling), then a
+      per-query merge ranks the partials. Results are IDENTICAL to the
+      whole-bucket computation (same total order), so the oracle is
+      unchanged; only the physical shape is blocked.
+
+    Shuffle cost: bucket counts (tiny, broadcast back) + 2·C·n tagged rows
+    where C = chunks per bucket (C=1 ⇒ the round-1 shape, ×2 for the role
+    tag). Recall vs brute force is property-tested; production tightens it
+    with :func:`lsh_topk_multiprobe`.
+    """
+    if n_planes == "auto":
+        n_planes = auto_planes(df.count())
+    bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes).select(
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    partials = (
+        _role_tagged_grid(bucketed, ["bucket"], chunk_cap)
+        .groupBy("bucket", "qc", "cc")
+        .applyInPandas(
+            _partial_topk_fn(k), "query_id long, cand_id long, dot_scaled long"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
+    return (
+        partials.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "dot_scaled", "rnk")
+    )
+
+
+def lsh_topk_multiprobe(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """ANN top-k within LSH buckets. Each vector lives in exactly one
-    bucket, so a per-bucket ``applyInPandas`` computes the full local
-    pairwise int64 matmul and the final per-query top-k in one grouped
-    task — no cross-bucket shuffle at all. Recall vs brute force is
-    property-tested (tests/test_text_similarity.py); production tightens it
-    with multi-probe or multiple tables."""
-    bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes).select(
-        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    """Multi-probe sign-LSH top-k: each query probes its own bucket plus
+    every bucket at Hamming distance 1 (flip each of the n_planes sign
+    bits) — the standard recall recovery for vectors that land near a
+    hyperplane. Implemented as an (n_planes+1)-way query-side explode +
+    equi-join on the bucket key, so it stays an equi-join at 100 TB (the
+    candidate side never replicates). Recall improvement over single-probe
+    is pytest-asserted against brute force."""
+    bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes)
+    cand = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
     )
-
-    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["query_id"].to_numpy()
-        vi = _to_int_matrix(pdf["v"])
-        dots = vi @ vi.T  # exact int64
-        out = {"query_id": [], "cand_id": [], "dot_scaled": [], "rnk": []}
-        for qi in range(len(ids)):
-            # rank others by (-dot, cand_id): exact tie-break on id
-            cand_mask = np.arange(len(ids)) != qi
-            cands = np.where(cand_mask)[0]
-            if not len(cands):
-                continue
-            keys = sorted(
-                ((-(dots[qi, c]), ids[c], c) for c in cands)
-            )[:k]
-            for rnk, (negdot, cid, c) in enumerate(keys, start=1):
-                out["query_id"].append(ids[qi])
-                out["cand_id"].append(cid)
-                out["dot_scaled"].append(int(dots[qi, c]))
-                out["rnk"].append(rnk)
-        return pd.DataFrame(out, columns=["query_id", "cand_id", "dot_scaled", "rnk"])
-
-    return bucketed.groupBy("bucket").applyInPandas(
-        topk_in_bucket, "query_id long, cand_id long, dot_scaled long, rnk long"
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(n_planes)
+        ],
+    )
+    q = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        q.join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "dot_scaled", "rnk")
     )
 
 
@@ -184,11 +420,10 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    by exact scaled-integer squared distance (deterministic, tie-broken on
-    centroid id). The centroid set is broadcast — the corpus never
-    shuffles; at 100 TB this is one narrow pass, and the assignment column
-    then partitions the corpus into probe lists."""
+    """IVF coarse quantization against an explicit (fixed-size) centroid
+    DataFrame: assign every vector to its nearest centroid by exact
+    scaled-integer squared distance (deterministic, tie-broken on centroid
+    id). The centroid set is broadcast — the corpus never shuffles."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
@@ -215,29 +450,141 @@ def _pair_dist2():
     return pair_dist2
 
 
+def _dist2_matrix(vi: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(rows, k) int64 squared distances to each centroid via the matmul
+    identity ‖v-c‖² = ‖v‖² + ‖c‖² - 2v·c — O(rows·k) memory (no
+    rows×k×dim tensor), exact in int64 at the 1e6 scale (|v·c| ≤
+    dim·1e12 ≪ 2^63). argmin ties break to the LOWEST cid because
+    np.argmin returns the first minimum and columns are in cid order."""
+    v2 = np.einsum("rd,rd->r", vi, vi)[:, None]
+    c2 = np.einsum("kd,kd->k", cents, cents)[None, :]
+    return v2 + c2 - 2 * (vi @ cents.T)
+
+
+def kmeans_lite(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic fixed-k centroids in exact scaled-int space, for IVF
+    coarse quantization. Everything is reproducible cross-engine:
+
+    - init: the k vectors with the smallest (h15(id), id) — a uniform
+      deterministic sample (one k-row limit job, not a corpus collect);
+    - each Lloyd iteration: nearest-centroid assignment (exact int64
+      dist², ties → lowest cid) then centroid[d] = floor(Σ x_d / count)
+      via Python's exact integer floor division. Per-Arrow-batch partial
+      sums are computed map-side in numpy (one-hot.T @ X), so the shuffle
+      per iteration is k rows per batch, and the driver only ever touches
+      k×(dim+1) integers — metadata-scale, like AQE stats;
+    - a centroid that loses every member keeps its previous position.
+
+    Returns a (k, dim) int64 centroid matrix (cid = row index). The cost
+    is iters+1 scans of the corpus with nothing but k·dim ints moving —
+    the scale-safe replacement for round 1's corpus-proportional
+    id-mod centroid sample."""
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_hk", h15(F.col(id_col).cast("string")))
+        .orderBy("_hk", F.col(id_col))
+        .limit(k)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    cents = _to_int_matrix(pd.Series([r[0] for r in seeds]))
+    dim = cents.shape[1]
+    for _ in range(iters):
+        frozen = cents.copy()
+
+        def partial_sums(batches, _c=frozen, _k=len(frozen)):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vi = _to_int_matrix(pdf[vec_col])
+                cid = np.argmin(_dist2_matrix(vi, _c), axis=1)
+                onehot = np.zeros((len(vi), _k), dtype=np.int64)
+                onehot[np.arange(len(vi)), cid] = 1
+                sums = onehot.T @ vi  # (k, dim) exact int64
+                yield pd.DataFrame(
+                    {
+                        "cid": np.arange(_k, dtype="int32"),
+                        "cnt": onehot.sum(axis=0),
+                        "sums": list(sums),
+                    }
+                )
+
+        agg = (
+            df.select(F.col(vec_col))
+            .mapInPandas(partial_sums, "cid int, cnt long, sums array<long>")
+            .groupBy("cid")
+            .agg(
+                F.sum("cnt").alias("n"),
+                *[
+                    F.sum(F.element_at("sums", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # ≤ k rows of ints — planning metadata, not data
+        )
+        nxt = cents.copy()
+        for row in agg:
+            if row["n"] and row["n"] > 0:
+                nxt[row["cid"]] = [
+                    int(row[f"s{i}"]) // int(row["n"]) for i in range(dim)
+                ]
+        cents = nxt
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_mod: int = 40,
+    k_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
     query_mod: int = 100,
     k: int = 3,
 ) -> DataFrame:
-    """IVF ANN (M5 'IVF variant as the scale path'): deterministic coarse
-    centroids (id-mod sample), nearest-centroid assignment, then top-k by
-    exact dot WITHIN the query's probe list only. Single-probe (nprobe=1);
-    production raises nprobe for recall. Fully integer-exact, so the whole
-    approximate pipeline is oracle-checkable."""
-    centroids = df.filter(F.col(id_col) % centroid_mod == 0)
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
-    q = assigned.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    """IVF ANN with fixed-k kmeans-lite centroids and nprobe>1 (M5 scale
+    path). The corpus partitions into k_centroids inverted lists; each
+    query scans only its nprobe nearest lists, ranked by exact integer
+    dot. k_centroids is a CONSTANT (raise it for bigger corpora — e.g.
+    4096 at 1e9 vectors so lists average n/k; parallelism across lists is
+    k, so pick k ≥ executor count), which keeps every broadcast O(k·dim)
+    — centroid count no longer grows with the corpus. Entirely
+    integer-exact and deterministically initialized, so the whole
+    approximate pipeline hash-matches its SQL oracle."""
+    cents = kmeans_lite(df, id_col, vec_col, k=k_centroids, iters=iters)
+
+    @F.pandas_udf("int")
+    def assign_cid(vs: pd.Series) -> pd.Series:
+        vi = _to_int_matrix(vs)
+        return pd.Series(np.argmin(_dist2_matrix(vi, cents), axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cids(vs: pd.Series) -> pd.Series:
+        vi = _to_int_matrix(vs)
+        d = _dist2_matrix(vi, cents)
+        # argsort is stable ⇒ ties break to the lowest cid, matching the
+        # oracle's ORDER BY dist2, cid
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        assign_cid(F.col(vec_col)).alias("cid"),
     )
-    cand = assigned.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    q = df.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cids(F.col(vec_col))).alias("cid"),
     )
     scored = (
-        q.join(cand, "centroid_id")
+        q.join(cand, "cid")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
     )

@@ -1,9 +1,10 @@
 """Similarity-search queries over `embeddings` (SURVEY §7.1 M5).
 
 All ranking/thresholding uses the exact scaled-integer dot product
-(functions/vector.py) so even the approximate LSH path is bit-reproducible
-in DuckDB — the Rademacher hyperplanes are derived from the portable hash,
-not an RNG.
+(functions/vector.py) so even the approximate paths (LSH buckets, banded
+candidates, kmeans-lite IVF) are bit-reproducible in DuckDB — hyperplanes
+and centroid seeds are derived from the portable hash, not an RNG, and
+centroid updates use engine-identical integer floor division.
 """
 
 from __future__ import annotations
@@ -16,13 +17,30 @@ from videos_to_tfrecords_spark.functions.vector import scaled_int_dot_sql
 from videos_to_tfrecords_spark.operators.similarity import (
     N_PLANES,
     brute_force_topk,
-    cosine_threshold_pairs,
+    cosine_threshold_pairs_banded,
     lsh_topk,
+    lsh_topk_multiprobe,
 )
 from videos_to_tfrecords_spark.plans.registry import query
 from videos_to_tfrecords_spark.sources.tables import load_table
 
 _DOT = scaled_int_dot_sql("a.v", "b.v")
+# fragments over already-scaled BIGINT lists
+_IV = "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT))"
+
+
+def _int_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2])) AS BIGINT)"
+    )
+
+
+def _int_dist2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
 
 
 @query(
@@ -45,39 +63,26 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=5)
 
 
-@query(
-    "embedding_threshold_pairs",
-    f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DOT} AS dot_scaled
-      FROM e a, e b WHERE a.vec_id % 5 = 0 AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, dot_scaled FROM s WHERE dot_scaled >= 400000000000
-""",
-)
-def q_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above a similarity threshold (M5): the
-    embedding-cosine dedup primitive (≈ cos 0.40 on unit vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_threshold_pairs(
-        emb, threshold_scaled=400_000_000_000, id_filter_mod=5
-    )
-
-
-def _lsh_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
+def _bucket_sql(n_planes: int, vec: str = "v") -> str:
+    """Sign-LSH bucket expression over a DOUBLE[] column — the SQL twin of
+    operators.similarity.hyperplane_bucket (same h15-parity planes)."""
     # duckdb list_transform index i is 1-based; Spark transform's is 0-based
     terms = []
     for p in range(n_planes):
         plane_hash = h15_sql(f"concat('{p},', CAST(i - 1 AS VARCHAR))")
         sign = f"CASE WHEN {plane_hash} % 2 = 1 THEN 1 ELSE -1 END"
         signed = (
-            f"list_sum(list_transform(v, (x, i) -> "
+            f"list_sum(list_transform({vec}, (x, i) -> "
             f"CAST(round(x * 1000000) AS BIGINT) * ({sign})))"
         )
         terms.append(f"CASE WHEN {signed} > 0 THEN {1 << p} ELSE 0 END")
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bkt AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+bkt AS (SELECT vec_id, v, CAST({_bucket_sql(n_planes)} AS BIGINT) AS bucket FROM e),
 s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -90,10 +95,76 @@ SELECT query_id, cand_id, dot_scaled, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rn
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-k (M5 scale path): deterministic Rademacher
     hyperplanes bucket the corpus; same-bucket candidates ranked by exact
-    dot. Bit-reproducible in SQL — even the approximation is oracle-checked.
-    Recall vs brute force is additionally pytest-asserted."""
+    dot. The physical plan is the blocked chunk grid (bounded task size;
+    see operators/similarity.py lsh_topk) and the plane count derives from
+    the corpus size — both leave the logical result unchanged, so the SQL
+    oracle is the plain same-bucket ranking. Recall vs brute force is
+    additionally pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, k=3)
+    # auto planes floor at 8 ⇒ identical geometry at test SFs; chunk grid
+    # only reshapes physically, so the oracle is unchanged
+    return lsh_topk(emb, k=3, n_planes="auto")
+
+
+def _multiprobe_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, CAST({_bucket_sql(n_planes)} AS BIGINT) AS bucket FROM e),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
+      FROM bkt a JOIN bkt b
+        ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id != b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_scaled DESC, cand_id) AS rnk FROM s)
+SELECT query_id, cand_id, dot_scaled, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
+@query("ann_topk_lsh_multiprobe", _multiprobe_oracle())
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query also probes the n_planes
+    buckets at Hamming distance 1 (probe-side explode + equi-join — the
+    candidate side never replicates). The oracle states the same semantics
+    declaratively as a Hamming-≤1 bucket join. Recall gain over
+    single-probe is pytest-asserted vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_multiprobe(emb, k=3)
+
+
+_BANDED_PLANES, _BANDED_BANDS, _BANDED_THR = 24, 6, 400_000_000_000
+_BANDED_BITS = _BANDED_PLANES // _BANDED_BANDS
+
+
+@query(
+    "embedding_threshold_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({_bucket_sql(_BANDED_PLANES)} AS BIGINT) AS sig FROM e),
+bands AS (SELECT vec_id, unnest(range(0, {_BANDED_BANDS})) AS band,
+                 unnest(list_transform(range(0, {_BANDED_BANDS}),
+                        b -> (sig >> CAST(b * {_BANDED_BITS} AS INTEGER)) & {(1 << _BANDED_BITS) - 1})) AS bkey
+          FROM sig),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b, {_int_dot("list_transform(ea.v, x -> CAST(round(x * 1000000) AS BIGINT))", "list_transform(eb.v, x -> CAST(round(x * 1000000) AS BIGINT))")} AS dot_scaled
+      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+SELECT id_a, id_b, dot_scaled FROM s WHERE dot_scaled >= {_BANDED_THR}
+""",
+)
+def q_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a similarity threshold (M5), at
+    corpus scale: sign-LSH bands generate candidates via an equi-join
+    (shuffle ∝ docs·bands + candidate pairs — round 1 broadcast corpus/5,
+    now nothing corpus-proportional is broadcast), then the exact integer
+    dot verifies ≥ threshold. Semantics are banded-candidates ∩ threshold,
+    deterministic and oracle-checked, mirroring doc_minhash_lsh_pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_threshold_pairs_banded(
+        emb,
+        threshold_scaled=_BANDED_THR,
+        n_planes=_BANDED_PLANES,
+        n_bands=_BANDED_BANDS,
+    )
 
 
 @query(
@@ -131,45 +202,86 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DIST2 = (
-    "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> "
-    "(CAST(round(p[1] * 1000000) AS BIGINT) - CAST(round(p[2] * 1000000) AS BIGINT)) * "
-    "(CAST(round(p[1] * 1000000) AS BIGINT) - CAST(round(p[2] * 1000000) AS BIGINT)))) AS BIGINT)"
-)
+_IVF_K, _IVF_ITERS, _IVF_NPROBE, _IVF_QMOD, _IVF_KNN = 8, 2, 2, 100, 3
 
 
-@query(
-    "ann_topk_ivf",
-    f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id % 40 = 0),
-d AS (SELECT a.vec_id, b.centroid_id, {_DIST2.replace('b.v', 'b.v')} AS dist2
-      FROM e a, (SELECT centroid_id, v FROM cent) b(centroid_id, v)),
-asg AS (SELECT vec_id, centroid_id FROM
-        (SELECT vec_id, centroid_id,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-         FROM d) WHERE rn = 1),
-q AS (SELECT asg.vec_id AS query_id, e.v AS qv, asg.centroid_id
-      FROM asg JOIN e ON e.vec_id = asg.vec_id WHERE asg.vec_id % 100 = 0),
-c AS (SELECT asg.vec_id AS cand_id, e.v AS cv, asg.centroid_id
-      FROM asg JOIN e ON e.vec_id = asg.vec_id),
-s AS (SELECT query_id, cand_id,
-             CAST(list_sum(list_transform(list_zip(qv, cv), p ->
-                  CAST(round(p[1] * 1000000) AS BIGINT) * CAST(round(p[2] * 1000000) AS BIGINT)))
-                  AS BIGINT) AS dot_scaled
-      FROM q JOIN c USING (centroid_id) WHERE query_id != cand_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY dot_scaled DESC, cand_id) AS rnk FROM s)
-SELECT query_id, cand_id, dot_scaled, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
-""",
-)
+def _ivf_kmeans_oracle(
+    k: int = _IVF_K,
+    iters: int = _IVF_ITERS,
+    nprobe: int = _IVF_NPROBE,
+    query_mod: int = _IVF_QMOD,
+    knn: int = _IVF_KNN,
+) -> str:
+    """SQL twin of kmeans_lite + ivf_topk: h15-seeded init, then `iters`
+    unrolled Lloyd iterations — assignment by exact int dist² (ties →
+    lowest cid), centroid update = floor(Σx/count) per dim (empty
+    clusters keep their previous position via the LEFT JOIN + COALESCE),
+    then nprobe-nearest probe lists and exact-dot top-k."""
+    hk = h15_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)",
+        f"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
+  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM e) WHERE rn <= {k})""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"""s{it} AS (SELECT cid, i, x FROM
+  (SELECT cid, unnest(iv) AS x, unnest(range(1, len(iv) + 1)) AS i
+   FROM (SELECT a.cid, e.iv FROM
+         (SELECT vec_id, cid FROM
+          (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
+           FROM e, {prev} c) WHERE rn = 1) a JOIN e ON e.vec_id = a.vec_id)))""",
+            f"""u{it} AS (SELECT cid,
+  list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS civ FROM
+  (SELECT cid, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS cnt
+   FROM s{it} GROUP BY cid, i) GROUP BY cid)""",
+            f"""c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
+  FROM {prev} p LEFT JOIN u{it} u USING (cid))""",
+        ]
+    final = f"c{iters}"
+    parts += [
+        f"""af AS (SELECT vec_id, iv, cid FROM
+  (SELECT e.vec_id, e.iv, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
+   FROM e, {final} c) WHERE rn = 1)""",
+        f"""q AS (SELECT vec_id AS query_id, iv AS qiv, cid FROM
+  (SELECT e.vec_id, e.iv, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
+   FROM e, {final} c WHERE e.vec_id % {query_mod} = 0) WHERE rn <= {nprobe})""",
+        f"""s AS (SELECT query_id, cand_id, {_int_dot("qiv", "civ2")} AS dot_scaled
+  FROM q JOIN (SELECT vec_id AS cand_id, iv AS civ2, cid FROM af) c USING (cid)
+  WHERE query_id != cand_id)""",
+        """r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_scaled DESC, cand_id) AS rnk FROM s)""",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT query_id, cand_id, dot_scaled, CAST(rnk AS BIGINT) AS rnk "
+        f"FROM r WHERE rnk <= {knn}"
+    )
+
+
+@query("ann_topk_ivf", _ivf_kmeans_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (M5): deterministic id-mod centroids → nearest-centroid
-    assignment (exact integer distances) → top-k within the query's probe
-    list. Single-probe; the inverted-file structure is what scales — the
-    corpus partitions by centroid and only one probe list is scanned per
-    query. Entirely integer-exact ⇒ the approximate path hash-matches SQL."""
+    """IVF ANN (M5): FIXED-k deterministic kmeans-lite centroids
+    (h15-seeded, integer Lloyd updates) → nearest-centroid assignment →
+    top-k by exact dot within the query's nprobe=2 probe lists. Centroid
+    count is constant, so the assignment broadcast no longer grows with
+    the corpus (the round-1 weakness). Entirely integer-exact ⇒ the whole
+    approximate path, kmeans included, hash-matches the unrolled SQL."""
     from videos_to_tfrecords_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, centroid_mod=40, query_mod=100, k=3)
+    return ivf_topk(
+        emb,
+        k_centroids=_IVF_K,
+        iters=_IVF_ITERS,
+        nprobe=_IVF_NPROBE,
+        query_mod=_IVF_QMOD,
+        k=_IVF_KNN,
+    )
