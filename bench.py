@@ -65,17 +65,23 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "sum_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # the driver snapshot keeps only the tail of stdout, which truncated
+    # round 1's totals — persist the complete per-query JSON alongside it
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "")
+    suffix = f"_r{round_no}" if round_no else ""
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL{suffix}.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

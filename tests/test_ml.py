@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.ml.inference import batch_inference, linear_stub_model
@@ -79,3 +80,83 @@ def test_native_predict_batch_udf_matches_iterator_path(spark):
     b = {r.id: r.logits for r in batch_inference_native(df, "vec", linear_stub_model(8, 3), input_width=8, drop_input=False).collect()}
     for i in a:
         np.testing.assert_allclose(a[i], b[i], rtol=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("videos_to_tfrecords_spark.ml.video", fromlist=["HAVE_CV2"]).HAVE_CV2,
+    reason="cv2 not installed in this container",
+)
+def test_decode_real_cv2_roundtrip(spark, tmp_path):
+    """Real cv2 path (reference preprocess.py:169-190): synthesize a tiny
+    mp4 with cv2.VideoWriter, read it back through decode_videos(use_real=
+    True) via binaryFile bytes, and check the sampling/cap/normalization
+    contract. Skipped where cv2 is absent; the synthetic decoder covers the
+    identical Spark plumbing there."""
+    import cv2
+    import numpy as np
+
+    from videos_to_tfrecords_spark.ml.video import _decode_real
+
+    path = str(tmp_path / "t.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (8, 6))
+    for i in range(20):
+        w.write(np.full((6, 8, 3), i * 10, dtype=np.uint8))
+    w.release()
+    content = open(path, "rb").read()
+
+    kept = _decode_real(content, skip_msec=250.0, cloud=False)
+    assert 1 <= len(kept) <= 3  # R4 local cap
+    img, h, wd, c, ts, fps, total = kept[0]
+    assert (h, wd, c) == (6, 8, 3) and fps == 10.0 and total == 20.0
+    assert img.dtype == np.float32 and img.min() >= 0.0 and img.max() <= 1.0
+    # timestamps honor the P8 skip predicate
+    tss = [k[4] for k in kept]
+    assert all(b - a >= 250.0 for a, b in zip(tss, tss[1:]))
+
+    # corrupt bytes: no frames, no crash (documented deviation)
+    assert _decode_real(b"not a video", 250.0, False) == []
+
+    files = spark.createDataFrame(
+        [("v1.avi", "lab", "train", bytearray(content))],
+        "filename string, label string, dataset string, content binary",
+    )
+    rows = decode_videos(files, skip_msec=250.0, cloud=False, use_real=True).collect()
+    assert 1 <= len(rows) <= 3 and rows[0].height == 6 and rows[0].width == 8
+
+
+def test_batch_inference_by_shape_stacks_mixed_shapes(spark):
+    """The reference batches per (dataset, image.shape) so np.concatenate
+    never sees ragged input (preprocess.py:246-253). Mixed-shape frames
+    through the shape-grouped op must stack cleanly and produce the same
+    per-row results as running each shape separately through the plain op."""
+    from videos_to_tfrecords_spark.ml.inference import batch_inference_by_shape
+
+    def mean_max_model():
+        def predict(batch: np.ndarray) -> np.ndarray:
+            # shape-agnostic: reduces over the (homogeneous) pixel axis
+            return np.stack([batch.mean(axis=1), batch.max(axis=1)], axis=1)
+
+        return predict
+
+    rows = []
+    for i in range(10):  # 2×2×3 frames (12 px)
+        rows.append((f"s{i}", "train", [float(i)] * 12, 2, 2, 3))
+    for i in range(10):  # 4×4×3 frames (48 px)
+        rows.append((f"b{i}", "train", [float(100 + i)] * 48, 4, 4, 3))
+    df = spark.createDataFrame(
+        rows,
+        "filename string, dataset string, image array<double>, "
+        "height int, width int, channels int",
+    ).repartition(3)  # interleave shapes across partitions/batches
+
+    out = batch_inference_by_shape(
+        df,
+        "image",
+        shape_cols=["dataset", "height", "width", "channels"],
+        model_factory=mean_max_model,
+    ).collect()
+    assert len(out) == 20 and all("image" not in r.asDict() for r in out)
+    got = {r.filename: r.logits for r in out}
+    for i in range(10):
+        assert got[f"s{i}"] == [float(i), float(i)]
+        assert got[f"b{i}"] == [float(100 + i), float(100 + i)]

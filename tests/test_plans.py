@@ -75,3 +75,48 @@ def test_flagship_uses_broadcast_for_bounds(spark, sf_dir):
 
     plan = plan_of(q_crop_video(spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # per-key bounds join, not a window sort
+
+
+def test_zipf_skew_salted_agg_and_join_split_hot_key(spark):
+    """Zipf-skewed fixture (one key ≈10% of all rows): salted agg/join stay
+    result-identical to the plain shapes, AND the split is observable —
+    the salted plan exchanges on (key, _salt) before (key), and the hot
+    key's partials actually land on multiple salts."""
+    from videos_to_tfrecords_spark.operators.relational import (
+        salted_join,
+        salted_sum,
+        salted_sum_partials,
+    )
+
+    rows = [("hot", i) for i in range(2000)] + [
+        (f"k{i % 1000}", i) for i in range(18000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(32)
+
+    plain = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r.k: r.s for r in salted_sum(df, ["k"], "v", alias="s", n_salt=8).collect()}
+    assert salted == plain
+
+    # the hot key's rows really split across salts (≥2, typically all 8)
+    parts = salted_sum_partials(df, ["k"], "v", n_salt=8).filter(F.col("k") == "hot")
+    assert parts.count() >= 2
+
+    # plan shape: one exchange partitions on (k, _salt) — the split — and
+    # a separate final exchange on plain (k)
+    import re
+
+    plan = plan_of(salted_sum(df, ["k"], "v", alias="s", n_salt=8))
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("_salt" in e for e in exchanges)
+    assert any("_salt" not in e and "k#" in e for e in exchanges)
+
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(1000)], "k string, d string"
+    )
+    plain_j = sorted(
+        map(tuple, df.join(dim, "k").select("k", "v", "d").collect())
+    )
+    salted_j = sorted(
+        map(tuple, salted_join(df, dim, ["k"], n_salt=8).select("k", "v", "d").collect())
+    )
+    assert salted_j == plain_j

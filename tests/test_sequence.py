@@ -159,3 +159,38 @@ def test_crop_video_composite_keys(spark):
     ).collect()
     groups = {(r.f, r.cam): [fr.v for fr in r.frames] for r in out}
     assert groups == {("a", "x"): [1.0, 2.0], ("a", "y"): [3.0], ("b", "x"): [4.0]}
+
+
+def test_paned_sliding_stats_equal_naive_window_agg(spark):
+    """sliding_window_stats_paned (two-level pane aggregation, no row
+    explosion) must equal the naive assign-each-row-to-r-windows shape —
+    the paned plan is purely physical."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.sequence import (
+        assign_windows,
+        sliding_window_stats_paned,
+    )
+
+    rows = [("u%d" % (i % 5), float(i * 137 % 40_000), i % 97) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, ts_ms double, v long")
+
+    paned = {
+        (r.k, r.win_start_ms): (r.n_events, r.sum_value, r.min_value, r.max_value, r.win_end_ms)
+        for r in sliding_window_stats_paned(
+            df, "ts_ms", ["k"], "v", size_ms=8000, slide_ms=2000
+        ).collect()
+    }
+    naive = {
+        (r.k, r.win_start_ms): (r.n_events, r.sum_value, r.min_value, r.max_value, r.win_end_ms)
+        for r in assign_windows(df, "ts_ms", size_ms=8000, slide_ms=2000)
+        .groupBy("k", "win_start_ms", "win_end_ms")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("sum_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .collect()
+    }
+    assert paned == naive

@@ -125,3 +125,25 @@ def test_asof_join_multiple_value_columns(spark):
     out = asof_join(left, right, ["k"], "ts", "ts", ["rv", "tag"]).collect()[0]
     assert (out.asof_rv, out.asof_tag, out.asof_ts) == (20, "b", 90)
     assert out.lv == 7
+
+
+def test_asof_join_null_right_values_carry_atomically(spark):
+    """A right row with NULL in one value column must supersede the prior
+    right row WHOLESALE (ASOF JOIN / merge_asof semantics) — round-1 review
+    finding: per-column last(ignorenulls) mixed values from different right
+    rows and treated NULL updates as no-ops."""
+    from videos_to_tfrecords_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame([("k", 10, 1), ("k", 30, 2)], "k string, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [("k", 5, 100, "a"), ("k", 20, None, "b")],
+        "k string, ts long, rv1 long, rv2 string",
+    )
+    out = {
+        r.lid: (r.asof_rv1, r.asof_rv2, r.asof_ts)
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["rv1", "rv2"]).collect()
+    }
+    assert out[1] == (100, "a", 5)
+    # ts=30 sees the ts=20 right row atomically: rv1 is NULL (not the stale
+    # 100 from ts=5), rv2 is "b"
+    assert out[2] == (None, "b", 20)

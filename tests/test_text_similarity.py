@@ -272,3 +272,26 @@ def test_banded_threshold_pairs_subset_and_twin_recall(spark):
         map(tuple, cosine_threshold_pairs_banded(df, threshold_scaled=thr, chunk_cap=7).collect())
     )
     assert blocked == banded
+
+
+def test_jaccard_verify_byte_bound_forces_join_path(spark):
+    """A few huge docs must defeat the broadcast-verify path even when the
+    DOC COUNT is tiny — the probe is bounded by Σ bytes, not rows (round-1
+    review finding: 200k × 100 KB docs ≈ 20 GB on the driver)."""
+    from videos_to_tfrecords_spark.operators.dedup import jaccard_verify_from_texts
+
+    big_a = " ".join(f"w{i}" for i in range(30_000))
+    big_b = big_a.replace("w7 ", "w7x ")
+    docs = _docs(spark, [(1, big_a), (2, big_b), (3, "a b c d e")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    # byte cap far below the ~350 KB of candidate text → join fallback
+    forced = sorted(
+        map(
+            tuple,
+            jaccard_verify_from_texts(
+                pairs, docs, broadcast_byte_limit=1_000
+            ).collect(),
+        )
+    )
+    bc = sorted(map(tuple, jaccard_verify_from_texts(pairs, docs).collect()))
+    assert forced == bc and len(bc) == 1 and bc[0][:2] == (1, 2)

@@ -173,3 +173,98 @@ def test_python_datasource_roundtrip(spark, sf_dir):
         want = sorted(bytes(r.proto) for r in protos.collect())
         got = sorted(bytes(r.record) for r in rows)
         assert got == want
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Hand-rolled length-delimited protobuf field (wire type 2). Single-
+    byte varint length — all fixture payloads are < 128 bytes."""
+    assert len(payload) < 128
+    return bytes([field << 3 | 2, len(payload)]) + payload
+
+
+def test_sequence_example_vs_hand_assembled_protobuf_wire():
+    """Independent golden: the expected bytes are assembled directly from
+    the protobuf wire spec + the tf.train message definitions (Feature
+    field numbers: bytes_list=1/float_list=2/int64_list=3; Features.map=1;
+    SequenceExample context=1/feature_lists=2; map entries key=1/value=2;
+    packed float lists), NOT via the library's encoder helpers. Matches
+    TF's SerializeToString(deterministic=True), which sorts map keys —
+    exactly the encoder's sorted-key order."""
+    import struct
+
+    from videos_to_tfrecords_spark.schema import FeatureKind
+
+    f32 = lambda *vs: struct.pack(f"<{len(vs)}f", *vs)  # noqa: E731
+
+    fps_feature = _ld(2, _ld(1, f32(30.0)))  # Feature{float_list={[30.0]}}
+    label_feature = _ld(1, _ld(1, b"dog"))  # Feature{bytes_list={["dog"]}}
+    ctx = _ld(1, _ld(1, b"frame_per_sec") + _ld(2, fps_feature)) + _ld(
+        1, _ld(1, b"label") + _ld(2, label_feature)
+    )
+    # FeatureList logits: two frames [0.5, -1.5] then [2.0]
+    fl = _ld(1, _ld(2, _ld(1, f32(0.5, -1.5)))) + _ld(1, _ld(2, _ld(1, f32(2.0))))
+    lists_bytes = _ld(1, _ld(1, b"logits") + _ld(2, fl))
+    want = _ld(1, ctx) + _ld(2, lists_bytes)
+
+    got = encode_sequence_example(
+        {"frame_per_sec": 30.0, "label": "dog"},
+        {"logits": [[0.5, -1.5], [2.0]]},
+        context_kinds={
+            "frame_per_sec": FeatureKind.FLOAT,
+            "label": FeatureKind.BYTES,
+        },
+        list_kinds={"logits": FeatureKind.FLOAT},
+    )
+    assert got == want
+    # and the decoder round-trips the independent bytes
+    ctx_rt, lists_rt = decode_sequence_example(want)
+    assert ctx_rt["label"] == [b"dog"]
+    assert ctx_rt["frame_per_sec"] == [30.0]
+    assert lists_rt["logits"] == [[0.5, -1.5], [2.0]]
+
+
+def test_declared_dtype_overrides_runtime_inference():
+    """features.py to_feature_list serializes by DECLARED dtype: an integer
+    value in a FLOAT-declared column (the reference's rounded
+    frame_per_sec) must emit FloatList, not Int64List."""
+    import struct
+
+    from videos_to_tfrecords_spark.schema import FeatureKind
+    from videos_to_tfrecords_spark.sources.tfrecord import encode_feature
+
+    # runtime inference on a Python int → Int64List (field 3)
+    assert encode_feature(24)[0] >> 3 == 3
+    # declared FLOAT → FloatList (field 2) with the float encoding of 24
+    declared = encode_feature(24, FeatureKind.FLOAT)
+    assert declared == _ld(2, _ld(1, struct.pack("<f", 24.0)))
+    # declared BYTES coerces str → utf-8
+    assert encode_feature("hi", FeatureKind.BYTES) == _ld(1, _ld(1, b"hi"))
+    # declared OTHER → warn+drop (features.py:55-56)
+    assert encode_feature(1.5, FeatureKind.OTHER) is None
+    # declared dtype with an EMPTY list still sets the typed field (TF:
+    # FloatList(value=[]) is an empty message, field present)
+    assert encode_feature([], FeatureKind.FLOAT) == _ld(2, b"")
+
+
+def test_tf_parity_if_tensorflow_present():
+    """Cross-check against real TensorFlow when available (absent in this
+    container → skipped): TF must parse our bytes losslessly and its
+    deterministic re-serialization must be byte-identical."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")
+
+    from videos_to_tfrecords_spark.schema import FeatureKind
+
+    buf = encode_sequence_example(
+        {"frame_per_sec": 30.0, "label": "dog"},
+        {"logits": [[0.5, -1.5], [2.0]]},
+        context_kinds={
+            "frame_per_sec": FeatureKind.FLOAT,
+            "label": FeatureKind.BYTES,
+        },
+        list_kinds={"logits": FeatureKind.FLOAT},
+    )
+    msg = tf.train.SequenceExample.FromString(buf)
+    assert list(msg.context.feature["label"].bytes_list.value) == [b"dog"]
+    assert msg.SerializeToString(deterministic=True) == buf

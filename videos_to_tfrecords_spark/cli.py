@@ -66,6 +66,7 @@ def build_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict[str, i
     )
     from videos_to_tfrecords_spark.operators.shuffle import shuffle
     from videos_to_tfrecords_spark.operators.split import with_random_split
+    from videos_to_tfrecords_spark.schema import CONTEXT_COLUMNS, LIST_COLUMNS
     from videos_to_tfrecords_spark.sources.tfrecord import (
         with_sequence_example,
         write_split_tfrecords,
@@ -115,9 +116,19 @@ def build_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict[str, i
         seqs,
         context_cols=["filename", "label", "dataset", "frame_per_sec", "frame_total"],
         list_cols=["logits", "timestamp_ms"],
+        # serialize by DECLARED dtype (reference features.py:25-36), not
+        # runtime inference — an int-valued FLOAT column stays FloatList
+        context_kinds=CONTEXT_COLUMNS,
+        list_kinds=LIST_COLUMNS,
     )
-    decorrelated = shuffle(protos.select("dataset", "proto"), seed=args.seed)  # R2
-    return write_split_tfrecords(decorrelated, "proto", "dataset", args.output_dir)  # R3+S4
+    # persist: write_split_tfrecords materializes once PER SPLIT — without
+    # this the full decode→inference→encode pipeline re-executes 3×
+    # (correct only because every upstream op is seeded; wasteful always)
+    decorrelated = shuffle(protos.select("dataset", "proto"), seed=args.seed).persist()  # R2
+    try:
+        return write_split_tfrecords(decorrelated, "proto", "dataset", args.output_dir)  # R3+S4
+    finally:
+        decorrelated.unpersist(blocking=False)
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict[str, int]:

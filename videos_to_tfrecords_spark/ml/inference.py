@@ -23,7 +23,7 @@ embeddings; for images, group by shape before this op (SURVEY §4).
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -110,3 +110,44 @@ def batch_inference_native(
     )
     out = df.withColumn(output_col, infer(F.col(input_col)))
     return out.drop(input_col) if drop_input else out
+
+
+def batch_inference_by_shape(
+    df: DataFrame,
+    input_col: str,
+    shape_cols: Sequence[str],
+    model_factory: ModelFactory,
+    output_col: str = "logits",
+    drop_input: bool = True,
+) -> DataFrame:
+    """Shape-homogeneous batched inference — the reference's batching is
+    keyed by (dataset, image.shape) precisely so ``np.concatenate`` never
+    sees ragged inputs (preprocess.py:246-253 buffers per key; 229-244
+    stacks a buffer). For variable-shape image frames the same guarantee
+    comes from grouping on the shape columns: each ``applyInPandas`` task
+    receives ONE (shape...) group, so the stack is rectangular by
+    construction. Fixed-width embeddings don't need this (use
+    :func:`batch_inference`); mixed-shape frames DO — a plain Arrow batch
+    may interleave shapes and ``np.stack`` raises.
+
+    Shuffle cost: one exchange on the shape key (tiny fan-out — shapes are
+    few); the model is built once per task (wrap the factory in a
+    module-level cache for per-worker reuse at scale)."""
+    shape_keys = list(shape_cols)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if not (drop_input and f.name == input_col)
+    )
+    schema = f"{out_fields}, {output_col} array<float>"
+
+    def infer_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = model_factory()
+        stacked = np.stack(pdf[input_col].to_numpy())  # rectangular: one shape per group
+        out = model(stacked)
+        res = pdf.drop(columns=[input_col]) if drop_input else pdf
+        res = res.copy()
+        res[output_col] = [row.astype(np.float32).tolist() for row in out]
+        return res
+
+    return df.groupBy(*shape_keys).applyInPandas(infer_group, schema)

@@ -9,12 +9,14 @@ rounded fps and frame_total (preprocess.py:181-187); in local mode cap at 3
 frames (R4, preprocess.py:170-171,186).
 
 Spark design: a ``mapInPandas`` flat-map over (filename[, content]) rows —
-1 row in, N frame rows out, Arrow-batched. OpenCV is optional (not in this
-container): when absent, ``decode`` falls back to a deterministic synthetic
-decoder that fabricates fps/duration from the filename hash and constant
-pixel frames — the Spark-side plumbing (schema, batching, flat-map shape,
-sampling predicate, local cap) is identical and fully tested; swap
-``_decode_real`` in when cv2 + real bytes exist.
+1 row in, N frame rows out, Arrow-batched. ``_decode_real`` implements the
+reference's cv2.VideoCapture loop over ``binaryFile`` bytes and runs when
+cv2 is importable (``use_real=True``); when OpenCV is absent (as in this
+container) ``decode`` falls back to a deterministic synthetic decoder that
+fabricates fps/duration from the filename hash and constant pixel frames —
+the Spark-side plumbing (schema, batching, flat-map shape, sampling
+predicate, local cap) is identical either way and fully tested; the real
+path is additionally covered by a skipif(cv2) test.
 
 Scale: decode is embarrassingly parallel and I/O bound; feed it from
 ``spark.read.format("binaryFile")`` (distributed listing + streaming reads —
@@ -71,7 +73,7 @@ def _decode_fake(filename: str, skip_msec: float, cloud: bool):
             # 2×2×3 constant frame: value = (hash ⊕ frame_idx) scaled to [0,1]
             v = ((int(hashlib.md5(filename.encode()).hexdigest()[:8], 16) ^ frame_idx) % 256) / 255.0
             image = np.full(2 * 2 * 3, v, dtype=np.float32)
-            kept.append((image, pos_msec, fps, frame_total))
+            kept.append((image, 2, 2, 3, pos_msec, fps, frame_total))
             if not cloud and len(kept) >= LOCAL_FRAME_CAP:  # R4 local cap
                 break
         frame_idx += 1
@@ -79,13 +81,65 @@ def _decode_fake(filename: str, skip_msec: float, cloud: bool):
     return kept
 
 
-def _decode_real(content: bytes, skip_msec: float, cloud: bool):  # pragma: no cover
-    """cv2 path — the reference's VideoCapture loop (preprocess.py:162-187),
-    operating on in-memory bytes from binaryFile instead of a signed URL."""
-    raise NotImplementedError(
-        "real video decode requires cv2 + codecs not present in this "
-        "container; the fake decoder exercises identical Spark plumbing"
-    )
+def _decode_real(content: bytes | None, skip_msec: float, cloud: bool):
+    """cv2 path — the reference's VideoCapture loop, control-flow-faithful
+    to preprocess.py:169-190: read-ahead first frame, ``last_ts = -9999``
+    so the first frame always keeps, an inner read loop that advances until
+    ``POS_MSEC >= last_ts + skip_msec``, a mid-stream ``return`` at EOF
+    (the partial tail frame is dropped, as in the reference), BGR→RGB and
+    /255 normalization, fps rounded, and ``limit_local`` that only
+    increments when not cloud (preprocess.py:187).
+
+    Operates on in-memory bytes (from ``binaryFile``) staged to a temp
+    file — cv2.VideoCapture needs a path/URL; the reference's V4
+    signed-URL machinery (preprocess.py:131-153) is storage-connector
+    territory in Spark. One deliberate deviation: unreadable/empty bytes
+    return no frames instead of crashing (corrupt blobs are routine at
+    100 TB)."""
+    if not HAVE_CV2:  # pragma: no cover - exercised via decode_videos guard
+        raise RuntimeError("cv2 not available: use use_real=False")
+    if content is None:
+        return []
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(content))
+        video = cv2.VideoCapture(path)
+        kept: list = []
+        last_ts = -9999.0
+        result, image = video.read()
+        if not result:  # corrupt/empty: deviation, see docstring
+            video.release()
+            return kept
+        limit_local = 0
+        while video.isOpened() and limit_local < LOCAL_FRAME_CAP:
+            while video.get(cv2.CAP_PROP_POS_MSEC) < skip_msec + last_ts:
+                result, image = video.read()
+                if not result:  # EOF mid-scan: reference returns here too
+                    video.release()
+                    return kept
+            last_ts = video.get(cv2.CAP_PROP_POS_MSEC)
+            arr = (image / 255.0)[:, :, ::-1].astype(np.float32)  # P7 + BGR→RGB
+            h, w, c = arr.shape
+            kept.append(
+                (
+                    np.ascontiguousarray(arr).ravel(),
+                    h,
+                    w,
+                    c,
+                    last_ts,
+                    float(round(video.get(cv2.CAP_PROP_FPS))),
+                    float(video.get(cv2.CAP_PROP_FRAME_COUNT)),
+                )
+            )
+            limit_local = limit_local + 1 if not cloud else 0  # R4
+        video.release()
+        return kept
+    finally:
+        os.unlink(path)
 
 
 def decode_videos(
@@ -106,16 +160,16 @@ def decode_videos(
                     kept = _decode_real(getattr(rec, "content", None), skip_msec, cloud)
                 else:
                     kept = _decode_fake(rec.filename, skip_msec, cloud)
-                for image, ts, fps, total in kept:
+                for image, h, w, c, ts, fps, total in kept:
                     rows.append(
                         {
                             "filename": rec.filename,
                             "label": getattr(rec, "label", None),
                             "dataset": getattr(rec, "dataset", None),
                             "image": image.tolist(),
-                            "height": 2,
-                            "width": 2,
-                            "channels": 3,
+                            "height": h,
+                            "width": w,
+                            "channels": c,
                             "timestamp_ms": float(ts),
                             "frame_per_sec": float(fps),
                             "frame_total": float(total),

@@ -141,15 +141,24 @@ def jaccard_verify_from_texts(
     n: int = 3,
     threshold_x1000: int = 500,
     broadcast_doc_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 << 20,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs. j_x1000 = floor(1000·|∩|/|∪|),
     engine-exact.
 
-    Two physical strategies, picked by candidate-doc count (limit-probe —
-    one job decides AND fetches):
+    Two physical strategies, picked by a cheap (count, Σ length) aggregate
+    over the candidate docs — the byte bound matters as much as the row
+    bound (200k × 100 KB docs would be ~20 GB on the driver; the byte cap
+    falls through to the join path instead):
     - broadcast verify (common case): candidate docs ≪ corpus, so their
       texts broadcast and each pair verifies map-side against in-memory
       shingle sets — the pair list never joins, only (id_a, id_b) shuffles.
+      With ``eager_release`` (default) the verified output — already the
+      small filtered pair set — is materialized eagerly via
+      ``localCheckpoint`` and the broadcast is destroyed before returning,
+      so repeated invocations in one session don't accumulate executor
+      memory; pass ``eager_release=False`` to keep full laziness.
     - join verify (adversarial case): pair list joins the doc texts twice
       and re-shingles per pair in an Arrow batch."""
     cand_ids = (
@@ -158,14 +167,19 @@ def jaccard_verify_from_texts(
         .distinct()
     )
     cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col)
-    probe = cand_docs.limit(broadcast_doc_limit + 1).collect()
-    if len(probe) <= broadcast_doc_limit:
+    stats = cand_docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.length(text_col)).alias("n_bytes")
+    ).first()
+    if (
+        stats["n_docs"] <= broadcast_doc_limit
+        and (stats["n_bytes"] or 0) <= broadcast_byte_limit
+    ):
         sets = {
             row[0]: frozenset(
                 " ".join(row[1].split(" ")[i : i + n])
                 for i in range(len(row[1].split(" ")) - n + 1)
             )
-            for row in probe
+            for row in cand_docs.collect()
         }
         bc = docs.sparkSession.sparkContext.broadcast(sets)
 
@@ -180,11 +194,15 @@ def jaccard_verify_from_texts(
                 out.append((1000 * inter) // union if union else 0)
             return pd.Series(out)
 
-        return (
+        out = (
             pairs.withColumn("j_x1000", jx_bc("id_a", "id_b"))
             .filter(F.col("j_x1000") >= threshold_x1000)
             .select("id_a", "id_b", "j_x1000")
         )
+        if eager_release:
+            out = out.localCheckpoint(eager=True)
+            bc.destroy()
+        return out
 
     da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
@@ -285,6 +303,9 @@ def ngram_jaccard_pairs(
     # the shingle index feeds 4 DAG branches (freq, prefix, both join
     # sides); persist it so the shingler runs once. At 100 TB this is a
     # materialized intermediate table (write-to-parquet), same shape.
+    # The verify step materializes eagerly (its default eager_release), so
+    # unpersisting right after it returns is safe — the cache is dropped
+    # once the output exists instead of accumulating across invocations.
     sh = shingle_table(df, id_col, text_col).persist()
     freq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
     wdoc = Window.partitionBy(id_col)
@@ -309,7 +330,11 @@ def ngram_jaccard_pairs(
         .select(F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b"))
         .distinct()
     )
-    return jaccard_verify_from_texts(pairs, df, id_col, text_col, threshold_x1000=threshold_x1000)
+    out = jaccard_verify_from_texts(
+        pairs, df, id_col, text_col, threshold_x1000=threshold_x1000
+    )
+    sh.unpersist(blocking=False)
+    return out
 
 
 def connected_components(

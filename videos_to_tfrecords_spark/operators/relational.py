@@ -31,22 +31,31 @@ def asof_join(
     carried values. ONE shuffle on the key — no range join explosion, no
     per-group Python (pd.merge_asof), and skew rides the same AQE handling
     as any window. Right side should be unique per (key, ts); pre-aggregate
-    if not (ties would be carry-order dependent)."""
+    if not (ties would be carry-order dependent).
+
+    All right value columns ride in ONE struct, so the carry is ATOMIC:
+    a right row with NULL in some value column still supersedes the
+    previous row wholesale (matching ASOF JOIN / pd.merge_asof), rather
+    than mixing columns from different right rows."""
     keys = list(key_cols)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
+    rstruct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols
+    ) + ">"
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(rstruct_type).alias("_r"),
     )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        rstruct.alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts so ≤ is inclusive
@@ -55,13 +64,14 @@ def asof_join(
         .orderBy(F.col("_ts"), F.desc("_is_right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried_struct = F.last("_r", ignorenulls=True).over(w)
     carried = unioned.select(
         *keys,
         "_ts",
         "_is_right",
         *lcols,
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            carried_struct.getField(c).alias(f"asof_{c}")
             for c in right_value_cols
         ],
         F.last(F.when(F.col("_is_right") == 1, F.col("_ts")), ignorenulls=True)
@@ -109,14 +119,27 @@ def salted_sum(
     100 TB this is the standard defense when one key holds 10% of a table
     and map-side combine alone can't save the final reducer."""
     keys = list(key_cols)
+    partial = salted_sum_partials(df, keys, value_col, n_salt)
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def salted_sum_partials(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: Column | str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """The first (salted) stage of :func:`salted_sum`, exposed so tests and
+    diagnostics can observe the hot key actually splitting across salts —
+    one row per (key, salt) that received data."""
+    keys = list(key_cols)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
-    partial = (
+    return (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
         .agg(F.sum(v).alias("_partial"))
     )
-    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
 
 
 def salted_join(

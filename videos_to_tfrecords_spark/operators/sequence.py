@@ -175,3 +175,71 @@ def format_features(
     ctx = [frames[0][c].alias(c) for c in context_cols if c not in passthrough]
     lists = [F.transform(frames, lambda f: f[c]).alias(c) for c in list_cols]  # noqa: B023
     return df.select(*passthrough, *ctx, *lists)
+
+
+def sliding_window_stats_paned(
+    df: DataFrame,
+    ts_ms_col: str,
+    key_cols: Sequence[str],
+    value_col: Column | str,
+    size_ms: int = DEFAULT_SEQUENCE_LENGTH_MS,
+    slide_ms: int = DEFAULT_PERIOD_MS,
+) -> DataFrame:
+    """Two-level "paned" sliding-window aggregation for STATS-ONLY
+    consumers (count/sum/min/max per window × key).
+
+    ``crop_video`` explodes every ROW into size/slide windows before its
+    shuffle — unavoidable for sequence assembly, which must materialize the
+    member rows per window, but pure overhead when the consumer only needs
+    decomposable aggregates (the ``tumbling_window_stats`` shape at
+    slide < size). Here rows aggregate ONCE into slide-sized panes (no
+    explosion, map-side combine does most of the work), and only the PANE
+    PARTIALS — ≈ distinct panes × size/slide, orders of magnitude fewer
+    than rows at 100 TB — explode to their parent windows and combine.
+    This is the classic stream-slicing scheme (Pairs/Scotty-style).
+
+    When each wins: row explosion costs rows·(size/slide) shuffled bytes in
+    one exchange; paned costs rows (narrow pane assignment + combine) plus
+    panes·(size/slide) in a second tiny exchange. Paned wins whenever
+    rows ≫ panes, i.e. any dense timeline; the naive shape only ties when
+    almost every pane holds ≤1 row.
+
+    Window geometry is identical to :func:`assign_windows` (epoch-aligned,
+    exact integer µs; ``pmod`` keeps floor semantics for pre-epoch
+    timestamps). Requires size_ms % slide_ms == 0. The value column should
+    already be exact-typed (e.g. integer cents) for cross-engine parity.
+    """
+    if size_ms % slide_ms != 0:
+        raise ValueError("paned aggregation needs size_ms % slide_ms == 0")
+    r = size_ms // slide_ms
+    keys = list(key_cols)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    slide_us, size_us = slide_ms * 1000, size_ms * 1000
+    ts_us = F.round(F.col(ts_ms_col).cast("double") * 1000, 0).cast("long")
+    panes = (
+        df.withColumn("_pane_us", ts_us - F.pmod(ts_us, F.lit(slide_us)))
+        .withColumn("_v", value)
+        .groupBy(*keys, "_pane_us")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        )
+    )
+    exploded = panes.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    ).withColumn(
+        "win_start_ms",
+        ((F.col("_pane_us") - F.col("_i") * slide_us) / 1000).cast("long"),
+    )
+    return (
+        exploded.groupBy(*keys, "win_start_ms")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").alias("sum_value"),
+            F.min("_mn").alias("min_value"),
+            F.max("_mx").alias("max_value"),
+        )
+        .withColumn("win_end_ms", F.col("win_start_ms") + F.lit(size_ms))
+    )

@@ -22,6 +22,7 @@ from videos_to_tfrecords_spark.operators.sequence import format_features, to_ful
 from videos_to_tfrecords_spark.operators.split import hash_bucket_split
 from videos_to_tfrecords_spark.plans.reference_queries import _files_df
 from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.schema import CONTEXT_COLUMNS, LIST_COLUMNS
 from videos_to_tfrecords_spark.sources.tables import load_table
 from videos_to_tfrecords_spark.sources.tfrecord import with_sequence_example
 from videos_to_tfrecords_spark.streaming.pipeline import streaming_tumbling_counts
@@ -119,6 +120,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs,
         context_cols=["filename", "label", "dataset", "frame_per_sec", "frame_total"],
         list_cols=["logits", "timestamp_ms"],
+        # serialize by DECLARED dtype (reference features.py:25-36), not
+        # runtime inference — an int-valued FLOAT column stays FloatList
+        context_kinds=CONTEXT_COLUMNS,
+        list_kinds=LIST_COLUMNS,
     )
     return (
         protos.groupBy("dataset")

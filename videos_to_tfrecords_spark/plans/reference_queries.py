@@ -17,6 +17,7 @@ from videos_to_tfrecords_spark.operators.sequence import (
     crop_video,
     format_features,
     single_frame,
+    sliding_window_stats_paned,
     to_full_video,
 )
 from videos_to_tfrecords_spark.operators.shuffle import shuffle
@@ -434,4 +435,49 @@ def q_timestamp_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
         F.date_format("o_orderdate", "yyyyMMdd-HHmmss").alias("job_ts"),
+    )
+
+
+_PANED_SLIDE_US = 6 * 3600 * 1_000_000  # 6h slide
+_PANED_SIZE_MS = 24 * 3600 * 1000  # 1d windows → r = 4, the flagship geometry
+
+
+@query(
+    "sliding_window_stats_paned",
+    f"""
+WITH x AS (SELECT event_type, (epoch_ns(ts) // 1000) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+w AS (SELECT event_type, cents,
+             (ts_us - ((ts_us % {_PANED_SLIDE_US}) + {_PANED_SLIDE_US}) % {_PANED_SLIDE_US})
+               - i * {_PANED_SLIDE_US} AS ws_us
+      FROM x, range(0, 4) t(i))
+SELECT event_type, CAST(ws_us // 1000 AS BIGINT) AS win_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value,
+       CAST(min(cents) AS BIGINT) AS min_value,
+       CAST(max(cents) AS BIGINT) AS max_value,
+       CAST(ws_us // 1000 + {_PANED_SIZE_MS} AS BIGINT) AS win_end_ms
+FROM w GROUP BY event_type, ws_us
+""",
+)
+def q_sliding_window_stats_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stats via the two-level PANED aggregation (W2 for
+    stats-only consumers): rows aggregate once into 6h panes (no row
+    explosion — crop_video\'s shape would shuffle 4x the rows at this
+    1d/6h geometry), then pane partials explode x4 and combine. The oracle
+    states the naive per-row window assignment declaratively; results are
+    identical — the paned shape is purely physical."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / 1000).alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return sliding_window_stats_paned(
+        base,
+        ts_ms_col="ts_ms",
+        key_cols=["event_type"],
+        value_col="cents",
+        size_ms=_PANED_SIZE_MS,
+        slide_ms=6 * 3600 * 1000,
     )

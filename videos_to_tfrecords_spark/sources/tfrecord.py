@@ -102,10 +102,17 @@ def _int64_list(values: Sequence[int]) -> bytes:
     return _len_delimited(1, packed) if values else b""
 
 
-def encode_feature(value) -> bytes | None:
+def encode_feature(value, kind: str | None = None) -> bytes | None:
     """tf.train.Feature bytes with the reference's coercion rules
     (features.py:39-56): scalars promoted to 1-element lists, str→utf-8,
-    unsupported → None (caller skips, mirroring the warn+drop)."""
+    unsupported → None (caller skips, mirroring the warn+drop).
+
+    When ``kind`` (a schema.FeatureKind tag) is given, the proto list type
+    follows the DECLARATION — exactly features.py to_feature_list(value,
+    dtype): an int-valued column declared FLOAT serializes as FloatList
+    (e.g. the reference's rounded frame_per_sec), and a declared dtype with
+    an empty list still sets the (empty) typed list field. Without ``kind``
+    it falls back to runtime-type inference."""
     if value is None:
         return None
     if isinstance(value, np.ndarray):
@@ -115,6 +122,24 @@ def encode_feature(value) -> bytes | None:
     if not isinstance(value, (list, tuple)):
         value = [value]  # scalar→list promotion, features.py:41-42
     value = [v.item() if isinstance(v, np.generic) else v for v in value]
+    if kind is not None:
+        from videos_to_tfrecords_spark.schema import FeatureKind
+
+        if kind == FeatureKind.FLOAT:  # features.py:43-45
+            return _len_delimited(2, _float_list([float(v) for v in value]))
+        if kind == FeatureKind.INT:  # features.py:46-47
+            return _len_delimited(3, _int64_list([int(v) for v in value]))
+        if kind == FeatureKind.BYTES:  # features.py:48-54 (str→utf8)
+            return _len_delimited(
+                1,
+                _bytes_list(
+                    [
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                        for v in value
+                    ]
+                ),
+            )
+        return None  # OTHER → warn+drop, features.py:55-56
     if not value:
         return b""
     head = value[0]
@@ -131,11 +156,11 @@ def encode_feature(value) -> bytes | None:
     return None  # unsupported dtype: features.py:55-56
 
 
-def _features(columns: dict) -> bytes:
+def _features(columns: dict, kinds: dict | None = None) -> bytes:
     """tf.train.Features: map<string, Feature> in sorted-key order."""
     out = b""
     for key in sorted(columns):
-        feat = encode_feature(columns[key])
+        feat = encode_feature(columns[key], (kinds or {}).get(key))
         if feat is None:
             continue  # reference drops unsupported silently (features.py:55-56)
         entry = _len_delimited(1, key.encode("utf-8")) + _len_delimited(2, feat)
@@ -143,15 +168,16 @@ def _features(columns: dict) -> bytes:
     return out
 
 
-def _feature_lists(columns: dict) -> bytes:
+def _feature_lists(columns: dict, kinds: dict | None = None) -> bytes:
     """tf.train.FeatureLists: map<string, FeatureList>; each value is a list
     of per-frame values."""
     out = b""
     for key in sorted(columns):
         frames = columns[key] or []
+        kind = (kinds or {}).get(key)
         feature_list = b""
         for frame_value in frames:
-            feat = encode_feature(frame_value)
+            feat = encode_feature(frame_value, kind)
             if feat is None:
                 continue
             feature_list += _len_delimited(1, feat)
@@ -160,11 +186,20 @@ def _feature_lists(columns: dict) -> bytes:
     return out
 
 
-def encode_sequence_example(context: dict, feature_lists: dict) -> bytes:
+def encode_sequence_example(
+    context: dict,
+    feature_lists: dict,
+    context_kinds: dict | None = None,
+    list_kinds: dict | None = None,
+) -> bytes:
     """tf.train.SequenceExample wire bytes (reference preprocess.py:82-106):
     context = per-video scalars (CONTEXT_COLUMNS), feature_lists = per-frame
-    parallel lists (LIST_COLUMNS)."""
-    return _len_delimited(1, _features(context)) + _len_delimited(2, _feature_lists(feature_lists))
+    parallel lists (LIST_COLUMNS). The optional kind maps (schema.
+    CONTEXT_COLUMNS / LIST_COLUMNS) make the proto list types follow the
+    DECLARED dtypes as the reference does, instead of runtime inference."""
+    return _len_delimited(
+        1, _features(context, context_kinds)
+    ) + _len_delimited(2, _feature_lists(feature_lists, list_kinds))
 
 
 # ------------------------------------------------------ protobuf reading ---
@@ -259,9 +294,22 @@ def decode_sequence_example(buf: bytes) -> tuple[dict, dict]:
 # ------------------------------------------------------ Spark-facing ops ---
 
 
-def with_sequence_example(df, context_cols, list_cols, out: str = "proto"):
+def with_sequence_example(
+    df,
+    context_cols,
+    list_cols,
+    out: str = "proto",
+    context_kinds: dict | None = None,
+    list_kinds: dict | None = None,
+):
     """Add a BinaryType column of SequenceExample wire bytes (the
     ``generate_seq_example`` map, reference preprocess.py:411-412).
+
+    Pass ``context_kinds``/``list_kinds`` (schema.CONTEXT_COLUMNS /
+    LIST_COLUMNS) to serialize by DECLARED dtype like the reference's
+    to_feature_list — without them, list types are inferred from runtime
+    values (which would e.g. emit Int64List for an integer-valued column
+    declared FLOAT).
 
     Proto encoding is inherently per-row Python; mapInPandas keeps the
     transfer Arrow-batched and lets one task amortize the encoder across
@@ -278,7 +326,9 @@ def with_sequence_example(df, context_cols, list_cols, out: str = "proto"):
             for rec in pdf.to_dict("records"):
                 ctx = {c: rec[c] for c in context_cols}
                 lists = {c: list(rec[c]) if rec[c] is not None else [] for c in list_cols}
-                protos.append(encode_sequence_example(ctx, lists))
+                protos.append(
+                    encode_sequence_example(ctx, lists, context_kinds, list_kinds)
+                )
             pdf[out] = pd.Series(protos, index=pdf.index, dtype=object)
             yield pdf
 

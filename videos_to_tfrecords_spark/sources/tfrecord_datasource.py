@@ -67,7 +67,19 @@ class TFRecordReader(DataSourceReader):
         # yields cost a pickle round-trip per record)
         import pyarrow as pa
 
+        def batch(paths: list, records: list):
+            # explicit types always: pa.array([]) would infer NULL type and
+            # fail the (string, binary) schema cast for empty/boundary files
+            return pa.record_batch(
+                [
+                    pa.array(paths, type=pa.string()),
+                    pa.array(records, type=pa.binary()),
+                ],
+                names=["path", "record"],
+            )
+
         paths, records = [], []
+        emitted = False
         with open(partition.path, "rb") as fh:
             while True:
                 header = fh.read(8)
@@ -82,16 +94,14 @@ class TFRecordReader(DataSourceReader):
                 paths.append(partition.path)
                 records.append(payload)
                 if len(records) >= 10_000:
-                    yield pa.record_batch(
-                        [pa.array(paths), pa.array(records, type=pa.binary())],
-                        names=["path", "record"],
-                    )
+                    yield batch(paths, records)
                     paths, records = [], []
-        if records or not paths:
-            yield pa.record_batch(
-                [pa.array(paths), pa.array(records, type=pa.binary())],
-                names=["path", "record"],
-            )
+                    emitted = True
+        # trailing partial — skipped when a flush already emitted everything
+        # (exact-multiple record counts); an empty FILE still yields one
+        # typed empty batch so the scan sees the declared schema
+        if records or not emitted:
+            yield batch(paths, records)
 
 
 class _Committed(WriterCommitMessage):
