@@ -147,3 +147,32 @@ def test_asof_join_null_right_values_carry_atomically(spark):
     # ts=30 sees the ts=20 right row atomically: rv1 is NULL (not the stale
     # 100 from ts=5), rv2 is "b"
     assert out[2] == (None, "b", 20)
+
+
+def test_interval_join_bucketed_equals_naive(spark):
+    """Bucketed range join == naive inequality join on adversarial
+    geometry: overlapping intervals, an interval spanning many buckets,
+    points on boundaries (start inclusive, end exclusive), and points
+    matching nothing."""
+    from videos_to_tfrecords_spark.operators.rangejoin import interval_join
+
+    ivs = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 40, 1000), (4, 2000, 2010)],
+        "iv_id long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 49, 50, 99, 100, 149, 500, 999, 1000, 1500, 2000, 2009, 2010])],
+        "pt_id long, ts long",
+    )
+    for width in (7, 100, 1000):  # width ≪, ≈, ≫ interval lengths
+        got = sorted(
+            (r.pt_id, r.iv_id)
+            for r in interval_join(pts, ivs, "ts", "s", "e", bucket_width=width).collect()
+        )
+        naive = sorted(
+            (r.pt_id, r.iv_id)
+            for r in pts.crossJoin(ivs)
+            .filter("ts >= s and ts < e")
+            .collect()
+        )
+        assert got == naive and len(naive) > 0

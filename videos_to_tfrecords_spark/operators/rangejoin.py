@@ -1,0 +1,63 @@
+"""Point-in-interval (range) join — the §2.7 join variant Spark has no
+single built-in for.
+
+A naive range join is a cross join + inequality filter — O(points ×
+intervals). The scale-safe shape here is BUCKETING: pick a bucket width ≈
+the maximum interval length, explode each interval to the buckets its span
+covers (≤ ⌈len/width⌉ + 1, i.e. ~2 for width ≈ max length), bucket each
+point once, equi-join on the bucket, then apply the exact residual
+predicate. Shuffle ∝ points + intervals·(span/width) — never a cross
+product, no broadcast requirement on either side, and AQE/skew handling
+applies because it IS an equi-join. (Same trick production engines use for
+ST/temporal range joins; cf. Spark's own range-join hints in Databricks.)
+
+Results are exactly the inequality-join semantics, so the oracle states
+the naive form declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_of(c: Column, width: int) -> Column:
+    # floor division that matches SQL floor semantics for negatives:
+    # (x - pmod(x, w)) / w is exact in integer space
+    return ((c - F.pmod(c, F.lit(width))) / width).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join of point rows to every interval row with
+    start ≤ ts < end (half-open, the window convention). ``point_ts``,
+    ``start_col``, ``end_col`` must share an integer unit (e.g. epoch µs).
+    Pick ``bucket_width`` ≈ the maximum interval length: each interval then
+    explodes to ≤ 2-3 buckets. Output: all point columns + all interval
+    columns (names must not collide apart from the join machinery)."""
+    pts = points.withColumn("_bkt", _bucket_of(F.col(point_ts), bucket_width))
+    ivs = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                _bucket_of(F.col(start_col), bucket_width),
+                # end is exclusive: the last bucket that can contain a
+                # matching point is bucket(end - 1)
+                _bucket_of(F.col(end_col) - 1, bucket_width),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "_bkt")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

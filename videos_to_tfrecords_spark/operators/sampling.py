@@ -40,3 +40,31 @@ def sample_frames_exact(
         return pdf[pd.Series(mask, index=pdf.index)]
 
     return df.groupBy(key_col).applyInPandas(keep, schema)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``h15(id) % 100 < rate(stratum)`` — the data-diet primitive for
+    training corpora (downsample the dominant language/source, keep the
+    rare strata whole).
+
+    vs ``df.sampleBy``: the hash predicate is reproducible across runs,
+    engines, and partitionings (no RNG state), pushes down to the scan as
+    plain arithmetic, and the per-stratum rate error is the same
+    O(1/√n) as Bernoulli sampling. Exactly expressible in SQL, so the
+    sampled SET itself is oracle-checkable, not just its size."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    bucket = F.pmod(h15(F.col(id_col).cast("string"), salt="strat"), F.lit(100))
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -584,3 +584,57 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_customer_only"),
         F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_order_only"),
     )
+
+
+# 2024-01-01T00:00:00Z in epoch µs; 10 synthetic 2-day "campaign" windows
+# every 3 days across the events span (Jan 2024)
+_CAMPAIGN_T0_US = 1_704_067_200_000_000
+_CAMPAIGN_STEP_US = 259_200_000_000  # 3 days
+_CAMPAIGN_LEN_US = 172_800_000_000  # 2 days
+
+
+@query(
+    "interval_range_join",
+    f"""
+WITH c AS (SELECT i AS campaign_id,
+                  {_CAMPAIGN_T0_US} + i * {_CAMPAIGN_STEP_US} AS s_us,
+                  {_CAMPAIGN_T0_US} + i * {_CAMPAIGN_STEP_US} + {_CAMPAIGN_LEN_US} AS e_us
+           FROM range(0, 10) t(i)),
+x AS (SELECT (epoch_ns(ts) // 1000) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT campaign_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c JOIN x ON x.ts_us >= c.s_us AND x.ts_us < c.e_us
+GROUP BY campaign_id
+""",
+)
+def q_interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN (§2.7 join variant): events falling in
+    overlapping-capable campaign windows. The oracle states the naive
+    inequality join; the engine runs operators/rangejoin.interval_join —
+    intervals explode to span-covering buckets, points bucket once,
+    EQUI-join on the bucket + exact residual. Shuffle ∝ points +
+    intervals·(span/width); no cross product at any scale."""
+    from videos_to_tfrecords_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    campaigns = spark.range(10).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(_CAMPAIGN_T0_US) + F.col("id") * _CAMPAIGN_STEP_US).alias("s_us"),
+        (
+            F.lit(_CAMPAIGN_T0_US)
+            + F.col("id") * _CAMPAIGN_STEP_US
+            + _CAMPAIGN_LEN_US
+        ).alias("e_us"),
+    )
+    pts = ev.select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = interval_join(
+        pts, campaigns, "ts_us", "s_us", "e_us", bucket_width=_CAMPAIGN_LEN_US
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
+    )

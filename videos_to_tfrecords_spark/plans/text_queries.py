@@ -385,3 +385,103 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin_id").alias("n_bins"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE ({h15_sql("concat('strat:', CAST(doc_id AS VARCHAR))")} % 100)
+      < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 100 ELSE 60 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data diet): downsample
+    the dominant language (en→40%), keep the rarest whole (zh→100%), 60%
+    default — keep iff h15(doc_id) % 100 < rate. The sampled SET itself is
+    oracle-checked, not just its size (a seeded sampleBy could never be)."""
+    from videos_to_tfrecords_spark.operators.sampling import stratified_sample_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_hash(
+        docs, "lang", "doc_id", {"en": 40, "zh": 100}, default_pct=60
+    ).select("doc_id", "lang")
+
+
+@query(
+    "doc_characteristic_terms",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+r AS (SELECT doc_id, term, tf, df_t,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df_t, term) AS rnk
+      FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, df_t, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+""",
+)
+def q_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc characteristic terms — the exact-arithmetic TF-IDF shape:
+    rank terms by (tf DESC, document-frequency ASC, term) and keep 3 per
+    doc. Integer ranking (no float idf logs) keeps it engine-exact; the
+    plan is two partial-aggregated groupBys + a shuffle join on term +
+    one per-doc window — every stage ∝ tokens, 100 TB-clean."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df_t"), F.asc("term")
+    )
+    return (
+        tf.join(dfq, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df_t", "rnk")
+    )
+
+
+@query(
+    "quality_filter_by_lang",
+    f"""
+WITH s AS (SELECT doc_id, lang,
+                  CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_STOP_IN})))
+                       / len(string_split(text, ' '))) AS BIGINT) AS stop_ratio_x1000
+           FROM documents),
+r AS (SELECT doc_id, lang, stop_ratio_x1000,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY stop_ratio_x1000 DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+SELECT doc_id, lang, stop_ratio_x1000 FROM r WHERE rn * 2 <= n
+""",
+)
+def q_quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quality filtering: keep each language's top half by
+    stopword-ratio score (exact integer ranking, doc_id tie-break — no
+    float percentile drift). The 100 TB quality-gate shape: score on the
+    scan, one window per stratum, predicate on the rank."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id", "lang", "stop_ratio_x1000"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("stop_ratio_x1000"), F.asc("doc_id")
+    )
+    cnt = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter(F.col("rn") * 2 <= F.col("n"))
+        .select("doc_id", "lang", "stop_ratio_x1000")
+    )
