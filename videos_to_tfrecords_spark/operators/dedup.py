@@ -166,20 +166,27 @@ def jaccard_verify_from_texts(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col)
-    stats = cand_docs.agg(
-        F.count("*").alias("n_docs"), F.sum(F.length(text_col)).alias("n_bytes")
-    ).first()
-    if (
-        stats["n_docs"] <= broadcast_doc_limit
-        and (stats["n_bytes"] or 0) <= broadcast_byte_limit
-    ):
+    # persist across the two jobs (size-probe agg, then collect on the
+    # broadcast path) so the candidate join runs once, not twice
+    cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col).persist()
+    try:
+        stats = cand_docs.agg(
+            F.count("*").alias("n_docs"), F.sum(F.length(text_col)).alias("n_bytes")
+        ).first()
+        take_broadcast = (
+            stats["n_docs"] <= broadcast_doc_limit
+            and (stats["n_bytes"] or 0) <= broadcast_byte_limit
+        )
+        probe = cand_docs.collect() if take_broadcast else None
+    finally:
+        cand_docs.unpersist(blocking=False)
+    if take_broadcast:
         sets = {
             row[0]: frozenset(
                 " ".join(row[1].split(" ")[i : i + n])
                 for i in range(len(row[1].split(" ")) - n + 1)
             )
-            for row in cand_docs.collect()
+            for row in probe
         }
         bc = docs.sparkSession.sparkContext.broadcast(sets)
 

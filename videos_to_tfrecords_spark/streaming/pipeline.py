@@ -165,3 +165,73 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (§7 extension): F.session_window under a
+    watermark — the streaming twin of the batch session_window_native
+    query. State per (user, open session) closes when the gap passes the
+    watermark; on the bounded test source the drained result equals the
+    batch session_window aggregation bit-for-bit (asserted in
+    tests/test_streaming.py)."""
+    sess = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 days")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = sess.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_tfrecord_sink(
+    spark: SparkSession, sf_dir: str, output_dir: str, prefix: str = "stream"
+) -> int:
+    """Stream → TFRecord files via foreachBatch — the reference's sink
+    (WriteTFRecord, preprocess.py:109-128) under unbounded input. Each
+    microbatch encodes its rows to Example-style SequenceExample bytes and
+    appends sharded .tfrecord files; the layout is
+    ``{output_dir}/data/{prefix}/...-bNNN-...`` so shard names stay unique
+    across batches. Returns the number of records written (drained,
+    bounded source)."""
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        with_sequence_example,
+        write_tfrecords,
+    )
+
+    total = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        protos = with_sequence_example(
+            batch_df.select(
+                F.col("event_id"),
+                F.col("event_type"),
+                (F.col("ts").cast("double") / 1e6).alias("ts_ms"),
+            ),
+            context_cols=["event_id", "event_type", "ts_ms"],
+            list_cols=[],
+        )
+        total["n"] += write_tfrecords(
+            protos, "proto", output_dir, f"{prefix}-b{batch_id:03d}"
+        )
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts")
+    )
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return total["n"]
