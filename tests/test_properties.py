@@ -108,3 +108,43 @@ def test_window_assignment_property(spark, ts, geom):
         got.setdefault(r.ts_ms, set()).add(r.win_start_ms)
     for t, wins in got.items():
         assert wins == closed_form_windows(t, size, slide), (t, size, slide)
+
+
+def test_degenerate_inputs_no_crash(spark):
+    """The probes that caught real bugs in round 1, pinned as tests:
+    sub-n-gram docs through minhash/jaccard, singleton LSH buckets, empty
+    as-of right side, empty MERGE updates."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from videos_to_tfrecords_spark.operators.relational import asof_join, merge_upsert
+    from videos_to_tfrecords_spark.operators.similarity import lsh_topk
+
+    # <3-token docs: shingle set is empty → no pairs, no crash
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, ""), (4, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_dedup_pairs(docs, threshold_x1000=500).count() == 0
+    assert ngram_jaccard_pairs(docs, threshold_x1000=500).count() == 0
+
+    # singleton LSH bucket: a lone vector has no candidates → no rows
+    lone = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert lsh_topk(lone, k=3, n_planes=4).count() == 0
+
+    # empty right side: left-outer semantics → all-null asof columns
+    left = spark.createDataFrame([("k", 10, 1)], "k string, ts long, lid long")
+    right = spark.createDataFrame([], "k string, ts long, rv long")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()
+    assert len(out) == 1 and out[0].asof_rv is None and out[0].asof_ts is None
+
+    # empty updates: MERGE degenerates to the target unchanged
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upd = spark.createDataFrame([], "id long, v string")
+    merged = sorted((r.id, r.v) for r in merge_upsert(tgt, upd, ["id"]).collect())
+    assert merged == [(1, "a"), (2, "b")]
