@@ -161,13 +161,19 @@ def jaccard_verify_from_texts(
       memory; pass ``eager_release=False`` to keep full laziness.
     - join verify (adversarial case): pair list joins the doc texts twice
       and re-shingles per pair in an Arrow batch."""
+    # persist the PAIR LIST itself (small; its lineage — LSH banding or the
+    # prefix-filtered join — is the expensive part) so the size probe, the
+    # candidate-doc collect, and the verify all compute it once. With
+    # eager_release the cache is dropped before returning; without it the
+    # caller owns the (lazy) lifetime and we skip caching.
+    pairs_c = pairs.persist() if eager_release else pairs
     cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        pairs_c.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs_c.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     # persist across the two jobs (size-probe agg, then collect on the
-    # broadcast path) so the candidate join runs once, not twice
+    # broadcast path) so the candidate-doc join runs once, not twice
     cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col).persist()
     try:
         stats = cand_docs.agg(
@@ -202,18 +208,19 @@ def jaccard_verify_from_texts(
             return pd.Series(out)
 
         out = (
-            pairs.withColumn("j_x1000", jx_bc("id_a", "id_b"))
+            pairs_c.withColumn("j_x1000", jx_bc("id_a", "id_b"))
             .filter(F.col("j_x1000") >= threshold_x1000)
             .select("id_a", "id_b", "j_x1000")
         )
         if eager_release:
             out = out.localCheckpoint(eager=True)
             bc.destroy()
+            pairs_c.unpersist(blocking=False)
         return out
 
     da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    joined = pairs.join(da, "id_a").join(db, "id_b")
+    joined = pairs_c.join(da, "id_a").join(db, "id_b")
 
     @F.pandas_udf("long")
     def jx(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -227,11 +234,15 @@ def jaccard_verify_from_texts(
             out.append((1000 * len(sa & sb)) // union if union else 0)
         return pd.Series(out)
 
-    return (
+    out = (
         joined.withColumn("j_x1000", jx("text_a", "text_b"))
         .filter(F.col("j_x1000") >= threshold_x1000)
         .select("id_a", "id_b", "j_x1000")
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        pairs_c.unpersist(blocking=False)
+    return out
 
 
 def minhash_signatures_mapside(
