@@ -638,3 +638,52 @@ def q_interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("campaign_id").agg(
         F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
     )
+
+
+@query(
+    "event_funnel",
+    """
+WITH x AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS t1 FROM x WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT x.user_id, min(x.ts_us) AS t2 FROM x JOIN v USING (user_id)
+      WHERE x.event_type = 'click' AND x.ts_us > v.t1 GROUP BY x.user_id),
+p AS (SELECT x.user_id, min(x.ts_us) AS t3 FROM x JOIN c USING (user_id)
+      WHERE x.event_type = 'purchase' AND x.ts_us > c.t2 GROUP BY x.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event times per user) — the product-analytics sequence-match
+    operator. Each stage is a groupBy-min plus an equi-join on user_id with
+    a time predicate: three key-partitioned shuffles, no window sort, no
+    per-user state — 100 TB-clean."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )

@@ -485,3 +485,73 @@ def q_quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") * 2 <= F.col("n"))
         .select("doc_id", "lang", "stop_ratio_x1000")
     )
+
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "doc_bpe_token_estimate",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_pieces,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the training-cost estimator): pieces from a
+    GPT-2-style pre-tokenizer regex (letter runs | digit runs | single
+    punctuation) next to whitespace tokens. The alternatives are DISJOINT
+    character classes, so Java regex (Spark) and RE2 (DuckDB) produce
+    identical piece counts — regex parity by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_pieces"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_oov_rate",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+vocab AS (SELECT term FROM
+          (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+           FROM tok GROUP BY term) WHERE rnk <= 1000),
+j AS (SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(floor(1000.0 * sum(oov) / count(*)) AS BIGINT) AS oov_x1000
+FROM j GROUP BY doc_id
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus top-1000 vocabulary — the
+    vocab-coverage signal a tokenizer-training pipeline computes. Vocab =
+    global top-k terms (count DESC, term tie-break — exact); per-doc OOV
+    fraction via a left join that broadcasts the (constant-size) vocab."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= 1000)
+        .select("term")
+    )
+    j = tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.floor(
+            1000 * F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)) / F.count("*")
+        ).cast("long").alias("oov_x1000"),
+    )
