@@ -160,3 +160,23 @@ def test_batch_inference_by_shape_stacks_mixed_shapes(spark):
     for i in range(10):
         assert got[f"s{i}"] == [float(i), float(i)]
         assert got[f"b{i}"] == [float(100 + i), float(100 + i)]
+
+
+def test_decode_videos_udtf_matches_mapinpandas(spark):
+    """The Spark 4 Python UDTF variant (the literal analog of the
+    reference's multi-row-yield DoFn) must produce exactly the
+    mapInPandas flat-map's rows."""
+    from videos_to_tfrecords_spark.ml.video import decode_videos_udtf
+
+    files = spark.createDataFrame(
+        [("gs://b/L/360P/v1.mp4", "L", "Train"), ("gs://b/M/720P/v2.mkv", "M", "Val")],
+        "filename string, label string, dataset string",
+    )
+    a = sorted(map(tuple, decode_videos(files, cloud=True).collect()))
+    b = sorted(map(tuple, decode_videos_udtf(files, cloud=True).collect()))
+    assert a == b and len(a) > 0
+    local = decode_videos_udtf(files, cloud=False).collect()
+    per_file: dict[str, int] = {}
+    for r in local:
+        per_file[r.filename] = per_file.get(r.filename, 0) + 1
+    assert all(n <= LOCAL_FRAME_CAP for n in per_file.values())
