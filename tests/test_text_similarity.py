@@ -295,3 +295,27 @@ def test_jaccard_verify_byte_bound_forces_join_path(spark):
     )
     bc = sorted(map(tuple, jaccard_verify_from_texts(pairs, docs).collect()))
     assert forced == bc and len(bc) == 1 and bc[0][:2] == (1, 2)
+
+
+def test_kmeans_lite_empty_cluster_keeps_previous_position(spark):
+    """Two tight point clouds with k=3: at least one h15-chosen seed loses
+    every member after assignment — kmeans must keep that centroid at its
+    previous position (the oracle's LEFT JOIN + COALESCE; here the Python
+    carry) rather than dividing by zero."""
+    import numpy as np
+
+    from videos_to_tfrecords_spark.operators.similarity import kmeans_lite
+
+    rows = []
+    for i in range(30):  # cloud A near (1, 0, ...)
+        rows.append((i, [1.0 + (i % 3) * 1e-4] + [0.0] * 7))
+    for i in range(30):  # cloud B near (0, 1, ...)
+        rows.append((100 + i, [0.0, 1.0 + (i % 3) * 1e-4] + [0.0] * 6))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_lite(df, k=3, iters=2)
+    assert cents.shape == (3, 8)
+    # deterministic: second run identical (carry included)
+    assert (cents == kmeans_lite(df, k=3, iters=2)).all()
+    # with only two point clouds, the 3 centroids collapse onto ≤2 distinct
+    # member-weighted positions + possibly a carried seed; all must be finite ints
+    assert np.isfinite(cents).all()

@@ -58,14 +58,34 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR_DEFAULT
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # --tz=America/New_York: build a NON-UTC session to prove load_table's
+    # UTC pinning protects every timezone-sensitive query (a real round-1
+    # bug class); the oracle side is timezone-free either way
+    tz = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--tz=")), None
+    )
+    sf_dir = args[0] if args else SF_DIR_DEFAULT
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from videos_to_tfrecords_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if tz:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check_oracle_tz")
+            .config("spark.sql.session.timeZone", tz)
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from videos_to_tfrecords_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
