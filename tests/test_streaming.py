@@ -129,3 +129,67 @@ def test_streaming_tfrecord_sink_roundtrip(spark, sf_dir, tmp_path):
 
     want = [r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
     assert sorted(ids) == sorted(want)
+
+
+def test_streaming_stateful_sessionize_with_timeout(spark, tmp_path):
+    """Full stateful-sessionization lifecycle: in-batch session closes AND
+    watermark-driven state timeouts. Two event files land in sequence; a
+    far-future sentinel then advances the watermark so the last open
+    sessions flush — the bounded-replay drain pattern. Result must equal
+    batch sessionize() session aggregates."""
+    import time as _time
+
+    from videos_to_tfrecords_spark.operators.relational import sessionize
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_sessionize_stateful,
+    )
+
+    GAP_S = 3600
+    base = 1_700_000_000_000_000  # epoch µs
+    rows = []
+    eid = 0
+    # user 1: two sessions (events 0,10m | 2h,2h+5m); user 2: one session
+    for off_min in (0, 10, 120, 125):
+        rows.append((eid, base + off_min * 60_000_000, 1)); eid += 1
+    for off_min in (5, 30, 55):
+        rows.append((eid, base + off_min * 60_000_000, 2)); eid += 1
+
+    src = str(tmp_path / "sess_src")
+    df1 = spark.createDataFrame(
+        [(i, t, u) for i, t, u in rows[:4]], "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    df1.write.mode("overwrite").parquet(src)
+
+    # start + drain batch 1 happens inside the helper; to exercise multi-
+    # batch state we write everything then the sentinel before starting —
+    # the file source still delivers files across microbatches.
+    df2 = spark.createDataFrame(
+        [(i, t, u) for i, t, u in rows[4:]], "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    df2.write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(99_999, base + 10**12, 99_999)], "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    sentinel.write.mode("append").parquet(src)
+
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in streaming_sessionize_stateful(spark, src, gap_seconds=GAP_S).collect()
+        if r.user_id != 99_999
+    )
+
+    ev = spark.createDataFrame(
+        [(i, t, u) for i, t, u in rows], "event_id long, ts_us long, user_id long"
+    )
+    sess = sessionize(ev, "user_id", "ts_us", gap=GAP_S * 1_000_000)
+    want = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) == 3

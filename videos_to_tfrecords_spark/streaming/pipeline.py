@@ -235,3 +235,98 @@ def streaming_tfrecord_sink(
     finally:
         q.stop()
     return total["n"]
+
+
+def streaming_sessionize_stateful(
+    spark: SparkSession,
+    src_dir: str,
+    gap_seconds: int = 3600,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Custom stateful streaming SESSIONIZATION with event-time timeout —
+    the full applyInPandasWithState lifecycle the reference never needed
+    (SURVEY §2.5): per-user open-session state (start, last, count),
+    sessions close EITHER when a later event arrives past the gap (emitted
+    inline) OR when the WATERMARK passes last+gap (state timeout fires
+    with an empty iterator and hasTimedOut=True — the unbounded-input
+    path). State is bounded by open sessions only.
+
+    Reads a parquet DIRECTORY (event_id, ts µs-timestamp, user_id rows);
+    tests drive the tail flush by appending a far-future sentinel file,
+    which advances the watermark — exactly how a production bounded replay
+    drains its last sessions. Returns the drained session table
+    (user_id, start_us, end_us, n_events), sentinel user excluded by the
+    caller."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "start_us": [start], "end_us": [last], "n_events": [n]}
+            )
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        out = {"user_id": [], "start_us": [], "end_us": [], "n_events": []}
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = 0, 0, 0
+        for t in ts_us:
+            if n == 0:
+                start = last = t
+                n = 1
+            elif t - last > gap_us:
+                out["user_id"].append(key[0])
+                out["start_us"].append(start)
+                out["end_us"].append(last)
+                out["n_events"].append(n)
+                start = last = t
+                n = 1
+            else:
+                last = max(last, t)
+                n += 1
+        if n > 0:
+            state.update((start, last, n))
+            # close the open session when the watermark passes last + gap
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    stream = (
+        spark.readStream.schema(
+            schema
+            or T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                ]
+            )
+        )
+        .parquet(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"stream_sessz_{uuid.uuid4().hex[:8]}"
+    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
