@@ -120,3 +120,35 @@ def test_zipf_skew_salted_agg_and_join_split_hot_key(spark):
         map(tuple, salted_join(df, dim, ["k"], n_salt=8).select("k", "v", "d").collect())
     )
     assert salted_j == plain_j
+
+
+def test_zorder_sort_gives_2d_locality(spark):
+    """Why z-ordering prunes: consecutive chunks of a z-sorted table span
+    small ranges in BOTH dimensions (so parquet row-group min/max stats
+    exclude most chunks for a 2-D range predicate), while a 1-D sort
+    leaves the other dimension's span at full width."""
+    from videos_to_tfrecords_spark.functions.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(i, (i * 73) % 256, (i * 151) % 256) for i in range(4096)],
+        "id long, x long, y long",
+    )
+    rows = (
+        df.select("x", "y", z_value("x", "y", bits=8).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    CHUNK = 256
+
+    def avg_span(vals, key):
+        spans = []
+        for c in range(0, len(vals), CHUNK):
+            chunk = vals[c : c + CHUNK]
+            spans.append(max(r[key] for r in chunk) - min(r[key] for r in chunk))
+        return sum(spans) / len(spans)
+
+    # z-sorted: both dims locally bounded (≈ sqrt(chunk) cells of a 256²
+    # grid → span ≪ 256); x-sorted leaves y unbounded
+    assert avg_span(rows, "x") < 100 and avg_span(rows, "y") < 100
+    xsorted = sorted(rows, key=lambda r: (r["x"], r["y"]))
+    assert avg_span(xsorted, "y") > 200

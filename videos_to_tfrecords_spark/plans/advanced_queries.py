@@ -687,3 +687,31 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+def _zorder_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.zorder import z_value_sql
+
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       {z_value_sql("l_partkey", "l_suppkey")} AS zval
+FROM lineitem WHERE l_orderkey % 50 = 0
+"""
+
+
+@query("zorder_values", _zorder_oracle())
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values over (partkey, suppkey) — the layout
+    key for multi-dimensional clustering: sort-write by zval and parquet
+    row-group min/max stats prune range predicates on EITHER dimension
+    (Delta's OPTIMIZE ZORDER BY, as a plain Catalyst expression here;
+    functions/zorder.py). Pure shift/mask integer arithmetic inside
+    whole-stage codegen, hash-checked against the unrolled SQL twin."""
+    from videos_to_tfrecords_spark.functions.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z_value("l_partkey", "l_suppkey").alias("zval"),
+    )
