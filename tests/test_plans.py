@@ -152,3 +152,23 @@ def test_zorder_sort_gives_2d_locality(spark):
     assert avg_span(rows, "x") < 100 and avg_span(rows, "y") < 100
     xsorted = sorted(rows, key=lambda r: (r["x"], r["y"]))
     assert avg_span(xsorted, "y") > 200
+
+
+def test_hll_sketch_union_consistency_and_accuracy(spark, sf_dir):
+    """HLL sketches must union losslessly: merging per-group sketches
+    estimates the SAME value as sketching the whole column directly, and
+    both land within 2% of the exact distinct count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).collect()[0].e
+    unioned = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert unioned == direct  # merge is lossless re-aggregation
+    assert abs(direct - exact) / exact < 0.02

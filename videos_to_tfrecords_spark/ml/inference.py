@@ -33,6 +33,10 @@ from pyspark.sql import types as T
 
 ModelFactory = Callable[[], Callable[[np.ndarray], np.ndarray]]
 
+#: per-Python-worker model cache (each executor worker process holds its
+#: own copy — the DoFn.setup() once-per-worker semantics)
+_WORKER_MODEL_CACHE: dict = {}
+
 
 def linear_stub_model(in_dim: int = 64, out_dim: int = 8, seed: int = 7) -> ModelFactory:
     """Deterministic stand-in for InceptionV3 (2048-d feature extractor,
@@ -119,6 +123,7 @@ def batch_inference_by_shape(
     model_factory: ModelFactory,
     output_col: str = "logits",
     drop_input: bool = True,
+    model_cache_key: str | None = None,
 ) -> DataFrame:
     """Shape-homogeneous batched inference — the reference's batching is
     keyed by (dataset, image.shape) precisely so ``np.concatenate`` never
@@ -131,8 +136,9 @@ def batch_inference_by_shape(
     may interleave shapes and ``np.stack`` raises.
 
     Shuffle cost: one exchange on the shape key (tiny fan-out — shapes are
-    few); the model is built once per task (wrap the factory in a
-    module-level cache for per-worker reuse at scale)."""
+    few). Pass ``model_cache_key`` to reuse the built model across groups
+    and tasks within each Python worker process (the ``setup()``-once
+    semantics of the reference's DoFn) instead of rebuilding per group."""
     shape_keys = list(shape_cols)
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -142,7 +148,12 @@ def batch_inference_by_shape(
     schema = f"{out_fields}, {output_col} array<float>"
 
     def infer_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        model = model_factory()
+        if model_cache_key is not None:
+            model = _WORKER_MODEL_CACHE.get(model_cache_key)
+            if model is None:
+                model = _WORKER_MODEL_CACHE[model_cache_key] = model_factory()
+        else:
+            model = model_factory()
         stacked = np.stack(pdf[input_col].to_numpy())  # rectangular: one shape per group
         out = model(stacked)
         res = pdf.drop(columns=[input_col]) if drop_input else pdf

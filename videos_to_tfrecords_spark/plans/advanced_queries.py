@@ -715,3 +715,25 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         z_value("l_partkey", "l_suppkey").alias("zval"),
     )
+
+
+@query("hll_sketch_union_distinct")
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 3.5 hll_sketch_agg/hll_union_agg): per-returnflag sketches built
+    in one partial-aggregated pass, then UNIONED — re-aggregation without
+    re-scanning, the property that makes approximate distinct usable in a
+    100 TB rollup/cube. No SQL oracle (sketch bytes are engine-specific;
+    DuckDB's HLL differs) — rows-only here; the ±2% accuracy vs exact and
+    the union==direct consistency are pytest-asserted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_parts"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
