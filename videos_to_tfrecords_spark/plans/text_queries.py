@@ -555,3 +555,95 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000 * F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)) / F.count("*")
         ).cast("long").alias("oov_x1000"),
     )
+
+
+@query(
+    "uniform_sample_exact_k",
+    f"""
+SELECT doc_id, lang FROM
+(SELECT doc_id, lang,
+        row_number() OVER (ORDER BY {h15_sql("concat('usamp:', CAST(doc_id AS VARCHAR))")}, doc_id) AS rn
+ FROM documents) WHERE rn <= 100
+""",
+)
+def q_uniform_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k uniform sample, deterministic: the k smallest portable-hash
+    values — a reproducible reservoir-sample replacement. Physically a
+    TakeOrderedAndProject (per-partition top-k, no global sort), so it
+    scales to any corpus; the sampled set itself is oracle-checked."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", h15(F.col("doc_id").cast("string"), salt="usamp").alias("_hk")
+        )
+        .orderBy("_hk", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 1000.0 * common / (sa.n + sb.n - common) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+comp AS (
+  WITH RECURSIVE cc(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, LEAST(cc.comp, e.src) FROM edges e JOIN cc ON e.dst = cc.node
+  )
+  SELECT node, min(comp) AS component FROM cc GROUP BY node),
+q AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             CAST(floor(1000.0 * len(list_filter(string_split(d.text, ' '),
+                  x -> x IN ({_STOP_IN}))) / len(string_split(d.text, ' '))) AS BIGINT)
+               AS score
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+r AS (SELECT doc_id, component, score,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY score DESC, doc_id) AS rn FROM q)
+SELECT doc_id, component, score FROM r WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation composition: near-dup clusters (LSH pairs →
+    connected components) where the KEPT representative is the
+    highest-quality member (stopword-ratio score, doc_id tie-break) —
+    'dedup, keep best' rather than 'keep first'. Singletons keep
+    themselves. One row per surviving document."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup_pairs,
+    )
+    from videos_to_tfrecords_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    scored = with_quality_score(docs).select("doc_id", "stop_ratio_x1000")
+    q = (
+        scored.join(comp, scored.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            F.col("stop_ratio_x1000").alias("score"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "score")
+    )
