@@ -172,3 +172,15 @@ def test_hll_sketch_union_consistency_and_accuracy(spark, sf_dir):
     )
     assert unioned == direct  # merge is lossless re-aggregation
     assert abs(direct - exact) / exact < 0.02
+
+
+def test_z_value_is_bijective_on_domain(spark):
+    """Morton interleave must be a bijection of the 2·bits-bit domain —
+    any collision would merge unrelated rows in a z-sorted layout."""
+    from videos_to_tfrecords_spark.functions.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    n = df.select(z_value("x", "y", bits=6).alias("z")).distinct().count()
+    assert n == 64 * 64
