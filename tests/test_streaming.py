@@ -193,3 +193,41 @@ def test_streaming_stateful_sessionize_with_timeout(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_merge_upsert_last_writer_wins(spark, tmp_path):
+    """foreachBatch CDC apply: three source files → three microbatches
+    (maxFilesPerTrigger=1); the target must equal the batch last-per-key
+    result, with within-batch and cross-batch updates superseding."""
+    from pyspark.sql import types as T
+
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_merge_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "cdc_src")
+    tgt = str(tmp_path / "cdc_tgt")
+    batches = [
+        [(1, 1, "a1"), (2, 1, "b1"), (1, 2, "a2")],  # within-batch: k=1 → a2
+        [(2, 3, "b2"), (3, 4, "c1")],
+        [(1, 5, "a3")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    n = streaming_merge_upsert(spark, src, tgt, schema, ["k"], ["seq"])
+    assert n >= 1
+    got = {r.k: (r.seq, r.v) for r in spark.read.schema(schema).parquet(tgt).collect()}
+    # batch ground truth: latest seq per key over all rows
+    allr = [r for b in batches for r in b]
+    want = {}
+    for k, seq, v in sorted(allr, key=lambda t: t[1]):
+        want[k] = (seq, v)
+    assert got == want

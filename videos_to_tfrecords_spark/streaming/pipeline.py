@@ -330,3 +330,63 @@ def streaming_sessionize_stateful(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_merge_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> int:
+    """Streaming CDC apply: every microbatch MERGEs into a parquet target
+    (the foreachBatch upsert idiom — what Delta's MERGE INTO does with
+    ACID; here emulated with operators.relational.merge_upsert + an
+    atomic-enough overwrite, the documented non-lakehouse fallback).
+
+    Within a batch the LATEST row per key wins (ordered by ``order_cols``
+    desc, deterministic); across batches later microbatches supersede
+    earlier ones — last-writer-wins CDC. The merged target is
+    localCheckpoint'ed before the overwrite so the write never reads the
+    files it replaces. Returns the number of microbatches applied.
+    maxFilesPerTrigger=1 in the reader makes each source file its own
+    batch, so tests exercise true multi-batch upserts."""
+    import os
+
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.operators.relational import merge_upsert
+
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            target = spark.read.schema(batch_df.schema).parquet(target_dir)
+            merged = merge_upsert(target, latest, key_cols)
+        else:
+            merged = latest
+        # materialize BEFORE overwriting the directory being read
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_dir)
+        n_batches["n"] += 1
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        src_dir
+    )
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return n_batches["n"]
