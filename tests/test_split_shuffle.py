@@ -176,3 +176,37 @@ def test_interval_join_bucketed_equals_naive(spark):
             .collect()
         )
         assert got == naive and len(naive) > 0
+
+
+def test_interval_join_exact_past_double_precision(spark):
+    """Bucket assignment must stay exact for longs beyond 2^53 (nanosecond
+    epochs ≈ 1.7e18): a `/`-through-double bucket computation rounds and
+    silently drops boundary matches (round-2 ADVICE fix — `div` in long
+    space). Points sit exactly ON bucket/interval boundaries at ns scale."""
+    from videos_to_tfrecords_spark.operators.rangejoin import interval_join
+
+    base = 1_700_000_000_000_000_123  # > 2^53, not double-representable
+    width = 3_600_000_000_000  # 1h in ns
+    ivs = spark.createDataFrame(
+        [(1, base, base + width), (2, base + width - 1, base + 3 * width)],
+        "iv_id long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + width - 1),
+            (2, base + width),
+            (3, base + 3 * width - 1),
+            (4, base + 3 * width),
+        ],
+        "pt_id long, ts long",
+    )
+    got = sorted(
+        (r.pt_id, r.iv_id)
+        for r in interval_join(pts, ivs, "ts", "s", "e", bucket_width=width).collect()
+    )
+    naive = sorted(
+        (r.pt_id, r.iv_id)
+        for r in pts.crossJoin(ivs).filter("ts >= s and ts < e").collect()
+    )
+    assert got == naive == [(0, 1), (1, 1), (1, 2), (2, 2), (3, 2)]

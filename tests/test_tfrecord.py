@@ -244,6 +244,14 @@ def test_declared_dtype_overrides_runtime_inference():
     # declared dtype with an EMPTY list still sets the typed field (TF:
     # FloatList(value=[]) is an empty message, field present)
     assert encode_feature([], FeatureKind.FLOAT) == _ld(2, b"")
+    # a non-str/bytes value in a BYTES-declared column is DROPPED, never
+    # coerced: bytes(7) would silently emit a 7-byte zero buffer where
+    # tf.train.BytesList raises (round-2 ADVICE fix)
+    assert encode_feature(7, FeatureKind.BYTES) is None
+    assert encode_feature(["ok", 7], FeatureKind.BYTES) is None
+    assert encode_feature(b"\x00raw", FeatureKind.BYTES) == _ld(
+        1, _ld(1, b"\x00raw")
+    )
 
 
 def test_tf_parity_if_tensorflow_present():

@@ -21,10 +21,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_of(c: Column, width: int) -> Column:
-    # floor division that matches SQL floor semantics for negatives:
-    # (x - pmod(x, w)) / w is exact in integer space
-    return ((c - F.pmod(c, F.lit(width))) / width).cast("long")
+def _bucket_of(expr_sql: str, width: int) -> Column:
+    # Floor division kept entirely in long space: pmod makes the numerator
+    # an exact non-negative-remainder multiple of width, so SQL `div`
+    # (integer truncation) equals floor — exact for the full long range.
+    # A `/`-based form would round through double and can misbucket values
+    # above 2^53 (e.g. nanosecond-unit timestamps ~1.7e18).
+    return F.expr(f"(({expr_sql}) - pmod(({expr_sql}), {width})) div {width}")
 
 
 def interval_join(
@@ -41,15 +44,15 @@ def interval_join(
     Pick ``bucket_width`` ≈ the maximum interval length: each interval then
     explodes to ≤ 2-3 buckets. Output: all point columns + all interval
     columns (names must not collide apart from the join machinery)."""
-    pts = points.withColumn("_bkt", _bucket_of(F.col(point_ts), bucket_width))
+    pts = points.withColumn("_bkt", _bucket_of(point_ts, bucket_width))
     ivs = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                _bucket_of(F.col(start_col), bucket_width),
+                _bucket_of(start_col, bucket_width),
                 # end is exclusive: the last bucket that can contain a
                 # matching point is bucket(end - 1)
-                _bucket_of(F.col(end_col) - 1, bucket_width),
+                _bucket_of(f"{end_col} - 1", bucket_width),
             )
         ),
     )

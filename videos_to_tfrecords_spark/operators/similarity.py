@@ -168,6 +168,64 @@ def _role_tagged_grid(
     return q_side.unionByName(c_side)
 
 
+def _bipartite_tagged_grid(
+    q: DataFrame, c: DataFrame, keys: list[str], chunk_cap: int
+) -> DataFrame:
+    """Bipartite twin of :func:`_role_tagged_grid` for join shapes where
+    the query side and candidate side of a key group are DIFFERENT row
+    sets (multi-probe: a query visits n_planes+1 buckets, a candidate
+    lives in exactly one). Each side is hash-chunked independently —
+    qn = ceil(|q-group|/cap), cn = ceil(|c-group|/cap) — and every
+    (q-chunk × c-chunk) grid cell receives its own q rows plus its own c
+    rows, role-tagged. A downstream groupBy(keys, qc, cc) task therefore
+    sees ≤ ~2·chunk_cap rows however large either side of the bucket gets
+    (hash-balanced expectation, as in _role_tagged_grid). Purely physical:
+    every (query, candidate) pair lands in exactly one cell, so results
+    are independent of the chunking and oracles never see it.
+
+    Both inputs must carry ``keys + (query_id, v)``; the count join is an
+    equi-join on the bucket keys (inner — a bucket with only one side
+    produces no pairs anyway)."""
+    counts = (
+        q.groupBy(*keys)
+        .agg(F.ceil(F.count("*") / F.lit(chunk_cap)).cast("int").alias("qn"))
+        .join(
+            c.groupBy(*keys).agg(
+                F.ceil(F.count("*") / F.lit(chunk_cap)).cast("int").alias("cn")
+            ),
+            keys,
+        )
+    )
+    my_chunk = lambda n: F.pmod(  # noqa: E731
+        h15(F.col("query_id").cast("string"), salt="chunk"), F.col(n)
+    ).cast("int")
+    q_side = (
+        q.join(counts, keys)
+        .withColumn("qc", my_chunk("qn"))
+        .select(
+            *keys,
+            "qc",
+            F.explode(F.sequence(F.lit(0), F.col("cn") - 1)).alias("cc"),
+            F.lit(True).alias("is_q"),
+            "query_id",
+            "v",
+        )
+    )
+    c_side = (
+        c.join(counts, keys)
+        .withColumn("cc", my_chunk("cn"))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.lit(0), F.col("qn") - 1)).alias("qc"),
+            "cc",
+            F.lit(False).alias("is_q"),
+            "query_id",
+            "v",
+        )
+    )
+    return q_side.unionByName(c_side)
+
+
 def cosine_threshold_pairs_banded(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -376,18 +434,31 @@ def lsh_topk_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = N_PLANES,
+    n_planes: int | str = N_PLANES,
+    chunk_cap: int = 4096,
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k: each query probes its own bucket plus
     every bucket at Hamming distance 1 (flip each of the n_planes sign
     bits) — the standard recall recovery for vectors that land near a
-    hyperplane. Implemented as an (n_planes+1)-way query-side explode +
-    equi-join on the bucket key, so it stays an equi-join at 100 TB (the
-    candidate side never replicates). Recall improvement over single-probe
-    is pytest-asserted against brute force."""
+    hyperplane. Recall improvement over single-probe is pytest-asserted
+    against brute force.
+
+    Scale shape (round-2 weakness fixed): ``n_planes="auto"`` derives the
+    plane count from the corpus size (expected bucket population stays
+    ≤ _TARGET_BUCKET_ROWS — at fixed planes, bucket population ∝ corpus
+    and the per-bucket join output is O(Σ|bucket|²)); and the per-bucket
+    ranking runs as a blocked bipartite (query-chunk × cand-chunk) grid,
+    so no task materializes more than ~2·chunk_cap rows however hot a
+    bucket gets. Every (query, candidate) pair appears in exactly one grid
+    cell (the query probes n_planes+1 DISTINCT buckets, the candidate
+    lives in one), each cell emits its top-k per query, and the global
+    (-dot, cand_id) merge equals the unblocked ranking — results are
+    identical, so the SQL oracle is unchanged."""
+    if n_planes == "auto":
+        n_planes = auto_planes(df.count())
     bucketed = hyperplane_bucket(df, id_col, vec_col, n_planes)
     cand = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     )
     probes = F.array(
         F.col("bucket"),
@@ -398,17 +469,19 @@ def lsh_topk_multiprobe(
     )
     q = bucketed.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        F.col(vec_col).alias("v"),
         F.explode(probes).alias("bucket"),
-    )
-    scored = (
-        q.join(cand, "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+    ).select("bucket", "query_id", "v")
+    partials = (
+        _bipartite_tagged_grid(q, cand, ["bucket"], chunk_cap)
+        .groupBy("bucket", "qc", "cc")
+        .applyInPandas(
+            _partial_topk_fn(k), "query_id long, cand_id long, dot_scaled long"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        partials.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "dot_scaled", "rnk")
     )

@@ -101,9 +101,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain same-bucket ranking. Recall vs brute force is
     additionally pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # auto planes floor at 8 ⇒ identical geometry at test SFs; chunk grid
-    # only reshapes physically, so the oracle is unchanged
-    return lsh_topk(emb, k=3, n_planes="auto")
+    # The registered query pins n_planes to the oracle's static plane
+    # count: auto-derived planes grow with the corpus (>32,768 rows at 8
+    # planes) and would silently diverge from a fixed-plane SQL oracle at
+    # larger SFs. The auto + chunk-grid scale path is exercised by pytest
+    # (tests/test_similarity.py) against brute-force recall instead.
+    return lsh_topk(emb, k=3, n_planes=N_PLANES)
 
 
 def _multiprobe_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
@@ -235,7 +238,7 @@ def _ivf_kmeans_oracle(
                                      ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
            FROM e, {prev} c) WHERE rn = 1) a JOIN e ON e.vec_id = a.vec_id)))""",
             f"""u{it} AS (SELECT cid,
-  list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS civ FROM
+  list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) ORDER BY i) AS civ FROM
   (SELECT cid, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS cnt
    FROM s{it} GROUP BY cid, i) GROUP BY cid)""",
             f"""c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ

@@ -130,15 +130,19 @@ def encode_feature(value, kind: str | None = None) -> bytes | None:
         if kind == FeatureKind.INT:  # features.py:46-47
             return _len_delimited(3, _int64_list([int(v) for v in value]))
         if kind == FeatureKind.BYTES:  # features.py:48-54 (str→utf8)
-            return _len_delimited(
-                1,
-                _bytes_list(
-                    [
-                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                        for v in value
-                    ]
-                ),
-            )
+            out = []
+            for v in value:
+                if isinstance(v, str):
+                    out.append(v.encode("utf-8"))
+                elif isinstance(v, (bytes, bytearray)):
+                    out.append(bytes(v))
+                else:
+                    # A non-str/bytes value in a BYTES-declared column:
+                    # tf.train.BytesList would raise; bytes(int) would
+                    # silently emit a zero-filled buffer. Drop the feature
+                    # (the engine's warn+drop convention for bad dtypes).
+                    return None
+            return _len_delimited(1, _bytes_list(out))
         return None  # OTHER → warn+drop, features.py:55-56
     if not value:
         return b""
