@@ -184,3 +184,30 @@ def test_z_value_is_bijective_on_domain(spark):
     )
     n = df.select(z_value("x", "y", bits=6).alias("z")).distinct().count()
     assert n == 64 * 64
+
+
+def test_tpch_q18_semi_join_broadcasts_having_set(spark, sf_dir):
+    """Q18's qualifying-order set (HAVING sum > threshold) must reach
+    orders as a BROADCAST left-semi join (the filtered agg output is
+    tiny), with partial→final aggregation feeding it; the final top-k is
+    sort-free."""
+    from videos_to_tfrecords_spark.plans.relational_queries import q_tpch_q18
+
+    plan = plan_of(q_tpch_q18(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q21_exists_shapes_are_equi_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS must compile to left-semi / left-anti
+    joins whose equi-key is the orderkey (suppkey inequality as residual)
+    — never a nested-loop / cartesian shape — and the supplier dim must
+    broadcast."""
+    from videos_to_tfrecords_spark.plans.relational_queries import q_tpch_q21
+
+    plan = plan_of(q_tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

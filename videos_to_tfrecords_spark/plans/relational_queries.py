@@ -512,3 +512,118 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q18_large_volume",
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice_c DESC, o_orderkey LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): group-by-HAVING top-k over a
+    SEMI-join — the qualifying-order set (sum(qty) > 250, the synthetic
+    data's ~p99) comes from a partial→final aggregate whose filtered
+    output is tiny, so it BROADCASTS into a left-semi join against orders;
+    lineitem then re-joins on orderkey for the reported sum. Quantities in
+    exact integers, price in cents, top-100 with orderkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "leftsemi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_c"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+WITH lo AS (SELECT l.*, o.o_orderdate FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 365 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    synthetic schema: with no commit/receipt dates, "late" is l_shipdate >
+    o_orderdate + 365 days. The join SHAPE is the point — the suite's one
+    multi-way EXISTS / NOT-EXISTS: late lineitems of 'F'-status orders,
+    LEFT-SEMI against other-supplier lineitems of the same order (the
+    order involved someone else) and LEFT-ANTI against other-supplier LATE
+    lineitems (only this supplier was late). Both rewrite to equi-joins on
+    orderkey with a suppkey-inequality residual, so they shuffle-partition
+    on orderkey — no cross product; the supplier dim broadcasts."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    l1 = lo.filter(late).select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        lo.filter(late)
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
