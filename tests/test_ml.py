@@ -180,3 +180,110 @@ def test_decode_videos_udtf_matches_mapinpandas(spark):
     for r in local:
         per_file[r.filename] = per_file.get(r.filename, 0) + 1
     assert all(n <= LOCAL_FRAME_CAP for n in per_file.values())
+
+
+def test_e2e_by_shape_flag_matches_default_path(spark):
+    """run_pipeline_e2e(by_shape=True) routes inference through
+    shape-homogeneous batching; on the fake decoder's constant 2×2×3
+    frames the adaptive and fixed stub models share no weights, so compare
+    STRUCTURE (splits, sequence counts) — and determinism of both paths."""
+    from videos_to_tfrecords_spark.plans.pipeline_queries import run_pipeline_e2e
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, run_pipeline_e2e(spark, sf, by_shape=False).collect()))
+    shaped = sorted(map(tuple, run_pipeline_e2e(spark, sf, by_shape=True).collect()))
+    assert [r[:2] for r in base] == [r[:2] for r in shaped]  # dataset, n_sequences
+    assert shaped == sorted(
+        map(tuple, run_pipeline_e2e(spark, sf, by_shape=True).collect())
+    )
+
+
+def test_mixed_resolution_frames_through_full_pipeline(spark):
+    """Mixed-resolution fixture through the FULL downstream pipeline
+    (VERDICT r2 item 8): shape-grouped inference → full_video sequence
+    assembly → FormatFeatures → SequenceExample protos. The plain
+    batcher's np.stack raises on a ragged Arrow batch (proved here); the
+    by-shape path must survive and keep per-row numeric correctness
+    end-to-end into the proto bytes."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from videos_to_tfrecords_spark.ml.inference import (
+        adaptive_stub_model,
+        batch_inference,
+        batch_inference_by_shape,
+    )
+    from videos_to_tfrecords_spark.operators.sequence import (
+        format_features,
+        to_full_video,
+    )
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        decode_sequence_example,
+        with_sequence_example,
+    )
+
+    rows = []
+    # two videos per resolution, 3 frames each, deterministic pixel fills
+    for vid, px in (("v_small_a", 12), ("v_small_b", 12), ("v_big_a", 48), ("v_big_b", 48)):
+        h, w = (2, 2) if px == 12 else (4, 4)
+        for f in range(3):
+            val = float(hash((vid, f)) % 97) / 97.0
+            rows.append((vid, "L", "Train", [val] * px, h, w, 3, 500.0 * f, 24.0, 72.0))
+    frames = spark.createDataFrame(
+        rows,
+        "filename string, label string, dataset string, image array<float>, "
+        "height int, width int, channels int, "
+        "timestamp_ms double, frame_per_sec double, frame_total double",
+    ).repartition(1)  # force one Arrow batch holding BOTH shapes
+
+    # the plain batcher is the wrong tool for ragged input: np.stack raises
+    with _pytest.raises(Exception, match="(?i)stack|shape|dimension"):
+        batch_inference(frames, "image", adaptive_stub_model(4)).collect()
+
+    embedded = batch_inference_by_shape(
+        frames,
+        "image",
+        ["height", "width", "channels"],
+        adaptive_stub_model(4),
+        drop_input=False,
+        model_cache_key="mixed_e2e_test",
+    )
+    # per-row numeric golden: the adaptive model's (width-seeded) matmul
+    got_rows = embedded.collect()
+    assert len(got_rows) == 12
+    for r in got_rows:
+        d = len(r.image)
+        rng = _np.random.RandomState(7 + d)
+        wmat = rng.uniform(-1.0, 1.0, size=(d, 4))
+        want = _np.maximum(_np.array(r.image, dtype=_np.float64) @ wmat, 0.0)
+        assert _np.allclose(_np.array(r.logits, dtype=_np.float64), want, atol=1e-6)
+
+    full = to_full_video(
+        embedded.select(
+            "filename", "label", "dataset", "timestamp_ms", "frame_per_sec",
+            "frame_total", "logits",
+        ),
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+    )
+    seqs = format_features(
+        full,
+        context_cols=["label", "dataset", "frame_per_sec", "frame_total"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    protos = with_sequence_example(
+        seqs,
+        context_cols=["filename", "label", "dataset", "frame_per_sec", "frame_total"],
+        list_cols=["logits", "timestamp_ms"],
+    ).collect()
+    assert len(protos) == 4  # one sequence per video, both resolutions
+    by_name = {}
+    for p in protos:
+        ctx, lists = decode_sequence_example(bytes(p.proto))
+        by_name[ctx["filename"][0]] = lists
+    assert set(by_name) == {b"v_small_a", b"v_small_b", b"v_big_a", b"v_big_b"}
+    # frames arrive time-ordered in the proto, 3 steps of 4 logits each
+    for lists in by_name.values():
+        assert len(lists["logits"]) == 3
+        assert all(len(step) == 4 for step in lists["logits"])
+        assert [t[0] for t in lists["timestamp_ms"]] == [0.0, 500.0, 1000.0]

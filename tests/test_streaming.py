@@ -231,3 +231,74 @@ def test_streaming_merge_upsert_last_writer_wins(spark, tmp_path):
     for k, seq, v in sorted(allr, key=lambda t: t[1]):
         want[k] = (seq, v)
     assert got == want
+
+
+def test_streaming_sessionize_on_rocksdb_state_store(spark, tmp_path):
+    """Same stateful-sessionization lifecycle on the RocksDB state store
+    (VERDICT r2 item 7): at 100× event volume the default HDFS-backed
+    store keeps every open session in executor HEAP and OOMs; RocksDB
+    spills state to executor disk. The provider is a session conf read at
+    query start; results must be identical, and the checkpoint must show
+    RocksDB artifacts (proof the conf took effect, not a silent
+    fallback)."""
+    import glob as _glob
+    import os as _os
+
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_sessionize_stateful,
+    )
+
+    GAP_S = 3600
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for off_min in (0, 10, 120, 125):
+        rows.append((eid, base + off_min * 60_000_000, 1)); eid += 1
+    for off_min in (5, 30, 55):
+        rows.append((eid, base + off_min * 60_000_000, 2)); eid += 1
+
+    src = str(tmp_path / "rocks_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    sentinel = spark.createDataFrame(
+        [(99_999, base + 10**12, 99_999)], "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    sentinel.write.mode("append").parquet(src)
+
+    chk = str(tmp_path / "rocks_chk")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = sorted(
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in streaming_sessionize_stateful(
+                spark, src, gap_seconds=GAP_S, checkpoint_dir=chk
+            ).collect()
+            if r.user_id != 99_999
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # sessions: user 1 → (0,10m) and (2h,2h+5m); user 2 → (5m..55m)
+    m = 60_000_000
+    assert got == [
+        (1, base, base + 10 * m, 2),
+        (1, base + 120 * m, base + 125 * m, 2),
+        (2, base + 5 * m, base + 55 * m, 3),
+    ]
+    # RocksDB leaves its own on-disk layout under state/0/<partition>/
+    # (zip snapshots / changelog files — never the HDFS store's .delta)
+    state_files = _glob.glob(_os.path.join(chk, "state", "**", "*"), recursive=True)
+    assert state_files, "no state checkpoint written"
+    assert not any(f.endswith(".delta") for f in state_files)
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files)

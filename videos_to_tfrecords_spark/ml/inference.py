@@ -54,6 +54,33 @@ def linear_stub_model(in_dim: int = 64, out_dim: int = 8, seed: int = 7) -> Mode
     return factory
 
 
+def adaptive_stub_model(out_dim: int = 8, seed: int = 7) -> ModelFactory:
+    """Shape-adaptive stand-in for models that accept any input width
+    (what a resize-free image tower would be): the weight matrix is
+    derived deterministically from (input width, seed) the first time a
+    width appears, then cached per worker. Pairs with
+    :func:`batch_inference_by_shape`, whose groups guarantee each call
+    sees ONE width — mixed-resolution corpora get reproducible
+    per-resolution projections."""
+
+    def factory() -> Callable[[np.ndarray], np.ndarray]:
+        cache: dict[int, np.ndarray] = {}
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            d = batch.shape[1]
+            w = cache.get(d)
+            if w is None:
+                rng = np.random.RandomState(seed + d)
+                w = cache[d] = rng.uniform(-1.0, 1.0, size=(d, out_dim)).astype(
+                    np.float64
+                )
+            return np.maximum(batch @ w, 0.0)
+
+        return predict
+
+    return factory
+
+
 def batch_inference(
     df: DataFrame,
     input_col: str,

@@ -85,14 +85,17 @@ def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("video_pipeline_e2e")  # rows-only: spans decode+inference+proto encode
-def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's whole mainline (preprocess.py:371-416) re-expressed
-    Spark-first: filename table → extension filter → label extraction →
-    deterministic split → video decode (fake, mapInPandas UDTF) → batched
-    inference (pandas UDF) → full_video sequence assembly → FormatFeatures
-    pivot → SequenceExample proto bytes. Output: per-split sequence counts
-    and total proto bytes (deterministic; schema-stable)."""
+def run_pipeline_e2e(
+    spark: SparkSession, sf_dir: str, by_shape: bool = False
+) -> DataFrame:
+    """E2E pipeline body shared by the registered query and tests. With
+    ``by_shape=True`` the inference stage routes through
+    :func:`batch_inference_by_shape` grouped on (height, width, channels)
+    — the reference's shape-homogeneous batching (preprocess.py:246-253),
+    required when the decoder emits mixed resolutions (np.stack over a
+    ragged Arrow batch raises). The fake decoder's frames are all 2×2×3,
+    so both paths produce identical results here; the mixed-resolution
+    case is exercised by tests/test_ml.py with a ragged fixture."""
     files = _files_df(spark, sf_dir)
     from videos_to_tfrecords_spark.operators.filenames import (
         extract_label,
@@ -102,7 +105,24 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = extract_label(filter_extensions(files))
     split = hash_bucket_split(labeled, "doc_id")
     frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
-    embedded = batch_inference(frames, "image", linear_stub_model(12, 4), drop_input=True)
+    if by_shape:
+        from videos_to_tfrecords_spark.ml.inference import (
+            adaptive_stub_model,
+            batch_inference_by_shape,
+        )
+
+        embedded = batch_inference_by_shape(
+            frames,
+            "image",
+            ["height", "width", "channels"],
+            adaptive_stub_model(4),
+            drop_input=True,
+            model_cache_key="e2e_adaptive",
+        )
+    else:
+        embedded = batch_inference(
+            frames, "image", linear_stub_model(12, 4), drop_input=True
+        )
     full = to_full_video(
         embedded.select(
             "filename", "label", "dataset", "timestamp_ms", "frame_per_sec",
@@ -133,6 +153,22 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dataset")
     )
+
+
+@query("video_pipeline_e2e")  # rows-only: spans decode+inference+proto encode
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole mainline (preprocess.py:371-416) re-expressed
+    Spark-first: filename table → extension filter → label extraction →
+    deterministic split → video decode (fake, mapInPandas UDTF) → batched
+    inference (pandas UDF) → full_video sequence assembly → FormatFeatures
+    pivot → SequenceExample proto bytes. Output: per-split sequence counts
+    and total proto bytes (deterministic; schema-stable).
+    SPARK_GRAFT_E2E_BY_SHAPE=1 switches the inference stage to
+    shape-homogeneous batching (see run_pipeline_e2e)."""
+    import os
+
+    by_shape = os.environ.get("SPARK_GRAFT_E2E_BY_SHAPE") == "1"
+    return run_pipeline_e2e(spark, sf_dir, by_shape=by_shape)
 
 
 @query(

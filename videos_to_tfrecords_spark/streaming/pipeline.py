@@ -242,6 +242,7 @@ def streaming_sessionize_stateful(
     src_dir: str,
     gap_seconds: int = 3600,
     schema: T.StructType | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming SESSIONIZATION with event-time timeout —
     the full applyInPandasWithState lifecycle the reference never needed
@@ -324,7 +325,18 @@ def streaming_sessionize_stateful(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"stream_sessz_{uuid.uuid4().hex[:8]}"
-    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    writer = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+    if checkpoint_dir:
+        # an explicit checkpoint makes the state store inspectable — and
+        # at 100× event volume the store should be RocksDB
+        # (spark.sql.streaming.stateStore.providerClass=
+        # ...state.RocksDBStateStoreProvider, a session conf read at query
+        # start): open-session state then lives on executor DISK with an
+        # in-memory block cache instead of an all-in-heap HashMap, so
+        # state size is bounded by disk, not executor memory. Pytest runs
+        # the full lifecycle under both providers.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
