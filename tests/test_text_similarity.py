@@ -406,3 +406,30 @@ def test_kmeans_lite_empty_cluster_keeps_previous_position(spark):
     # with only two point clouds, the 3 centroids collapse onto ≤2 distinct
     # member-weighted positions + possibly a carried seed; all must be finite ints
     assert np.isfinite(cents).all()
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Hand-computed goldens: a looping doc scores high on every signal, a
+    varied doc scores 0; the <2-token edge cases are NULL-free."""
+    from videos_to_tfrecords_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go"),          # toks 4, distinct 1; bigrams: "go go"×3
+            (2, "a b c d"),              # all unique
+            (3, "x"),                    # 1 token: no bigrams
+            (4, "a b a b a"),            # bigrams: ab,ba,ab,ba → all dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.dup_token_ratio_x1000) == (4, 750)  # (4-1)*1000//4
+    assert r1.top_bigram_frac_x1000 == 1000 and r1.dup_bigram_frac_x1000 == 1000
+    r2 = got[2]
+    assert (r2.dup_token_ratio_x1000, r2.top_bigram_frac_x1000, r2.dup_bigram_frac_x1000) == (0, 333, 0)
+    r3 = got[3]
+    assert (r3.n_tokens, r3.top_bigram_frac_x1000, r3.dup_bigram_frac_x1000) == (1, 0, 0)
+    r4 = got[4]
+    # toks 5 distinct 2 → (3*1000)//5 = 600; 4 bigrams, top "a b"×2 → 500; all dup → 1000
+    assert (r4.dup_token_ratio_x1000, r4.top_bigram_frac_x1000, r4.dup_bigram_frac_x1000) == (600, 500, 1000)

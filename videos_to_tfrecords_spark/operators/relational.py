@@ -175,3 +175,63 @@ def merge_upsert(
     keys = list(key_cols)
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def sessionize_udtf_sessions(
+    spark,
+    events: DataFrame,
+    gap_us: int = 7_200_000_000,
+) -> DataFrame:
+    """Per-user session aggregates via a Spark 4 Python UDTF called with
+    ``TABLE(...) PARTITION BY user_id ORDER BY ts_us, event_id`` — the
+    UDTF analog of a keyed DoFn with per-key ordered input: one class
+    instance per partition key, ``eval`` per row IN ORDER, ``terminate``
+    flushes that key's sessions. Semantics identical to
+    :func:`sessionize` + rollup (same oracle); exists to exercise the
+    partition-aware UDTF execution path, which is how arbitrary
+    per-key sequential algorithms (CRDT merges, compaction, legacy
+    per-entity code) mount onto Spark without a window-function rewrite.
+
+    Scale: PARTITION BY shuffles once on user_id; each instance holds ONE
+    user's open-session accumulator (O(1) state — rows stream through in
+    order, they are not buffered)."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, session_seq long, session_start_us long, n_events long")
+    class SessionRollup:
+        def __init__(self):
+            self._out = []
+            self._key = None
+            self._seq = self._start = self._last = self._n = 0
+
+        def _close(self):
+            if self._n:
+                self._out.append((self._key, self._seq, self._start, self._n))
+
+        def eval(self, row):
+            ts = row["ts_us"]
+            if self._n == 0:
+                self._key = row["user_id"]
+                self._seq, self._start, self._n = 0, ts, 1
+            elif ts - self._last > gap_us:
+                self._close()
+                self._seq += 1
+                self._start, self._n = ts, 1
+            else:
+                self._n += 1
+            self._last = ts
+
+        def terminate(self):
+            self._close()
+            yield from self._out
+
+    name = f"session_rollup_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, SessionRollup)
+    view = f"_sess_in_{_uuid.uuid4().hex[:8]}"
+    events.select("user_id", "ts_us", "event_id").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM {name}(TABLE({view}) "
+        f"PARTITION BY user_id ORDER BY (ts_us, event_id))"
+    )

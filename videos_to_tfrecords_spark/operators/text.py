@@ -124,3 +124,65 @@ def with_normalized_text(df: DataFrame, text_col: str = "text", out: str = "text
     c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
     c = F.regexp_replace(c, " +", " ")
     return df.withColumn(out, F.trim(c))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-paper family of
+    filters (duplicate-token and duplicate/top-n-gram fractions) that LLM
+    corpus pipelines apply after dedup: templated or looping text shows a
+    high fraction of its tokens inside repeated n-grams even when no two
+    DOCUMENTS are near-dups.
+
+    Signals (integer ×1000 floor ratios — exact cross-engine, no float
+    hashing):
+    - ``dup_token_ratio_x1000``  = 1000·(n_tokens − n_distinct)/n_tokens
+    - ``top_bigram_frac_x1000``  = 1000·max_bigram_count/n_bigrams
+    - ``dup_bigram_frac_x1000``  = 1000·Σ{count>1 bigram tokens}/n_bigrams
+
+    Scale shape: token/distinct sizes are per-row Catalyst expressions (no
+    shuffle); the bigram frequencies are explode → two-level partial→final
+    aggregation, so the one exchange carries (doc, bigram, count) rows —
+    ∝ corpus n-grams, never all-pairs. Docs with <2 tokens get 0 for the
+    bigram ratios (NULL-free so downstream filters stay simple)."""
+    from videos_to_tfrecords_spark.functions.textfn import shingles, tokens
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    toks = tokens(text_col)
+    sizes = base.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bg = base.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("g")
+    )
+    per_doc = (
+        bg.groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("top_cnt"),
+            F.sum("count").alias("n_bigrams"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+                "dup_cnt"
+            ),
+        )
+    )
+    return (
+        sizes.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(1000 * (n_tokens - n_distinct)) div n_tokens").alias(
+                "dup_token_ratio_x1000"
+            ),
+            F.coalesce(
+                F.expr("(1000 * top_cnt) div n_bigrams"), F.lit(0)
+            ).alias("top_bigram_frac_x1000"),
+            F.coalesce(
+                F.expr("(1000 * dup_cnt) div n_bigrams"), F.lit(0)
+            ).alias("dup_bigram_frac_x1000"),
+        )
+    )

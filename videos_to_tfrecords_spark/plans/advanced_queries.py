@@ -737,3 +737,36 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+@query(
+    "user_sessions_udtf",
+    """
+WITH e AS (SELECT event_id, user_id, (epoch_ns(ts)//1000) AS ts_us FROM events),
+s AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 7200000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+x AS (SELECT user_id, ts_us, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
+      FROM s)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via a PARTITION BY / ORDER BY Python UDTF (§7
+    extension): per-key ordered streaming through a UDTF instance — the
+    mount point for arbitrary per-entity sequential logic. Same semantics
+    (and oracle) as user_sessions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    from videos_to_tfrecords_spark.operators.relational import (
+        sessionize_udtf_sessions,
+    )
+
+    return sessionize_udtf_sessions(spark, ev)

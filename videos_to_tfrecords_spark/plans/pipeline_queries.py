@@ -228,3 +228,30 @@ def q_pipeline_crop_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dataset")
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts_us, user_id, event_type
+           FROM events)
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts_us AS view_us,
+       c.ts_us AS click_us
+FROM e v JOIN e c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + CAST(3600000000 AS BIGINT)
+""",
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (§7 streaming extension):
+    view⋈click within 1h per user, both sides watermarked so join-buffer
+    state is evictable. Hash-matches the declarative batch interval join —
+    one logical result, streaming physical execution."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_stream_stream_join,
+    )
+
+    return streaming_stream_stream_join(spark, sf_dir)

@@ -627,3 +627,95 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND round(l_discount*100) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical scan-heavy
+    filter+aggregate — no join, no shuffle beyond the final partial→final
+    agg; every predicate pushes to the parquet scan. Discount compared in
+    exact integer hundredths."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
+            ).alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+           FROM customer),
+avg_src AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM c WHERE bal_c > 0)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM c JOIN nation ON c_nationkey = n_nationkey, avg_src
+WHERE bal_c * avg_src.cnt > avg_src.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the synthetic
+    schema (nation for the phone-prefix country code): customers above the
+    positive-balance average with no RECENT orders (every synthetic
+    customer has some order, so "dormant since 2000" keeps the anti-join
+    non-trivial at every SF). The average threshold is
+    applied by integer cross-multiplication (bal·cnt > sum) — exact
+    cross-engine, no float average. Plan: the 1-row aggregate and the
+    nation dim broadcast; NOT EXISTS is a left-anti join on custkey."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    avg_src = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("cnt")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_src))
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+        .orderBy("n_name")
+    )

@@ -647,3 +647,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "component", "score")
     )
+
+
+@query(
+    "doc_repetition_signals",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sizes AS (SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct FROM t),
+bg AS (SELECT doc_id, unnest({shingles_sql("toks", 2)}) AS g FROM t),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_cnt
+            FROM cnt GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST((1000 * (s.n_tokens - s.n_distinct)) // s.n_tokens AS BIGINT)
+         AS dup_token_ratio_x1000,
+       CAST(COALESCE((1000 * p.top_cnt) // p.n_bigrams, 0) AS BIGINT)
+         AS top_bigram_frac_x1000,
+       CAST(COALESCE((1000 * p.dup_cnt) // p.n_bigrams, 0) AS BIGINT)
+         AS dup_bigram_frac_x1000
+FROM sizes s LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (M5 extension): duplicate
+    token ratio + top/duplicate bigram fractions per document — the
+    within-document repetition filters corpus pipelines run after
+    cross-document dedup. Pure Catalyst sizes + one (doc, bigram)
+    partial→final aggregation; exact ×1000 integer ratios hash-checked."""
+    from videos_to_tfrecords_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)

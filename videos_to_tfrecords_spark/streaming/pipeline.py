@@ -402,3 +402,68 @@ def streaming_merge_upsert(
     finally:
         q.stop()
     return n_batches["n"]
+
+
+def streaming_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the streaming join shape the
+    suite lacked: view events join click events of the SAME user with the
+    click inside (view_ts, view_ts + window]. Both sides carry watermarks
+    and the join condition time-bounds the click relative to the view, so
+    Spark derives a state-eviction bound for BOTH join buffers (state ∝
+    events inside the watermark horizon, not the whole stream) — the
+    property that makes the join runnable on an unbounded 100 TB/day feed.
+    Equi-key user_id keeps it a shuffle-partitioned hash join.
+
+    Both streams read the same file source filtered by type (a production
+    deploy would read two topics). Drained synchronously; result matches
+    the batch interval join by construction (processAllAvailable sees all
+    input, so no row is dropped by the watermark — late-data EVICTION
+    correctness vs the batch twin is what the pytest checks)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
