@@ -433,3 +433,55 @@ def test_repetition_signals_hand_computed(spark):
     r4 = got[4]
     # toks 5 distinct 2 → (3*1000)//5 = 600; 4 bigrams, top "a b"×2 → 500; all dup → 1000
     assert (r4.dup_token_ratio_x1000, r4.top_bigram_frac_x1000, r4.dup_bigram_frac_x1000) == (600, 500, 1000)
+
+
+def test_mixture_resample_hits_recipe_proportions(spark):
+    """Integer-recipe invariants: the binding source is fully consumed,
+    per-source kept counts equal floor(T·w/100), unlisted sources vanish,
+    and the kept set is deterministic across runs."""
+    from videos_to_tfrecords_spark.operators.sampling import mixture_resample
+
+    rows = (
+        [(i, "web") for i in range(300)]
+        + [(1000 + i, "wiki") for i in range(80)]
+        + [(2000 + i, "code") for i in range(40)]
+        + [(3000 + i, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 60, "wiki": 30, "code": 10}
+    out = mixture_resample(df, "source", "doc_id", weights)
+    got: dict[str, int] = {}
+    for r in out.collect():
+        got[r.source] = got.get(r.source, 0) + 1
+    # T = min(300*100//60, 80*100//30, 40*100//10) = min(500, 266, 400) = 266
+    # hash-threshold keeps the target IN EXPECTATION (binomial wobble)
+    targets = {"web": 266 * 60 // 100, "wiki": 266 * 30 // 100, "code": 26}
+    assert set(got) == set(targets)  # junk dropped entirely
+    for s_, tgt in targets.items():
+        assert abs(got[s_] - tgt) <= max(5, tgt // 5), (s_, got[s_], tgt)
+    # realized mixture is close to the recipe
+    total = sum(got.values())
+    assert abs(got["web"] / total - 0.60) < 0.08
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_resample(df, "source", "doc_id", weights).collect())
+    assert a == b
+
+
+def test_decontamination_counts_shared_shingles(spark):
+    """Hand-built contamination: a training doc embedding an eval doc's
+    text shares its shingles; a disjoint doc produces no row."""
+    from videos_to_tfrecords_spark.operators.dedup import decontaminate_overlap
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),  # contains both eval shingles
+            (2, "p q r s t u"),                 # clean
+            (3, "alpha beta gamma"),            # one shared shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared_shingles for r in decontaminate_overlap(tr, ev).collect()}
+    assert got == {1: 2, 3: 1}

@@ -477,3 +477,39 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     for b in range(bits):
         sh = sh + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
     return agg.select(F.col(id_col), sh.cast("long").alias("simhash"))
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the overlap check every LLM corpus runs
+    before training: for each training document, how many of its distinct
+    n-gram shingles also appear in the held-out evaluation set. Downstream
+    policy filters on the count (≥1 shared 13-gram ⇒ drop, in the
+    GPT-3/PaLM convention; n is a parameter).
+
+    Scale shape: both sides shingle-explode (distinct per doc), the
+    overlap is an EQUI-join on the shingle string. The eval side is
+    orders-of-magnitude smaller than the corpus — mark it broadcast-able
+    and the whole check is one map-side pass over the training shingles
+    (no shuffle of the corpus); a giant eval set degrades gracefully to a
+    shuffle join on the shingle key. Output: (id, n_shared_shingles) for
+    CONTAMINATED training docs only (clean docs produce no row — at 100 TB
+    the result ∝ contamination, not corpus)."""
+    from pyspark.sql import functions as F
+
+    tr = shingle_table(train, id_col, text_col, n=n)
+    ev = (
+        shingle_table(evalset, id_col, text_col, n=n)
+        .select(F.col("s"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

@@ -68,3 +68,55 @@ def stratified_sample_hash(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic TARGET-MIXTURE resampling — the corpus-composition
+    primitive behind every LLM data recipe ("60% web, 30% wiki, 10%
+    code"): given integer weight parts per source, find the largest total
+    T the available data supports (T = min_s ⌊100·n_s/w_s⌋ — the
+    binding source is ~fully consumed) and keep ⌊T·w_s/100⌋ rows of each
+    listed source IN EXPECTATION via the portable hash predicate
+    ``pmod(h15(id), n_s) < target_s`` (realized counts are binomial
+    around the target — the same O(1/√n) wobble as Bernoulli sampling,
+    negligible at corpus scale; an exact-k variant would need a
+    per-source global rank, i.e. a shuffle of every kept source).
+    Sources not in the recipe are dropped.
+
+    Everything is integer arithmetic over per-source COUNTS (a k-row
+    aggregate — planning metadata, collected like AQE stats), and the kept
+    SET is hash-reproducible across runs/engines/partitionings, so the
+    resampled corpus itself is oracle-checkable. At 100 TB: one count
+    pass + one scan with a pushed-down arithmetic filter; no shuffle of
+    data rows at all."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    present = {s: w for s, w in weights.items() if counts.get(s)}
+    if not present:
+        return df.filter(F.lit(False))
+    t_max = min(counts[s] * 100 // w for s, w in present.items())
+    pred = F.lit(False)
+    for s in sorted(present):
+        target = t_max * present[s] // 100
+        pred = pred | (
+            (F.col(source_col) == s)
+            & (
+                F.pmod(
+                    h15(F.col(id_col).cast("string"), salt="mix"),
+                    F.lit(counts[s]),
+                )
+                < F.lit(target)
+            )
+        )
+    return df.filter(pred)

@@ -681,3 +681,62 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_signals(docs)
+
+
+_MIX_WEIGHTS = {"src0": 50, "src1": 30, "src2": 20}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    hk = h15_sql("CAST(doc_id AS VARCHAR)", salt="mix")
+    return f"""
+WITH w(source, wt) AS (VALUES {values}),
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT c.source, c.n, w.wt FROM cnt c JOIN w USING (source) WHERE c.n > 0),
+t AS (SELECT min((n * 100) // wt) AS tmax FROM j),
+kp AS (SELECT source, n, (t.tmax * wt) // 100 AS target FROM j, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN kp ON d.source = kp.source
+WHERE {hk} % kp.n < kp.target
+"""
+
+
+@query("mixture_resample", _mixture_oracle())
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus resampling (M5 extension): integer recipe
+    weights → largest supportable total → per-source hash keep-sets. The
+    kept SET hash-matches the SQL twin (portable h15 predicate), not just
+    the proportions."""
+    from videos_to_tfrecords_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(docs, "source", "doc_id", _MIX_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "doc_decontamination",
+    f"""
+WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 97 != 0),
+ev AS (SELECT DISTINCT unnest({shingles_sql("toks", 3)}) AS s
+       FROM (SELECT string_split(text, ' ') AS toks FROM documents
+             WHERE doc_id % 97 = 0)),
+trs AS (SELECT DISTINCT doc_id, unnest({shingles_sql("toks", 3)}) AS s FROM tr)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM trs JOIN ev USING (s) GROUP BY doc_id
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (M5 extension): per-training-doc count of
+    distinct 3-shingles shared with a held-out eval slice (doc_id % 97 ==
+    0) — the pre-training overlap audit. Broadcast eval shingles ⇒ one
+    map-side pass over the corpus."""
+    from videos_to_tfrecords_spark.operators.dedup import decontaminate_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
