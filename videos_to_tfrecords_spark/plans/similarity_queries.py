@@ -317,3 +317,48 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(v, lambda x: F.round(F.lit(127.0) * x / maxabs).cast("long"))
     )
     return emb.select("vec_id", q.alias("q"))
+
+
+@query(
+    "embedding_dup_clusters",
+    f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({_bucket_sql(_BANDED_PLANES)} AS BIGINT) AS sig FROM e),
+bands AS (SELECT vec_id, unnest(range(0, {_BANDED_BANDS})) AS band,
+                 unnest(list_transform(range(0, {_BANDED_BANDS}),
+                        b -> (sig >> CAST(b * {_BANDED_BITS} AS INTEGER)) & {(1 << _BANDED_BITS) - 1})) AS bkey
+          FROM sig),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b, {_int_dot("list_transform(ea.v, x -> CAST(round(x * 1000000) AS BIGINT))", "list_transform(eb.v, x -> CAST(round(x * 1000000) AS BIGINT))")} AS dot_scaled
+      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b),
+dup AS (SELECT id_a, id_b FROM s WHERE dot_scaled >= {_BANDED_THR}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT edg.src, reach.r FROM edges edg JOIN reach ON edg.dst = reach.node
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY node
+""",
+)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS (M5): banded cosine threshold pairs →
+    connected components — the semantic-dedup composition (cluster by
+    embedding similarity, keep one representative per cluster) that
+    complements the text-side doc_dup_clusters. Same scale shapes as its
+    parts: equi-join candidate generation, edge-proportional CC. Oracle:
+    recursive-CTE min-reachable-id over the same deterministic pairs."""
+    from videos_to_tfrecords_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_threshold_pairs_banded(
+        emb,
+        threshold_scaled=_BANDED_THR,
+        n_planes=_BANDED_PLANES,
+        n_bands=_BANDED_BANDS,
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
