@@ -770,3 +770,85 @@ def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sessionize_udtf_sessions(spark, ev)
+
+
+@query(
+    "variant_props_stats",
+    r"""
+WITH x AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x WHERE k % 3 = 0 GROUP BY event_type
+""",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type (§2.2
+    extension): parse_json once into the binary variant encoding, then
+    typed variant_get extraction — the engine's path for schema-flexible
+    event payloads (vs per-access JSON string re-parsing; the variant
+    encoding is parsed once and fields are O(1) lookups, the same design
+    as Delta/Iceberg variant columns). Filter + aggregate on the extracted
+    field; oracle uses a regex so no DuckDB JSON extension is assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "gap_filled_daily_counts",
+    """
+WITH RECURSIVE
+d AS (SELECT CAST((epoch_ns(ts)//1000) // 86400000000 AS BIGINT) AS day,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine(day) AS (SELECT lo FROM bounds
+               UNION ALL
+               SELECT day + 1 FROM spine, bounds WHERE day < hi)
+SELECT spine.day AS day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases
+FROM spine LEFT JOIN d USING (day)
+""",
+)
+def q_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series via Spark 4 WITH RECURSIVE (§2.7 SQL
+    front-end extension): a recursive date spine spans [min, max] purchase
+    days, left-joined to daily counts so silent days appear as explicit
+    zeros — the classic reporting shape that window functions cannot
+    express (missing rows can't be windowed into existence). The SAME
+    recursive SQL text runs on both engines. Spine length ∝ days (tiny);
+    the aggregate is partial→final on the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gap_events")
+    return spark.sql(
+        """
+WITH RECURSIVE
+d AS (SELECT CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day,
+             count(*) AS n
+      FROM _gap_events WHERE event_type = 'purchase' GROUP BY 1),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (SELECT lo AS day FROM bounds
+          UNION ALL
+          SELECT day + 1 FROM spine, bounds WHERE day < hi)
+SELECT spine.day AS day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases
+FROM spine LEFT JOIN d USING (day)
+"""
+    )
