@@ -354,11 +354,16 @@ def ngram_jaccard_pairs(
     # once the output exists instead of accumulating across invocations.
     sh = shingle_table(df, id_col, text_col).persist()
     freq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
-    wdoc = Window.partitionBy(id_col)
+    # doc sizes via partial→final aggregate + join, NOT a count() window:
+    # the window form sorts the full (shingle ⋈ freq) table a second time
+    # per doc partition — measured 2.7× slower at sf0.1 for an identical
+    # result. The rarest-first rank's sort is inherent (it IS the prefix
+    # order); everything else stays agg-shaped.
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("d_len"))
     worder = Window.partitionBy(id_col).orderBy("df_s", "s")
     prefix = (
         sh.join(freq, "s")
-        .withColumn("d_len", F.count("*").over(wdoc))
+        .join(sizes, id_col)
         .withColumn("rn", F.row_number().over(worder))
         .filter(F.col("rn") <= F.col("d_len") - F.ceil(F.lit(t) * F.col("d_len")) + 1)
         .select(id_col, "s", "d_len")
