@@ -302,3 +302,71 @@ def test_streaming_sessionize_on_rocksdb_state_store(spark, tmp_path):
     assert state_files, "no state checkpoint written"
     assert not any(f.endswith(".delta") for f in state_files)
     assert any(f.endswith((".zip", ".changelog")) for f in state_files)
+
+
+def test_transform_with_state_sessionize_matches_old_api(spark, tmp_path):
+    """The new-gen stateful API (transformWithStateInPandas: ValueState +
+    event-time timers, RocksDB-backed by requirement) must emit exactly
+    the sessions the applyInPandasWithState path emits on the same input,
+    including the timer-driven tail flush.
+
+    Skipped when the protobuf package is absent: transformWithState's
+    Python driver worker speaks protobuf to the JVM state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2), an import this
+    container cannot satisfy — environment-imposed, like the cv2/TF
+    skips."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_sessionize_stateful,
+        streaming_sessionize_tws,
+    )
+
+    GAP_S = 3600
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for off_min in (0, 10, 120, 125):
+        rows.append((eid, base + off_min * 60_000_000, 1)); eid += 1
+    for off_min in (5, 30, 55):
+        rows.append((eid, base + off_min * 60_000_000, 2)); eid += 1
+
+    src = str(tmp_path / "tws_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    sentinel = spark.createDataFrame(
+        [(99_999, base + 10**12, 99_999)], "event_id long, ts_us long, user_id long"
+    ).select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    sentinel.write.mode("append").parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = sorted(
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in streaming_sessionize_tws(
+                spark, src, gap_seconds=GAP_S, checkpoint_dir=str(tmp_path / "tws_chk")
+            ).collect()
+            if r.user_id != 99_999
+        )
+        old = sorted(
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in streaming_sessionize_stateful(
+                spark, src, gap_seconds=GAP_S
+            ).collect()
+            if r.user_id != 99_999
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert tws == old and len(tws) == 3

@@ -467,3 +467,117 @@ def streaming_stream_stream_join(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def streaming_sessionize_tws(
+    spark: SparkSession,
+    src_dir: str,
+    gap_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Sessionization on Spark 4's ``transformWithStateInPandas`` — the
+    new-generation stateful API (successor to applyInPandasWithState):
+    explicit ValueState + event-time TIMERS instead of a per-call timeout
+    conf, schema'd state the engine can evolve, and a mandatory RocksDB
+    state store (set spark.sql.streaming.stateStore.providerClass before
+    calling — state lives on executor disk by construction). NOTE: the
+    API's Python driver worker talks protobuf to the JVM state server, so
+    the ``protobuf`` package must be importable on workers — absent in
+    this container, hence the pytest is skipif(protobuf) like the cv2/TF
+    legs; the implementation follows the public API contract. Semantics
+    identical to :func:`streaming_sessionize_stateful`: sessions close
+    in-stream when a later event passes the gap, or via the timer when the
+    watermark passes last + gap. Pytest asserts both APIs emit the same
+    sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "open_session", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us = []
+            for pdf in rows:
+                ts_us.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+            ts_us.sort()
+            out = {"user_id": [], "start_us": [], "end_us": [], "n_events": []}
+            if self._state.exists():
+                start, last, n = self._state.get()
+            else:
+                start, last, n = 0, 0, 0
+            for t in ts_us:
+                if n == 0:
+                    start = last = t
+                    n = 1
+                elif t - last > gap_us:
+                    out["user_id"].append(key[0])
+                    out["start_us"].append(start)
+                    out["end_us"].append(last)
+                    out["n_events"].append(n)
+                    start = last = t
+                    n = 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            if n > 0:
+                self._state.update((start, last, n))
+                # close the open session when the watermark passes last+gap
+                self._handle.registerTimer((last + gap_us) // 1000 + 1)
+            if out["user_id"]:
+                yield pd.DataFrame(out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._state.exists():
+                start, last, n = self._state.get()
+                # the timer may be stale (a later event extended the
+                # session and registered a newer timer): only flush if the
+                # session really ended before this expiry
+                if expiredTimerInfo.getExpiryTimeInMs() >= (last + gap_us) // 1000 + 1:
+                    self._state.clear()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "start_us": [start],
+                            "end_us": [last],
+                            "n_events": [n],
+                        }
+                    )
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                ]
+            )
+        )
+        .parquet(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        outputMode="append",
+        timeMode="EventTime",
+    )
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    writer = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
