@@ -485,3 +485,24 @@ def test_decontamination_counts_shared_shingles(spark):
     )
     got = {r.doc_id: r.n_shared_shingles for r in decontaminate_overlap(tr, ev).collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_pii_scrub_goldens(spark):
+    """Hand-built strings: each pattern redacts and counts; clean text
+    passes through untouched with zero hits."""
+    from videos_to_tfrecords_spark.operators.text import with_pii_scrubbed
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (650) 555-0199 or 212-555-0100 today"),
+            (3, "host 192.168.1.17 responded"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text_scrubbed, r.n_pii_hits) for r in with_pii_scrubbed(df).collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("call <PHONE> or <PHONE> today", 2)
+    assert got[3] == ("host <IP> responded", 1)
+    assert got[4] == ("nothing sensitive here", 0)

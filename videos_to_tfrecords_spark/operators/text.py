@@ -186,3 +186,32 @@ def repetition_signals(
             ).alias("dup_bigram_frac_x1000"),
         )
     )
+
+
+#: redaction patterns: each (name, regex, replacement token). Kept small
+#: and FIXED — the pattern set is part of the operator's contract and is
+#: mirrored verbatim in oracles (both engines use RE2-compatible syntax).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def with_pii_scrubbed(
+    df: DataFrame, text_col: str = "text", out: str = "text_scrubbed"
+) -> DataFrame:
+    """PII redaction — the scrub pass LLM corpora run before training:
+    emails, phone-shaped number runs, and IPv4 literals replaced by typed
+    placeholder tokens, plus per-row match counts so the pipeline can
+    quarantine high-PII documents instead of silently keeping scrubbed
+    husks. Pure Catalyst regexp_replace/regexp_count — stays in the scan
+    stage at 100 TB, no Python. Patterns are deliberately conservative
+    (precision over recall) and FIXED: they are the cross-engine
+    contract; production swaps in its legal team's list."""
+    scrubbed = F.col(text_col)
+    n_hits = F.lit(0).cast("long")
+    for _, pat, token in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumn(out, scrubbed).withColumn("n_pii_hits", n_hits)

@@ -255,3 +255,50 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return streaming_stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "jsonl_source_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink breadth (§2.1 extension): events written as
+    JSONL (integer cents — exact through the text format), read back with
+    an EXPLICIT schema (schema inference is a full extra pass at 100 TB;
+    never pay it twice), aggregated. The oracle computes the same result
+    from the parquet directly, so the JSON round-trip itself is what is
+    being hash-checked. Deterministic overwrite path keeps re-runs pure."""
+    import hashlib as _hl
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    # stay inside the repo (gitignored warehouse dir), keyed by SF so
+    # concurrent SF runs never collide
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "jsonl_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    ev.write.mode("overwrite").json(path)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
+    )

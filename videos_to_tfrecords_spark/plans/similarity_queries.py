@@ -105,7 +105,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count: auto-derived planes grow with the corpus (>32,768 rows at 8
     # planes) and would silently diverge from a fixed-plane SQL oracle at
     # larger SFs. The auto + chunk-grid scale path is exercised by pytest
-    # (tests/test_similarity.py) against brute-force recall instead.
+    # (tests/test_text_similarity.py) against brute-force recall instead.
     return lsh_topk(emb, k=3, n_planes=N_PLANES)
 
 

@@ -740,3 +740,54 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
     )
+
+
+@query(
+    "doc_pii_scrub",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 40), ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or +1 (555) 010-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7') AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM seeded),
+s2 AS (SELECT doc_id, c1,
+              CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS c2,
+              regexp_replace(t, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, c1, c2,
+              CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS c3,
+              regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+       FROM s2)
+SELECT doc_id, t AS text_scrubbed, c1 + c2 + c3 AS n_pii_hits FROM s3
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (M5 extension): the synthetic corpus carries no PII, so
+    the query first INJECTS deterministic email/phone/IP strings derived
+    from doc_id (identically in the oracle), then runs the fixed
+    three-pattern scrub — redacted text AND per-doc hit counts are
+    hash-checked. Sequential regexp_replace in one projection: whole
+    per-document work stays in the scan stage."""
+    from videos_to_tfrecords_spark.operators.text import with_pii_scrubbed
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return with_pii_scrubbed(seeded).select("doc_id", "text_scrubbed", "n_pii_hits")
