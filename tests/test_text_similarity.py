@@ -506,3 +506,34 @@ def test_pii_scrub_goldens(spark):
     assert got[2] == ("call <PHONE> or <PHONE> today", 2)
     assert got[3] == ("host <IP> responded", 1)
     assert got[4] == ("nothing sensitive here", 0)
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Degenerate-input sweep for the round-3 operators: empty eval set,
+    empty/whitespace docs through repetition signals, a mixture recipe
+    naming only absent sources — all must return sane empty/zero results,
+    not throw."""
+    from videos_to_tfrecords_spark.operators.dedup import decontaminate_overlap
+    from videos_to_tfrecords_spark.operators.sampling import mixture_resample
+    from videos_to_tfrecords_spark.operators.text import (
+        repetition_signals,
+        with_pii_scrubbed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    assert decontaminate_overlap(docs, empty).count() == 0
+    assert decontaminate_overlap(empty, docs).count() == 0
+
+    rep = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # "" splits to [""] → 1 token, 0 dup, no bigrams
+    assert (rep[2].n_tokens, rep[2].dup_token_ratio_x1000) == (1, 0)
+    assert rep[2].top_bigram_frac_x1000 == 0 and rep[2].dup_bigram_frac_x1000 == 0
+
+    assert mixture_resample(docs, "text", "doc_id", {"absent": 100}).count() == 0
+
+    scrub = {r.doc_id: r.n_pii_hits for r in with_pii_scrubbed(docs).collect()}
+    assert scrub == {1: 0, 2: 0}

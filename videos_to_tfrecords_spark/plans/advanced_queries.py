@@ -832,9 +832,15 @@ def q_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-end extension): a recursive date spine spans [min, max] purchase
     days, left-joined to daily counts so silent days appear as explicit
     zeros — the classic reporting shape that window functions cannot
-    express (missing rows can't be windowed into existence). The SAME
-    recursive SQL text runs on both engines. Spine length ∝ days (tiny);
-    the aggregate is partial→final on the scan."""
+    express (missing rows can't be windowed into existence). The recursion
+    steps WEEKLY and a sequence() explode fills each week's days: Spark
+    executes one job per recursive iteration (~200 ms scheduling floor
+    each), so a day-stepped spine pays 7× more iterations for the same
+    rows — step coarse, explode fine. Spine length ∝ calendar days
+    (metadata-scale, independent of data volume); the aggregate is
+    partial→final on the scan. The oracle states the identical spine
+    declaratively (DuckDB recursion is cheap — the structure, not the
+    per-step cost, is the shared contract)."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_gap_events")
     return spark.sql(
@@ -844,9 +850,11 @@ d AS (SELECT CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day,
              count(*) AS n
       FROM _gap_events WHERE event_type = 'purchase' GROUP BY 1),
 bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
-spine AS (SELECT lo AS day FROM bounds
+weeks AS (SELECT lo AS wk FROM bounds
           UNION ALL
-          SELECT day + 1 FROM spine, bounds WHERE day < hi)
+          SELECT wk + 7 FROM weeks, bounds WHERE wk + 7 <= hi),
+spine AS (SELECT explode(sequence(wk, least(wk + 6, hi))) AS day
+          FROM weeks, bounds)
 SELECT spine.day AS day,
        CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases
 FROM spine LEFT JOIN d USING (day)
