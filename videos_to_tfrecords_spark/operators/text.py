@@ -215,3 +215,72 @@ def with_pii_scrubbed(
         n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.withColumn(out, scrubbed).withColumn("n_pii_hits", n_hits)
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model perplexity scoring — the KenLM-style quality
+    signal LLM corpora compute before training: train add-one-smoothed
+    bigram counts ON the corpus itself, then score every document by its
+    average negative log-likelihood (low = fluent/common phrasing, high =
+    gibberish or boilerplate outliers).
+
+    Returns (id_col, n_bigrams, avg_nll) with avg_nll rounded to 6
+    decimals; documents with fewer than 2 tokens are dropped (no bigrams).
+
+    Scale design (100 TB): everything is equi-join-shaped —
+    per-(doc,bigram) multiplicities aggregate map-side before any join;
+    bigram/left-context count tables shuffle on their own keys (∝ distinct
+    bigrams, not corpus rows); the per-pair log-probability is computed
+    ONCE per distinct bigram on the counts table (bigram⋈left is
+    counts-sized), so the big instance⋈logp join carries one double per
+    distinct (doc,bigram). The vocab size is a 1-row broadcast. No Python
+    anywhere — ln stays in codegen.
+
+    Cross-engine exactness: counts are exact BIGINTs, each -ln((cb+1)/
+    (cu+V)) is computed by libm on identical integer inputs (bit-identical
+    across engines on one host); only the per-doc SUM order differs, whose
+    error is ~1e-13 at 1e3 terms — the 6-decimal rounding absorbs it.
+    add-one smoothing keeps P<1 so every term is positive and round()
+    half-up == DuckDB half-away-from-zero.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f" i -> struct(element_at(split({text_col}, ' '), i) AS w1,"
+        f"             element_at(split({text_col}, ' '), i + 1) AS w2))"
+    )
+    bg = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lc = bg.groupBy(F.col("w1").alias("lw1")).agg(F.count("*").alias("cu"))
+    vocab = (
+        df.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    logp = (
+        bc.join(lc, bc.w1 == lc.lw1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (-F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vsz")))).alias(
+                "logp"
+            ),
+        )
+    )
+    di = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
+    return (
+        di.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * F.col("logp")) / F.sum("m"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )

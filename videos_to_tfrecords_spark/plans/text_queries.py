@@ -791,3 +791,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return with_pii_scrubbed(seeded).select("doc_id", "text_scrubbed", "n_pii_hits")
+
+
+@query(
+    "doc_bigram_lm_nll",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS w1,
+              unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w2
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+lc AS (SELECT w1 AS lw1, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+lp AS (SELECT w1, w2, -ln((cb + 1.0) / (cu + vsz)) AS logp
+       FROM bc JOIN lc ON w1 = lw1, v),
+di AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+       FROM bg GROUP BY doc_id, w1, w2)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(sum(m * logp) / sum(m), 6) AS avg_nll
+FROM di JOIN lp USING (w1, w2)
+GROUP BY doc_id
+""",
+)
+def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document (see
+    operators/text.bigram_lm_scores for the scale + exactness design)."""
+    from videos_to_tfrecords_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
