@@ -537,3 +537,71 @@ def test_new_ops_degenerate_inputs(spark):
 
     scrub = {r.doc_id: r.n_pii_hits for r in with_pii_scrubbed(docs).collect()}
     assert scrub == {1: 0, 2: 0}
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    """Hand-computed: dup lines keep exactly the (min doc, min pos)
+    occurrence, including intra-document repeats; unique lines all
+    survive; a fully-duplicated doc collapses to empty."""
+    from videos_to_tfrecords_spark.operators.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "boiler plate\nunique one\nboiler plate"),  # intra-doc dup
+            (2, "boiler plate\nunique two"),
+            (3, "boiler plate"),  # everything duplicated elsewhere
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_global(df).collect()}
+    # doc 1 keeps its pos-0 occurrence (global first), drops the pos-2 one
+    assert out[1].text_dedup == "boiler plate\nunique one"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 1)
+    assert out[2].text_dedup == "unique two"
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 1)
+    assert out[3].text_dedup == ""
+    assert (out[3].n_lines_kept, out[3].n_lines_dropped) == (0, 1)
+
+
+def test_line_dedup_min_dup_threshold(spark):
+    """min_dup=3: a line occurring twice survives everywhere; at three
+    occurrences only the first survives."""
+    from videos_to_tfrecords_spark.operators.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(1, "twice\nthrice"), (2, "twice\nthrice"), (3, "thrice")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_global(df, min_dup=3).collect()}
+    assert out[1].text_dedup == "twice\nthrice"
+    assert out[2].text_dedup == "twice"
+    assert out[3].text_dedup == ""
+
+
+def test_hashed_linear_quality_matches_numpy_reference(spark):
+    """The JVM-side hashed classifier equals an independent Python
+    re-implementation (hashlib md5 + ints) on every doc, and the plan is
+    map-only (no exchange)."""
+    import hashlib
+
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    rows = [(1, "the quick brown fox"), (2, "a b a b"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hashed_linear_quality(df).collect()}
+
+    def h15py(s):
+        return int(hashlib.md5(f"ftq:{s}".encode()).hexdigest()[:15], 16)
+
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        feats = toks + (
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])] if len(toks) >= 2 else []
+        )
+        ws = [((h15py(f) % 4096) * 2654435761) % 2001 - 1000 for f in feats]
+        assert out[doc_id].n_features == len(feats)
+        assert out[doc_id].score_sum == sum(ws)
+        assert out[doc_id].quality_label == (sum(ws) > 0)
+
+    plan = hashed_linear_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

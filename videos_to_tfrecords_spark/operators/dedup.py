@@ -518,3 +518,86 @@ def decontaminate_overlap(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_dup: int = 2,
+) -> DataFrame:
+    """C4-style LINE-level dedup across the whole corpus: any line whose
+    exact text occurs ``min_dup``-or-more times corpus-wide is removed from
+    every document except its first occurrence (first = smallest
+    (doc_id, position)); documents are then reassembled with surviving
+    lines in their original order. This is the "discard all but one of any
+    repeated line" rule LLM corpus pipelines (C4, RefinedWeb) apply to
+    strip boilerplate headers/footers that exact DOC-level dedup misses.
+
+    Returns (id_col, text_dedup, n_lines_kept, n_lines_dropped) — one row
+    per input document, even when every line was dropped (empty string).
+
+    Scale shape (100 TB): lines explode with their position; the global
+    occurrence count groups on the line's 60-bit portable hash, so the
+    aggregation exchange carries (hash, count, first-occurrence struct) —
+    never the line text. The keeper table (∝ distinct lines) joins back on
+    the same hash key, so AQE can reuse the partitioning; reassembly is
+    one groupBy(doc) of the surviving (pos, line) pairs. Three shuffles
+    total, each ∝ corpus lines — no all-pairs term anywhere. Hash
+    collisions (2^-60) would merge two distinct lines' counts; acceptable
+    for a boilerplate filter (same trade every MinHash pipeline makes).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).select(
+        id_col, "pos", "line", h15("line", salt="ld").alias("lkey")
+    )
+    keepers = lines.groupBy("lkey").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first_occ"
+        ),
+    )
+    survived = (
+        lines.join(keepers, "lkey")
+        .filter(
+            (F.col("cnt") < F.lit(min_dup))
+            | (
+                (F.col(id_col) == F.col("first_occ.d"))
+                & (F.col("pos") == F.col("first_occ.p"))
+            )
+        )
+        .select(id_col, "pos", "line")
+    )
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), line_sep)).cast("long").alias("n_lines"),
+    )
+    rebuilt = (
+        survived.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s.line,
+                ),
+                line_sep,
+            ).alias("text_dedup"),
+            F.count("*").cast("long").alias("n_lines_kept"),
+        )
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )

@@ -303,3 +303,62 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE — the shape of
+    every learned quality/toxicity filter an LLM corpus pipeline runs at
+    ingest: features are token unigrams + bigrams hashed into
+    ``n_buckets`` weight slots, the score is the mean slot weight over the
+    document's features, the label thresholds the score at 0.
+
+    The weight table is a deterministic pseudo-model (slot ``b`` has
+    integer weight ``(b·2654435761) mod 2001 − 1000`` ∈ [−1000, 1000],
+    Knuth multiplicative mixing) — swapping in trained weights changes one
+    line, not the plan shape.
+
+    Returns (id_col, n_features, score_sum, score_x1000, quality_label):
+    ``score_x1000`` = floor(1000·score_sum/n_features) exact integer.
+
+    Scale shape (100 TB): ZERO exchanges — the feature array (unigrams ++
+    bigrams) is materialized per row, hashed/weighted with one transform,
+    and summed with one fold; classifier inference is a map-only pass on
+    the scan, which is why corpus filtering runs at ingest bandwidth. The
+    feature array lives in its own projection (no CSE inside HOF bodies).
+    Weights stay integer so the sum is order-independent and exact in any
+    engine; the 60-bit portable hash (functions/hashing.h15) makes the
+    bucket assignment oracle-checkable cross-engine.
+    """
+    from videos_to_tfrecords_spark.functions.textfn import shingles, tokens
+
+    feats = F.concat(tokens(text_col), shingles(F.col(text_col), 2))
+    staged = df.select(F.col(id_col), feats.alias("feats"))
+    weights = F.transform(
+        F.col("feats"),
+        lambda ft: (
+            F.pmod(h15(ft, salt="ftq"), F.lit(n_buckets)) * F.lit(2654435761)
+        )
+        % F.lit(2001)
+        - F.lit(1000),
+    )
+    staged2 = staged.select(
+        id_col,
+        F.size("feats").cast("long").alias("n_features"),
+        F.aggregate(
+            weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("score_sum"),
+    )
+    return staged2.select(
+        id_col,
+        "n_features",
+        "score_sum",
+        F.coalesce(
+            F.expr("(1000 * score_sum) div nullif(n_features, 0)"), F.lit(0)
+        ).alias("score_x1000"),
+        (F.col("score_sum") > 0).alias("quality_label"),
+    )

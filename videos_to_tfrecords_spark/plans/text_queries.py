@@ -822,3 +822,85 @@ def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.text import bigram_lm_scores
 
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_line_dedup",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lined AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (len(toks)-1)//8),
+                        i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS lines
+  FROM t),
+lx AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(generate_series(0, len(lines)-1)) AS pos
+  FROM lined),
+keyed AS (
+  SELECT doc_id, pos, line,
+         count(*) OVER (PARTITION BY {h15_sql('line', salt='ld')}) AS cnt,
+         row_number() OVER (PARTITION BY {h15_sql('line', salt='ld')}
+                            ORDER BY doc_id, pos) AS rn
+  FROM lx),
+kept AS (SELECT doc_id, pos, line FROM keyed WHERE cnt < 2 OR rn = 1),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id)
+SELECT l.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+       CAST(len(l.lines) - coalesce(r.n_lines_kept, 0) AS BIGINT)
+         AS n_lines_dropped
+FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (operators/dedup.dedup_lines_global).
+    The space-separated corpus has no newlines, so lines are derived
+    deterministically first: every 8 consecutive tokens = one line (the
+    near-dup documents in the corpus then share most of their lines, which
+    is exactly the boilerplate this filter strips)."""
+    from videos_to_tfrecords_spark.operators.dedup import dedup_lines_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.expr("(size(toks) - 1) div 8").cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = staged.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return dedup_lines_global(lined, min_dup=2)
+
+
+@query(
+    "doc_quality_classifier",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id,
+             CAST(len(feats) AS BIGINT) AS n_features,
+             CAST(coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0) AS BIGINT) AS score_sum
+      FROM f)
+SELECT doc_id, n_features, score_sum,
+       CAST(coalesce((1000 * score_sum) // nullif(n_features, 0), 0) AS BIGINT)
+         AS score_x1000,
+       score_sum > 0 AS quality_label
+FROM s
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier inference
+    (operators/text.hashed_linear_quality): map-only fastText-shaped
+    scoring, integer-exact cross-engine."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    return hashed_linear_quality(load_table(spark, sf_dir, "documents"))
