@@ -1,0 +1,85 @@
+"""Graph operator properties beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.graph import (
+    pagerank_integer,
+    triangle_count,
+)
+
+
+def _pagerank_python(edges, n_iter=5, total=10**12):
+    """Independent pure-Python reference of the integer update rule."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(out)
+    base = total // n
+    teleport = (15 * base) // 100
+    ranks = {v: base for v in out}
+    for _ in range(n_iter):
+        nxt = {}
+        for u, dsts in out.items():
+            c = ranks[u] // len(dsts)
+            for v in dsts:
+                nxt[v] = nxt.get(v, 0) + c
+        ranks = {v: teleport + (85 * s) // 100 for v, s in nxt.items()}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Engine == reference on a small asymmetric graph, and rank mass
+    concentrates on the high-in-degree node."""
+    edges = [(1, 2), (2, 1), (3, 1), (1, 3), (3, 2), (2, 3), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_integer(df, n_iter=5).collect()}
+    want = _pagerank_python(edges, n_iter=5)
+    assert got == want
+    assert got[1] == max(got.values())  # node 1 has in-degree 3
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """On a regular graph every node ends with the same rank."""
+    cyc = [(i, (i + 1) % 4) for i in range(4)] + [((i + 1) % 4, i) for i in range(4)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    ranks = {r.rank for r in pagerank_integer(df, n_iter=3).collect()}
+    assert len(ranks) == 1
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant vertex adds none; a square
+    (4-cycle) has none."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    df = spark.createDataFrame(k4 + [(4, 5)], "a long, b long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    row = triangle_count(spark.createDataFrame(square, "a long, b long")).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 0)
+
+
+def test_triangle_closure_is_equi_join(spark):
+    """The degree-ordered closure probe must stay a hash equi-join — an
+    OR-of-directions predicate would silently degenerate to a
+    nested-loop join over all wedges × edges."""
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    # the closure probe must be a hash/merge EQUI-join on the (w1, w2) pair
+    assert "Join [w1" in plan or "Join [coalesce(w1" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two 1-row × 1-row scalar
+    # crossJoins that assemble (n_nodes, n_edges, n_triangles)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_triangle_star_hub_wedges_bounded(spark):
+    """A star (one hub, 40 leaves) has 0 triangles; with degree
+    orientation every leaf→hub edge is oriented leaf-first, so no wedge
+    is ever centered at the hub (the O(deg²) blowup the orientation
+    exists to prevent)."""
+    star = [(0, i) for i in range(1, 41)]
+    row = triangle_count(spark.createDataFrame(star, "a long, b long")).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (41, 40, 0)

@@ -1,0 +1,131 @@
+"""Graph-analytics queries over relational edge derivations.
+
+Two graphs, both derived from the TPC-H-ish tables:
+- the bipartite customer↔supplier trade graph (an order by customer c
+  containing a lineitem from supplier s ⇒ edge), symmetrized for PageRank;
+  node ids are namespaced 2·custkey / 2·suppkey+1 so the two key spaces
+  can't collide;
+- the part co-purchase graph (two parts sharing an order ⇒ undirected
+  edge), for triangle counting.
+
+Oracle strategy: PageRank runs in exact BIGINT floor arithmetic (see
+operators/graph.pagerank_integer), so the DuckDB twin is the update rule
+unrolled into one CTE per iteration — the same technique as the IVF
+kmeans oracle (similarity_queries.py). Integer sums are order-independent,
+so the hash compare is exact. The triangle oracle is the textbook
+canonical triple join (e1=(x<y), e2=(x<z,y<z), e3=(y,z)); the engine's
+degree-ordered plan must reproduce its count exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+_PR_ITERS = 5
+_PR_TOTAL = 10**12
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _pagerank_oracle_sql() -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+             CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
+      FROM deg),
+r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM deg)"""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i-1}"
+        iters.append(
+            f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         (SELECT tel FROM c) + (85 * sum(r.rank // dg.d)) // 100 AS rank
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg dg ON e.src = dg.node
+  GROUP BY e.dst)"""
+        )
+    tail = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(rank AS BIGINT) AS rank
+FROM r{_PR_ITERS}"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_pagerank_trade", _pagerank_oracle_sql())
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration integer PageRank over the symmetrized customer↔supplier
+    trade graph (operators/graph.pagerank_integer); the oracle unrolls the
+    identical BIGINT floor-arithmetic update rule into 5 CTEs."""
+    from videos_to_tfrecords_spark.operators.graph import pagerank_integer
+
+    ranks = pagerank_integer(
+        _trade_edges(spark, sf_dir), n_iter=_PR_ITERS, total=_PR_TOTAL
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("key"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "graph_triangles_copurchase",
+    """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+nodes AS (
+  SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+  FROM (SELECT pa AS n FROM und UNION ALL SELECT pb AS n FROM und)),
+edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
+""",
+)
+def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph via the degree-ordered
+    wedge join (operators/graph.triangle_count) — must equal the canonical
+    triple-join count exactly."""
+    from videos_to_tfrecords_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(und)
