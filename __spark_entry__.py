@@ -75,6 +75,8 @@ _DRIVER_VERIFIED_R1_R2 = (
     "corpus_bigram_topk", "dedup_corpus_summary", "lateral_token_positions",
     "doc_normalized_text", "sequence_packing_summary", "stratified_sample",
     "doc_characteristic_terms", "quality_filter_by_lang",
+    "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
+    "embedding_norm_by_label", "embedding_threshold_pairs", "multimodal_meta",
 )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.operators.graph import (
     pagerank_integer,
+    personalized_pagerank_integer,
     triangle_count,
 )
 
@@ -46,6 +47,42 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     df = spark.createDataFrame(cyc, "src long, dst long")
     ranks = {r.rank for r in pagerank_integer(df, n_iter=3).collect()}
     assert len(ranks) == 1
+
+
+def _ppr_python(edges, seed_nodes, n_iter=5, total=10**12):
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    base = total // len(seed_nodes)
+    teleport = (15 * base) // 100
+    ranks = {v: base for v in seed_nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for u, r in ranks.items():
+            c = r // len(out[u])
+            for v in out[u]:
+                nxt[v] = nxt.get(v, 0) + c
+        ranks = {v: (85 * s) // 100 for v, s in nxt.items()}
+        for v in seed_nodes:
+            ranks[v] = ranks.get(v, 0) + teleport
+    return {v: r for v, r in ranks.items()}
+
+
+def test_personalized_pagerank_matches_python_and_localizes(spark):
+    """Engine == reference on a path graph; rank decays with distance
+    from the seed (the locality property global PageRank lacks)."""
+    path = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(df, seeds, n_iter=4).collect()
+    }
+    want = _ppr_python(path, [0], n_iter=4)
+    assert got == want
+    reached = sorted(k for k in got if got[k] > 0)
+    assert got[0] > got[2] > got[4] > 0  # monotone decay along the path
+    assert 5 not in reached or got[4] > got[5]
 
 
 def test_triangle_count_known_graphs(spark):

@@ -210,3 +210,41 @@ def test_interval_join_exact_past_double_precision(spark):
         for r in pts.crossJoin(ivs).filter("ts >= s and ts < e").collect()
     )
     assert got == naive == [(0, 1), (1, 1), (1, 2), (2, 2), (3, 2)]
+
+
+def test_interval_overlap_join_exactly_once_equals_naive(spark):
+    """interval_overlap_join == naive overlap self-join on adversarial
+    geometry — in particular a pair sharing MANY buckets (long × long
+    overlap) must come out exactly once (canonical max-starts bucket, no
+    DISTINCT), and touching half-open intervals (a.e == b.s) must NOT
+    match."""
+    from videos_to_tfrecords_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, 0, 1000),  # long; overlaps 2, 3, 4
+        (2, 500, 1500),  # long; shares 500..1000 with 1 (many buckets)
+        (3, 999, 1001),  # straddles a boundary
+        (4, 0, 7),  # sub-bucket
+        (5, 1000, 1002),  # touches 1 (half-open: no overlap with 1)
+        (6, 5000, 5001),  # isolated
+    ]
+    left = spark.createDataFrame(rows, "a_id long, a_s long, a_e long")
+    right = spark.createDataFrame(rows, "b_id long, b_s long, b_e long")
+    for width in (7, 100, 2000):
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                left, right, "a_s", "a_e", "b_s", "b_e", bucket_width=width
+            )
+            .filter("a_id < b_id")
+            .collect()
+        )
+        naive = sorted(
+            (r.a_id, r.b_id)
+            for r in left.crossJoin(right)
+            .filter("a_s < b_e and b_s < a_e and a_id < b_id")
+            .collect()
+        )
+        assert got == naive == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 5), (3, 5)]

@@ -75,6 +75,62 @@ def pagerank_integer(
     return out
 
 
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    total: int = PAGERANK_TOTAL,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns ONLY to the ``seeds``
+    node set (one column ``node``), so ranks measure proximity/affinity to
+    the seeds rather than global centrality — the standard trust/affinity
+    propagation shape (TrustRank-style corpus quality priors seeded from a
+    vetted whitelist).
+
+    Same exact-integer arithmetic as :func:`pagerank_integer`:
+        r0(v)      = total div |S|            for v ∈ S, else absent (0)
+        r_{i+1}(v) = [v ∈ S]·(15·(total div |S|)) div 100
+                     + (85·Σ_{(u,v)∈E} (r_i(u) div outdeg(u))) div 100
+
+    Each iteration is one union + one keyed aggregation (a single
+    shuffle) — NO full-outer join (Spark can't hash-broadcast those), so
+    the plan stays hash-partitioned on the node key throughout. Nodes
+    that never receive mass never materialize a row.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    e_deg = e.join(deg, "src").persist()
+    n_seeds = seeds.count()  # driver scalar, like n_nodes in pagerank
+    base = total // n_seeds
+    teleport = (15 * base) // 100
+    seed_tel = seeds.select(
+        F.col("node"), F.lit(teleport).alias("part")
+    ).persist()
+
+    ranks = seeds.select(F.col("node"), F.lit(base).alias("rank"))
+    for _ in range(n_iter):
+        flowed = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.expr("(85 * sum(contrib)) div 100").alias("part"))
+            .select(F.col("dst").alias("node"), "part")
+        )
+        # teleport lands only on seeds; summing the union in ONE keyed agg
+        # replaces the full-outer join a naive formulation would need
+        ranks = (
+            flowed.unionAll(seed_tel)
+            .groupBy("node")
+            .agg(F.sum("part").alias("rank"))
+        )
+    out = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist(blocking=False)
+    seed_tel.unpersist(blocking=False)
+    return out
+
+
 def triangle_count(
     und: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:

@@ -64,3 +64,66 @@ def interval_join(
         )
         .drop("_bkt")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inner join of the two interval tables on the OVERLAP predicate
+    ``l.start < r.end AND r.start < l.end`` (half-open intervals, shared
+    integer unit). Same bucketing scheme as :func:`interval_join`, now on
+    BOTH sides, plus the canonical-bucket trick for exactly-once output:
+
+    a pair of overlapping intervals shares every bucket in
+    [bucket(max(starts)), bucket(min(ends)-1)] — emitting on each would
+    duplicate the pair, and a DISTINCT to repair that would shuffle the
+    whole join output. Instead each joined pair is kept only in the
+    single bucket containing max(starts) (both explosions cover it, since
+    max(starts) < min(ends) whenever the pair overlaps), so the output is
+    exactly-once BY CONSTRUCTION — no dedup shuffle. Shuffle volume stays
+    ∝ rows·(span/width) per side and the join is an equi-join, so AQE
+    skew splitting still applies.
+
+    ``extra_keys``: same-named columns on both sides folded into the
+    equi-join key (e.g. a partition entity id), narrowing candidate pairs
+    before the residual predicate runs.
+    """
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                _bucket_of(left_start, bucket_width),
+                _bucket_of(f"{left_end} - 1", bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                _bucket_of(right_start, bucket_width),
+                _bucket_of(f"{right_end} - 1", bucket_width),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, ["_bkt", *extra_keys])
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .filter(
+            F.col("_bkt")
+            == _bucket_of(
+                f"greatest({left_start}, {right_start})", bucket_width
+            )
+        )
+        .drop("_bkt")
+    )

@@ -641,6 +641,77 @@ def q_interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "overlap_shipping_windows",
+    """
+WITH iv AS (
+  SELECT l_suppkey AS suppkey, l_orderkey AS ok, l_linenumber AS ln,
+         CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS s,
+         CAST(epoch(l_shipdate) // 86400 + 1 + l_linenumber AS BIGINT) AS e
+  FROM lineitem)
+SELECT a.suppkey AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS sum_overlap_days
+FROM iv a JOIN iv b
+  ON a.suppkey = b.suppkey AND a.s < b.e AND b.s < a.e
+ AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+GROUP BY a.suppkey
+""",
+)
+def q_overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (the second range-join variant):
+    per-lineitem shipping windows [shipdate, shipdate + 1 + linenumber
+    days) paired within a supplier when they overlap, aggregated to
+    overlap pair counts and total overlap days. The oracle is the naive
+    inequality self-join; the engine runs
+    operators/rangejoin.interval_overlap_join — both sides explode to
+    16-day buckets, EQUI-join on (suppkey, bucket), exact residual, and
+    each pair is kept only in the bucket containing max(starts), so the
+    output is exactly-once with no dedup shuffle."""
+    from videos_to_tfrecords_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.expr("unix_timestamp(l_shipdate) div 86400").alias("s"),
+        (
+            F.expr("unix_timestamp(l_shipdate) div 86400")
+            + 1
+            + F.col("l_linenumber")
+        ).alias("e"),
+    )
+    a = iv.select(
+        "suppkey",
+        F.col("ok").alias("a_ok"),
+        F.col("ln").alias("a_ln"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        "suppkey",
+        F.col("ok").alias("b_ok"),
+        F.col("ln").alias("b_ln"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_width=16, extra_keys=("suppkey",)
+    ).filter(
+        (F.col("a_ok") < F.col("b_ok"))
+        | ((F.col("a_ok") == F.col("b_ok")) & (F.col("a_ln") < F.col("b_ln")))
+    )
+    return pairs.groupBy("suppkey").agg(
+        F.count("*").alias("n_overlap_pairs"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+        ).alias("sum_overlap_days"),
+    )
+
+
+@query(
     "event_funnel",
     """
 WITH x AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us FROM events),

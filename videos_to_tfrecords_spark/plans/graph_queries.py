@@ -94,6 +94,72 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle_sql() -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+seeds AS (
+  SELECT c_custkey*2 AS node FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'),
+c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+             CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
+      FROM seeds),
+r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM seeds)"""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i-1}"
+        iters.append(
+            f""",
+r{i} AS (
+  SELECT node, CAST(sum(part) AS BIGINT) AS rank FROM (
+    SELECT e.dst AS node, (85 * sum(r.rank // dg.d)) // 100 AS part
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg dg ON e.src = dg.node
+    GROUP BY e.dst
+    UNION ALL
+    SELECT node, (SELECT tel FROM c) AS part FROM seeds)
+  GROUP BY node)"""
+        )
+    tail = f"""
+SELECT CAST(node // 2 AS BIGINT) AS suppkey, CAST(rank AS BIGINT) AS affinity
+FROM r{_PR_ITERS} WHERE node % 2 = 1"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_ppr_region_affinity", _ppr_oracle_sql())
+def q_ppr_region_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at ASIA-region customers over the
+    trade graph (operators/graph.personalized_pagerank_integer): supplier
+    ranks measure affinity to that customer cohort — the TrustRank-style
+    whitelist-propagation shape. Oracle unrolls the identical
+    union-then-aggregate integer update rule."""
+    from videos_to_tfrecords_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    seeds = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    ranks = personalized_pagerank_integer(
+        _trade_edges(spark, sf_dir), seeds, n_iter=_PR_ITERS, total=_PR_TOTAL
+    )
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("node div 2").cast("long").alias("suppkey"),
+        F.col("rank").cast("long").alias("affinity"),
+    )
+
+
 @query(
     "graph_triangles_copurchase",
     """
@@ -120,12 +186,23 @@ def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    # co-purchase pairs generated IN-TASK from each order's part set (one
+    # groupBy shuffle + codegen pair expansion) instead of a lineitem
+    # self-join — same result, no SMJ exchange, and safe because lines
+    # per order are bounded (TPC-H ≤ 7; C(n,2) stays tiny per group)
     und = (
-        a.join(b, "ok")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
     return triangle_count(und)
