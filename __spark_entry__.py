@@ -79,11 +79,36 @@ _DRIVER_VERIFIED_R1_R2 = (
     "embedding_norm_by_label", "embedding_threshold_pairs", "multimodal_meta",
 )
 
+# Round-2 registry entries the driver prefix never reached but the judge
+# hash-checked out-of-band with tools/check_oracle.py (VERDICT round 2:
+# "37 hash-match, 4 justified rows-only, 0 failures"). Middle tier: behind
+# the never-checked round-3 additions, ahead of the driver-verified set.
+_JUDGE_VERIFIED_R2 = (
+    "above_nation_average", "ann_topk_lsh_multiprobe", "array_functions",
+    "asof_last_purchase", "bag_set_ops", "conditional_functions",
+    "cube_quantity", "date_functions", "dedup_keep_best",
+    "doc_bpe_token_estimate", "doc_oov_rate", "embedding_quantize_int8",
+    "event_funnel", "hll_sketch_union_distinct", "inference_logits",
+    "interval_range_join", "media_decode_frames", "merge_upsert_orders",
+    "outer_join_profile", "price_quartiles_ntile", "quantity_percentiles",
+    "regexp_functions", "salted_join_revenue", "salted_revenue_by_supplier",
+    "session_window_native", "shipment_gaps", "sql_frontend_q5",
+    "streaming_tumbling_counts", "string_functions",
+    "uniform_sample_exact_k", "user_sessions", "video_pipeline_crop_mode",
+    "video_pipeline_e2e", "vocab_token_ids", "zorder_values",
+)
+
 
 def _rotated(mapping: dict) -> dict:
-    verified = set(_DRIVER_VERIFIED_R1_R2)
-    order = [k for k in mapping if k not in verified]
-    order += [k for k in mapping if k in verified]
+    """Three-tier ordering so the driver's fixed-size snapshot prefix always
+    covers the least-verified queries first: (1) round-3 additions no harness
+    has ever hash-checked, (2) round-2 queries verified only by the judge's
+    out-of-band oracle run, (3) queries already in CORRECTNESS_r01/r02."""
+    driver_done = set(_DRIVER_VERIFIED_R1_R2)
+    judge_done = set(_JUDGE_VERIFIED_R2)
+    order = [k for k in mapping if k not in driver_done and k not in judge_done]
+    order += [k for k in mapping if k in judge_done]
+    order += [k for k in mapping if k in driver_done]
     return {k: mapping[k] for k in order}
 
 

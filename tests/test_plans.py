@@ -25,7 +25,7 @@ def test_filter_and_projection_push_to_parquet(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     # column pruning: the scan reads only the 3 needed columns
     assert (
-        "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp_ntz>"
+        "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp>"
         in plan
     )
     assert "*(1)" in plan  # whole-stage codegen span covers filter+project

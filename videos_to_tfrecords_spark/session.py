@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet files whose timestamps are stored without a UTC-adjustment
+        # flag (isAdjustedToUTC=false, e.g. pyarrow timestamp[us]) would be
+        # inferred as TIMESTAMP_NTZ by Spark 4, which unix_micros()/window()
+        # reject or reinterpret. Read them as TIMESTAMP_LTZ under the UTC
+        # session zone instead — byte-identical epoch micros either way, and
+        # the whole operator surface (event-time windows, as-of joins,
+        # unix_micros) expects the instant type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

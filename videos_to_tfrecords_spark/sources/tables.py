@@ -44,9 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reads the session timezone — pin it on whatever session we're given
     # (the driver builds its own; DuckDB's epoch() is UTC)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet timestamp[us] written without isAdjustedToUTC would be inferred
+    # as TIMESTAMP_NTZ by Spark 4; the operator surface (unix_micros, window,
+    # as-of joins) expects the instant type, so read it as LTZ — identical
+    # epoch micros under the UTC session zone.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # belt-and-braces for sessions where the conf above can't take effect
+    # (e.g. a cached reader): relabel any residual NTZ column to the instant
+    # type — a pure reinterpretation under the UTC session zone.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet → long ns
+        T.StructField("ts", T.TimestampType()),  # µs instant under UTC session zone
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,15 +35,15 @@ RAW_EVENTS_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs normalization
-    as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    """readStream over the events parquet, normalized identically to the
+    batch loader (timestamps are µs instants; the declared TimestampType
+    schema reinterprets the file's naive µs values under the UTC session
+    zone, matching ``load_table``)."""
+    return (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
