@@ -1,0 +1,144 @@
+"""Unit tests for the round-3 feature operators: BM25, EWMA taps, 2-D
+skyline, weighted exact-k sampling, kNN-LOO accuracy, Gram matrix."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.relational import ewma_taps, skyline_2d
+from videos_to_tfrecords_spark.operators.retrieval import B, K1, bm25_topk
+from videos_to_tfrecords_spark.operators.sampling import weighted_sample_exact_k
+from videos_to_tfrecords_spark.operators.similarity import (
+    gram_matrix,
+    knn_loo_accuracy,
+)
+
+
+def test_bm25_matches_hand_computation(spark):
+    corpus = [
+        (1, "cat dog cat"),
+        (2, "dog bird"),
+        (3, "fish fish fish fish"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_hit_terms, r.score_x1e6)
+        for r in bm25_topk(df, ["cat", "dog"], k=10).collect()
+    }
+    # hand BM25: N=3, avgdl=9/3=3
+    def score(tf, dl, dfreq, n=3, total=9):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return idf * (tf * (K1 + 1)) / (tf + K1 * (1.0 - B + B * dl * n / total))
+
+    exp1 = score(2, 3, 1) + score(1, 3, 2)  # doc1: cat tf=2 df=1, dog tf=1 df=2
+    exp2 = score(1, 2, 2)  # doc2: dog tf=1
+    assert out[1] == (2, math.floor(exp1 * 1e6))
+    assert out[2] == (1, math.floor(exp2 * 1e6))
+    assert 3 not in out  # no query term
+
+
+def test_bm25_rank_is_total_and_k_bounded(spark, sf_dir):
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bm25_topk(docs, ["hash", "join"], k=5).collect()
+    assert len(rows) == 5
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+    scores = [r.score_x1e6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ewma_taps_hand_computed(spark):
+    rows = [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 4.0), (4, 99, 8.0)]
+    df = spark.createDataFrame(rows, "seq long, uid long, value double")
+    out = {
+        r.seq: r.ewma
+        for r in ewma_taps(df, "uid", ["seq"], "value", alpha=0.5, taps=3).collect()
+    }
+    assert out[1] == 1.0
+    assert out[2] == 2.0 + 0.5 * 1.0
+    assert out[3] == 4.0 + 0.5 * 2.0 + 0.25 * 1.0
+    assert out[4] == 8.0  # different key: history does not leak
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    pts = [
+        (1, 1.0, 9), (2, 2.0, 7), (3, 3.0, 7), (4, 2.5, 8), (5, 4.0, 1),
+        (6, 4.0, 1), (7, 0.5, 20), (8, 5.0, 1), (9, 1.0, 9), (10, 3.5, 3),
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y long")
+    got = sorted(r.id for r in skyline_2d(df, "id", "x", "y").collect())
+    expect = sorted(
+        i
+        for (i, x, y) in pts
+        if not any(
+            x2 <= x and y2 <= y and (x2 < x or y2 < y)
+            for (_, x2, y2) in pts
+        )
+    )
+    # duplicates (1,9) and (4.0,1) pairs must BOTH be kept or dropped together
+    assert got == expect
+    assert 1 in got and 9 in got and 5 in got and 6 in got
+
+
+def test_weighted_sample_invariants(spark, sf_dir):
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = weighted_sample_exact_k(docs, "doc_id", "n_chars", k=25)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s1.collect())  # re-execution: same draw
+    assert len(ids1) == 25
+    assert ids1 == ids2
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(ids1) <= all_ids
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row 10_000x the weight of the others: it should essentially
+    # always be drawn (its exponential clock is 10_000x faster)
+    rows = [(i, 1) for i in range(1, 200)] + [(1000, 1_000_000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {r.id for r in weighted_sample_exact_k(df, "id", "w", k=5).collect()}
+    assert 1000 in got
+
+
+def test_knn_loo_accuracy_separable(spark):
+    # two well-separated clusters: LOO 1-NN is perfect
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.0, 1.0 + 0.01 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in knn_loo_accuracy(df).collect()}
+    assert out[0].acc_x1000 == 1000 and out[1].acc_x1000 == 1000
+    assert out[0].n == 8 and out[1].n == 8
+
+
+def test_gram_matrix_matches_numpy(spark):
+    rng = [
+        [0.5, -0.25, 0.125],
+        [1.0, 0.0, -1.0],
+        [0.333333, 0.666667, -0.999999],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    got = {(r.i, r.j): r.g for r in gram_matrix(df).collect()}
+    m = np.round(np.array(rng, dtype=np.float64) * 1_000_000).astype(np.int64)
+    expect = m.T @ m
+    assert len(got) == 6  # upper triangle of 3x3
+    for (i, j), g in got.items():
+        assert g == expect[i, j], (i, j)
+
+
+@pytest.mark.parametrize("taps", [1, 8])
+def test_ewma_single_row_groups(spark, taps):
+    df = spark.createDataFrame([(1, 5, 3.5)], "seq long, uid long, value double")
+    out = ewma_taps(df, "uid", ["seq"], "value", taps=taps).collect()
+    assert out[0].ewma == 3.5
+    assert out[0].ewma_x1e6 == math.floor(3.5 * 1e6)

@@ -235,3 +235,73 @@ def sessionize_udtf_sessions(
         f"SELECT * FROM {name}(TABLE({view}) "
         f"PARTITION BY user_id ORDER BY (ts_us, event_id))"
     )
+
+
+def ewma_taps(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    taps: int = 8,
+) -> DataFrame:
+    """Per-key exponentially weighted moving "average" as a FIXED-TAP FIR
+    filter: ewma_t = Σ_{j<taps} alpha^j · value_{t-j} over the key's
+    time-ordered history — the streaming-feature primitive (recent-activity
+    score, decayed counters) a training pipeline attaches to events.
+
+    The true infinite-horizon EWMA is a sequential recurrence (s_t =
+    αs_{t-1} + v_t) that either serializes the scan or overflows the
+    closed-form (a^-n) rewrite; truncating to ``taps`` terms makes it a pure
+    window expression — per-key parallel, one shuffle on the key, exact.
+    With alpha=0.5 every weight is a power of two, so each product is an
+    EXACT double scaling and the fixed left-to-right summation order is
+    reproducible bit-for-bit in any IEEE engine.
+
+    Adds ``ewma`` (double) and ``ewma_x1e6`` (floor-scaled long, for
+    cross-engine hashing).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    expr = F.coalesce(F.col(value_col), F.lit(0.0))
+    for j in range(1, taps):
+        expr = expr + (alpha ** j) * F.coalesce(
+            F.lag(value_col, j).over(w), F.lit(0.0)
+        )
+    out = df.withColumn("ewma", expr)
+    return out.withColumn(
+        "ewma_x1e6", F.floor(F.col("ewma") * 1_000_000).cast("long")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier minimizing (x, y): rows no other row dominates
+    (other.x ≤ x ∧ other.y ≤ y with at least one strict) — the
+    multi-objective filter shape (cheapest-and-smallest part, best
+    quality-per-cost document).
+
+    The naive dominance test is an O(n²) theta-self-join. This plan is
+    O(n log n)-shaped instead: aggregate to one row per distinct x with the
+    group's min y (a keyed shuffle), take the running min of y over
+    x-ascending groups (the ONLY ordered step — it runs over distinct-x
+    rows, already reduced by the aggregate; for an adversarial all-distinct
+    x at true scale this is the classic 1-D global-sort primitive, range
+    partitioned by Spark's sort machinery), broadcast the per-x thresholds
+    back, and keep rows dominated by neither a strictly-cheaper group
+    (cheaper_min_y ≤ y) nor a same-x strictly-smaller y (group_min_y < y).
+    Duplicate (x,y) points are all kept, matching the strict-dominance
+    NOT EXISTS semantics.
+    """
+    g = df.groupBy(x_col).agg(F.min(y_col).alias("_gmin_y"))
+    wo = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("_cheaper_min_y", F.min("_gmin_y").over(wo))
+    out = df.join(F.broadcast(g), x_col)
+    keep = ~(
+        (F.col("_cheaper_min_y").isNotNull() & (F.col("_cheaper_min_y") <= F.col(y_col)))
+        | (F.col("_gmin_y") < F.col(y_col))
+    )
+    return out.filter(keep).drop("_gmin_y", "_cheaper_min_y")

@@ -120,3 +120,40 @@ def mixture_resample(
             )
         )
     return df.filter(pred)
+
+
+def weighted_sample_exact_k(
+    df,
+    id_col: str,
+    weight_col: str,
+    k: int,
+):
+    """EXACT-k weighted sample without replacement (Efraimidis–Spirakis):
+    each row races an exponential clock -ln(u)/w — the k smallest keys are
+    a draw where selection probability is proportional to ``weight_col``.
+    The mixture/stratified samplers above hit TARGET COUNTS; this one is
+    the importance-weighted draw (sample long documents more often, rare
+    sources proportionally to a score).
+
+    u comes from the portable 60-bit hash mapped into (0, 1], so the drawn
+    SET is deterministic across runs/engines/partitionings and therefore
+    oracle-checkable — a seeded rand() would be neither. Physically a
+    global top-k (TakeOrderedAndProject): per-partition heaps of size k, no
+    global sort, no shuffle of non-winners. ln() on both engines is
+    correctly-rounded to well under the spacing between two rows' keys, so
+    the selected set is stable.
+    """
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    two60 = float(1 << 60)
+    u = (h15(F.col(id_col).cast("string"), salt="wsamp") + 1) / two60
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy("_wkey", id_col)
+        .limit(k)
+        .withColumn("wkey_x1e9", F.floor(F.col("_wkey") * 1_000_000_000).cast("long"))
+        .drop("_wkey")
+    )

@@ -667,3 +667,106 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "dot_scaled", "rnk")
     )
+
+
+def knn_loo_accuracy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_mod: int | None = None,
+) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per class — the embedding-quality
+    probe an LLM pipeline runs on a new encoder before trusting its
+    nearest-neighbor dedup/search output (a label-coherent space puts
+    same-class vectors nearest each other).
+
+    Composition, not new machinery: exact neighbors come from
+    :func:`brute_force_topk` (k=1, self excluded, id tie-break), then two
+    broadcast label joins and a per-class aggregate. The accuracy estimate
+    only needs a SAMPLE of evaluation points — ``query_mod`` keeps the
+    broadcast query side deterministic and bounded (the crossJoin's Arrow
+    volume is |queries|·|corpus|, so an unsampled query side is quadratic);
+    the candidate side is always the full corpus.
+
+    Output: (label, n, n_correct, acc_x1000) — integers only.
+    """
+    q = df if query_mod is None else df.filter(F.col(id_col) % query_mod == 0)
+    nn = brute_force_topk(q, df, id_col=id_col, vec_col=vec_col, k=1)
+    labels = df.select(F.col(id_col), F.col(label_col))
+    pred = (
+        nn.join(
+            F.broadcast(
+                labels.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(label_col).alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col(id_col).alias("cand_id"),
+                    F.col(label_col).alias("pred_label"),
+                )
+            ),
+            "cand_id",
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "acc_x1000",
+            F.floor(1000 * F.col("n_correct") / F.col("n")).cast("long"),
+        )
+    )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Distributed Gram matrix Σ v·vᵀ over an embedding column, in exact
+    scaled-int64 arithmetic — the one-pass sufficient statistic behind PCA /
+    whitening / covariance of a 100 TB embedding table.
+
+    Physical shape: ``mapInPandas`` accumulates a dim×dim partial per
+    PARTITION (numpy outer-product accumulation at C speed), emits only the
+    upper triangle of that partial — dim(dim+1)/2 rows per partition,
+    independent of row count — and a final dim²-key groupBy sums partials.
+    Nothing corpus-sized ever shuffles; the result is planning-metadata
+    sized. Eigen-decomposition of the dim×dim result is driver-side numpy
+    (see ml tests) — the distributed part is exactly the part that scales.
+
+    Output: (i, j, g) for 0 ≤ i ≤ j < dim, g = Σ round(1e6·v_i)·round(1e6·v_j).
+    Integer sums are order-independent, so the result hash-matches a SQL
+    oracle computing the same products pairwise.
+    """
+    import pyarrow  # noqa: F401  (Arrow batches back the iterator)
+
+    def partial_grams(batches):
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            m = _to_int_matrix(pdf[vec_col])
+            # object dtype would silently wrap at int64 only past ~4e18;
+            # components are ≤1e6-scaled unit values so products fit easily
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "g": acc[iu]}
+        )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial_grams, "i long, j long, g long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
