@@ -142,3 +142,43 @@ def test_ewma_single_row_groups(spark, taps):
     out = ewma_taps(df, "uid", ["seq"], "value", taps=taps).collect()
     assert out[0].ewma == 3.5
     assert out[0].ewma_x1e6 == math.floor(3.5 * 1e6)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from videos_to_tfrecords_spark.functions.textfn import shingles
+    from videos_to_tfrecords_spark.operators.sketches import cms_estimate
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+    true = items.groupBy("bigram").agg(F.count("*").alias("true_n"))
+    probe = true.orderBy(F.desc("true_n"), "bigram").limit(50)
+    est = cms_estimate(items, probe.select("bigram"), "bigram")
+    joined = probe.join(est, "bigram").collect()
+    assert len(joined) == 50
+    assert all(r.cms_n >= r.true_n for r in joined)
+
+
+def test_power_iteration_matches_numpy_direction():
+    from videos_to_tfrecords_spark.operators.sketches import power_iteration_int
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(12, 6)
+    gram = (a.T @ a * 1e9).astype(np.int64)  # symmetric PSD, int64
+    rows = [(i, j, int(gram[i, j])) for i in range(6) for j in range(i, 6)]
+    v = power_iteration_int(rows, iters=30)
+    got = np.array([v[i] for i in range(6)], dtype=np.float64)
+    _, vecs = np.linalg.eigh(gram.astype(np.float64))
+    top = vecs[:, -1]
+    cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    assert cos > 0.999
+
+
+def test_tdiv_matches_spark_div(spark):
+    from videos_to_tfrecords_spark.operators.sketches import _tdiv
+
+    cases = [(-7, 2), (7, 2), (-9, 3), (-1, 5), (1, 5), (-1000001, 1000000)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {(r.a, r.b): r.q for r in df.selectExpr("a", "b", "a div b AS q").collect()}
+    for a, b in cases:
+        assert _tdiv(a, b) == got[(a, b)], (a, b)

@@ -1,0 +1,127 @@
+"""Deterministic sketch operators: Count-Min frequency estimation and
+integer power iteration over a Gram matrix.
+
+Sketches are how a 100 TB pipeline answers frequency/spectrum questions
+without corpus-sized state. Both operators here are built so the WHOLE
+computation is reproducible across engines (portable hash families, exact
+integer arithmetic), making even the *approximate* answers hash-checkable
+against a SQL oracle — the same trick as the engine's integer PageRank and
+kmeans_lite (operators/graph.py, operators/similarity.py).
+
+Count-Min: the counter table is depth × width integer cells; every item
+instance increments one cell per row via an independent salted hash. The
+corpus-side aggregation collapses to ≤ depth·width keys with map-side
+partial sums — the shuffle is sketch-sized, not corpus-sized. Estimates
+(min over rows of the item's cells) are biased up, never down; the bias is
+visible in the query output as ``overcount``.
+
+Power iteration: the Gram matrix (dim×dim, from similarity.gram_matrix) is
+planning-metadata sized, so iterating on the driver is the engineering-
+correct choice (same stance as kmeans_lite's k×dim centroids); keeping the
+iteration in scaled-int64 with truncating division makes the result exact,
+so the dominant-eigenvector direction itself is oracle-checked — not just
+"close to numpy".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.functions.hashing import h15
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_counts(items: DataFrame, item_col: str, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min counter table over one row per ITEM INSTANCE.
+
+    Output (d, bucket, c): depth·width rows max. Each instance explodes to
+    ``depth`` (d, bucket) keys; partial aggregation makes the shuffle
+    volume ≤ depth·width per map task regardless of corpus size.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(h15(F.col(item_col), salt=f"cms{d}"), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(items: DataFrame, queries: DataFrame, item_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Estimate each query item's frequency from the sketch: min over the
+    item's depth cells. ``queries`` has one row per distinct item to probe
+    (a broadcast-sized set); the join against the counter table is on the
+    (d, bucket) key."""
+    counts = cms_counts(items, item_col, depth, width)
+    probes = queries.select(F.col(item_col)).withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            h15(F.col(item_col), salt=f"cms{d}"), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ),
+    ).select(item_col, F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counts), ["d", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("cms_n"))
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division — Spark's `div`. Python's
+    // floors, which disagrees on negatives; the SQL oracles mirror this
+    exact CASE."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def power_iteration_int(gram_rows, iters: int = 4, scale: int = 1_000_000):
+    """Dominant-eigenvector direction of a symmetric matrix given as upper-
+    triangle (i, j, g) rows, in EXACT scaled-int64 arithmetic.
+
+    Every step renormalizes to ≤ ``scale`` via data-derived truncating
+    divisors, so no intermediate exceeds ~64·scale² (≪ 2⁶³) and the whole
+    trajectory is bit-reproducible in any engine with 64-bit integers.
+    Returns dict i -> component (scaled).
+    """
+    full: dict[tuple[int, int], int] = {}
+    dims = set()
+    for i, j, g in gram_rows:
+        full[(i, j)] = g
+        full[(j, i)] = g
+        dims.add(i)
+        dims.add(j)
+    n = sorted(dims)
+    s = max(abs(g) for g in full.values())
+    d0 = s // scale + 1
+    m = {k: _tdiv(g, d0) for k, g in full.items()}
+    v = {i: scale for i in n}
+    for _ in range(iters):
+        w = {i: sum(m[(i, j)] * v[j] for j in n if (i, j) in m) for i in n}
+        mx = max(abs(x) for x in w.values())
+        dv = mx // scale + 1
+        v = {i: _tdiv(x, dv) for i, x in w.items()}
+    return v

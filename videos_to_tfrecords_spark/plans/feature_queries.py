@@ -160,3 +160,104 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = weighted_sample_exact_k(docs, "doc_id", "n_chars", k=100)
     return out.select("doc_id", "n_chars", "wkey_x1e9")
+
+
+def _cms_cells_sql(src: str, width: int = 256, depth: int = 4) -> str:
+    return " UNION ALL ".join(
+        f"SELECT bigram, {d} AS d, "
+        f"{h15_sql('bigram', salt=f'cms{d}')} % {width} AS bucket FROM {src}"
+        for d in range(depth)
+    )
+
+
+@query(
+    "cms_bigram_frequencies",
+    f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN
+         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS bigram FROM tok),
+cells AS ({_cms_cells_sql('bg')}),
+counts AS (SELECT d, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+top AS (SELECT bigram, CAST(count(*) AS BIGINT) AS true_n FROM bg
+        GROUP BY 1 ORDER BY true_n DESC, bigram LIMIT 20),
+probes AS ({_cms_cells_sql('top')}),
+est AS (SELECT p.bigram, min(c.c) AS cms_n
+        FROM probes p JOIN counts c ON p.d = c.d AND p.bucket = c.bucket
+        GROUP BY 1)
+SELECT t.bigram, t.true_n, CAST(e.cms_n AS BIGINT) AS cms_n,
+       CAST(e.cms_n - t.true_n AS BIGINT) AS overcount
+FROM top t JOIN est e ON t.bigram = e.bigram
+""",
+)
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation of the corpus's top-20
+    bigrams. The sketch build shuffles ≤ depth·width keys (map-side partial
+    sums) no matter the corpus size; estimates are min-over-rows and the
+    never-underestimates bias is exposed as ``overcount``. Deterministic
+    hash family ⇒ even the approximation is hash-checked."""
+    from videos_to_tfrecords_spark.functions.textfn import shingles
+    from videos_to_tfrecords_spark.operators.sketches import cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+    top = (
+        items.groupBy("bigram")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("bigram"))
+        .limit(20)
+    )
+    est = cms_estimate(items, top.select("bigram"), "bigram")
+    return top.join(est, "bigram").select(
+        "bigram",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+def _pca_oracle_sql(iters: int = 4) -> str:
+    tdiv = lambda num, den: (  # noqa: E731 — truncating div, Spark/Python twin
+        f"CASE WHEN {num} < 0 THEN -((-({num})) // {den}) ELSE ({num}) // {den} END"
+    )
+    parts = [
+        f"""WITH e AS (SELECT {_IV} AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1))
+          AS k),
+gup AS (SELECT CAST(a.k - 1 AS BIGINT) AS i, CAST(b.k - 1 AS BIGINT) AS j,
+               CAST(sum(e.v[a.k] * e.v[b.k]) AS BIGINT) AS g
+        FROM e, idx a, idx b WHERE a.k <= b.k GROUP BY 1, 2),
+g AS (SELECT i, j, g FROM gup UNION ALL SELECT j, i, g FROM gup WHERE i <> j),
+sd AS (SELECT max(abs(g)) // 1000000 + 1 AS d FROM g),
+m AS (SELECT i, j, {tdiv('g', 'd')} AS m FROM g, sd),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM m)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"w{k} AS (SELECT m.i AS i, CAST(sum(m.m * v.v) AS BIGINT) AS w "
+            f"FROM m JOIN v{k-1} v ON m.j = v.i GROUP BY 1)"
+        )
+        parts.append(f"d{k} AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w{k})")
+        parts.append(
+            f"v{k} AS (SELECT i, {tdiv('w', 'd')} AS v FROM w{k}, d{k})"
+        )
+    return ",\n".join(parts) + f"\nSELECT i, v AS eig_x1e6 FROM v{iters}"
+
+
+@query("pca_power_component", _pca_oracle_sql(iters=4))
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal-direction of the embedding table: the distributed
+    part is the Gram matrix (per-partition numpy partials, dim²-row
+    result); the power iteration runs driver-side on that metadata-sized
+    statistic in exact scaled-int64 (operators/sketches.power_iteration_int
+    — same stance as kmeans_lite's driver-held centroids), so the
+    eigenvector DIRECTION is hash-checked against a 4-iteration unrolled
+    SQL oracle, not just numerically close to numpy."""
+    from videos_to_tfrecords_spark.operators.sketches import power_iteration_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = gram_matrix(emb).collect()
+    v = power_iteration_int([(r.i, r.j, r.g) for r in rows], iters=4)
+    return spark.createDataFrame(
+        sorted(v.items()), "i long, eig_x1e6 long"
+    )
