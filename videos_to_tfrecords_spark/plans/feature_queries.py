@@ -261,3 +261,100 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(v.items()), "i long, eig_x1e6 long"
     )
+
+
+@query(
+    "source_shingle_containment",
+    """
+WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT source,
+              unnest(CASE WHEN len(t) >= 3 THEN
+                list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END) AS s
+       FROM tok),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+common AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+           GROUP BY 1, 2)
+SELECT src_a, src_b, c AS n_common,
+       CAST(floor(1000 * c / (sa.n + sb.n - c)) AS BIGINT) AS jaccard_x1000,
+       CAST(floor(1000 * c / sa.n) AS BIGINT) AS contain_a_x1000,
+       CAST(floor(1000 * c / sb.n) AS BIGINT) AS contain_b_x1000
+FROM common JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
+""",
+)
+def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit BETWEEN SOURCES: pairwise Jaccard + directional
+    containment of distinct 3-token shingle sets — how an LLM pipeline
+    quantifies which feeds duplicate which (containment ≫ jaccard flags a
+    subset relationship). The join is an inverted index on the shingle
+    (shuffle ∝ distinct postings, never |A|·|B|); per-source sizes are a
+    k-row broadcast."""
+    from videos_to_tfrecords_spark.functions.textfn import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles("text", 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.floor(1000 * F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+            .cast("long")
+            .alias("jaccard_x1000"),
+            F.floor(1000 * F.col("n_common") / F.col("na")).cast("long").alias("contain_a_x1000"),
+            F.floor(1000 * F.col("n_common") / F.col("nb")).cast("long").alias("contain_b_x1000"),
+        )
+    )
+
+
+@query(
+    "equidepth_value_histogram",
+    """
+WITH b AS (SELECT event_type, value,
+                  ntile(8) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS bucket
+           FROM events)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(value) * 100) AS BIGINT) AS lo_cents,
+       CAST(round(max(value) * 100) AS BIGINT) AS hi_cents
+FROM b GROUP BY 1, 2
+""",
+)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth (ntile) histogram of event values — the
+    boundary statistic behind range partitioning, skew diagnosis, and
+    feature binning. Partitioned by event_type so the ordered pass is a
+    per-key sort (no single global sort partition); tie-broken by event_id
+    so bucket assignment is total and cross-engine stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.withColumn("bucket", F.ntile(8).over(w))
+    return b.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value") * 100).cast("long").alias("lo_cents"),
+        F.round(F.max("value") * 100).cast("long").alias("hi_cents"),
+    )

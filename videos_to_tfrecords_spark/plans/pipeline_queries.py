@@ -302,3 +302,46 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
     )
+
+
+@query(
+    "csv_source_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink breadth (§2.1 extension, the jsonl twin): events
+    written as headered CSV (integer cents — exact through text), read
+    back with an EXPLICIT schema, aggregated; the oracle reads the parquet
+    directly so the CSV round-trip itself is hash-checked."""
+    import hashlib as _hl
+    import os
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "csv_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    ev.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
+    )
