@@ -182,3 +182,83 @@ def test_tdiv_matches_spark_div(spark):
     got = {(r.a, r.b): r.q for r in df.selectExpr("a", "b", "a div b AS q").collect()}
     for a, b in cases:
         assert _tdiv(a, b) == got[(a, b)], (a, b)
+
+
+def test_chunk_documents_shapes(spark):
+    from videos_to_tfrecords_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(80))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_len=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: starts 0,24,48,72 -> lens 32,32,32,8
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [32, 32, 32, 8]
+    assert c1[0].chunk_text.split(" ")[0] == "t0"
+    assert c1[1].chunk_text.split(" ")[0] == "t24"
+    # overlap: chunk k starts 8 tokens before chunk k-1 ends
+    assert c1[0].chunk_text.split(" ")[24:] == c1[1].chunk_text.split(" ")[:8]
+    # doc2: single short chunk; doc3: empty string -> one "" token
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+    assert [r.n_tokens for r in by_doc[3]] == [1]
+
+
+def test_simhash_hamming_bands_complete(spark):
+    """Pigeonhole completeness: banding must find EVERY pair at Hamming<=3
+    (4 byte-bands, 3 flipped bits leave one band intact)."""
+    from videos_to_tfrecords_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 5 + "shared tokens common base text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    expect = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    # the registered query reads from sf_dir; check completeness directly
+    # against the same banding composition on this fixture
+    from pyspark.sql import functions as F2
+
+    sigdf = simhash(docs, bits=32)
+    b = sigdf.select(
+        "doc_id",
+        F2.col("simhash").alias("sh"),
+        F2.explode(
+            F2.array(
+                *[
+                    F2.struct(
+                        F2.lit(d).alias("d"),
+                        F2.shiftright("simhash", 8 * d)
+                        .bitwiseAND(F2.lit(255))
+                        .alias("band"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F2.col("c.d").alias("d"), F2.col("c.band").alias("band"))
+    cand = (
+        b.select(F2.col("doc_id").alias("id_a"), F2.col("sh").alias("sa"), "d", "band")
+        .join(
+            b.select(F2.col("doc_id").alias("id_b"), F2.col("sh").alias("sb"), "d", "band"),
+            ["d", "band"],
+        )
+        .filter(F2.col("id_a") < F2.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in cand.withColumn("h", F2.bit_count(F2.expr("sa ^ sb")))
+        .filter(F2.col("h") <= 3)
+        .collect()
+    }
+    assert got == expect

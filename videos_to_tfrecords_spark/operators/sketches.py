@@ -34,13 +34,19 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def cms_counts(items: DataFrame, item_col: str, depth: int = CMS_DEPTH,
-               width: int = CMS_WIDTH) -> DataFrame:
-    """Count-Min counter table over one row per ITEM INSTANCE.
+def cms_counts_weighted(
+    counts: DataFrame,
+    item_col: str,
+    n_col: str = "n",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min counter table from a PRE-AGGREGATED (item, n) frame.
 
-    Output (d, bucket, c): depth·width rows max. Each instance explodes to
-    ``depth`` (d, bucket) keys; partial aggregation makes the shuffle
-    volume ≤ depth·width per map task regardless of corpus size.
+    Hashing once per DISTINCT item and summing weights is identical math to
+    hashing every instance, but the explode runs over the vocabulary, not
+    the corpus — at 100 TB that's the difference between a second corpus
+    pass and a vocab-sized one. Output (d, bucket, c): ≤ depth·width rows.
     """
     cells = F.array(
         *[
@@ -54,19 +60,34 @@ def cms_counts(items: DataFrame, item_col: str, depth: int = CMS_DEPTH,
         ]
     )
     return (
-        items.select(F.explode(cells).alias("cell"))
+        counts.select(F.col(n_col).alias("_n"), F.explode(cells).alias("cell"))
         .groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_n").alias("c"))
     )
 
 
+def cms_counts(items: DataFrame, item_col: str, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min counter table over one row per ITEM INSTANCE: aggregate to
+    (item, n) first (map-side combine shrinks the shuffle to the
+    vocabulary), then hash each distinct item once."""
+    counts = items.groupBy(item_col).agg(F.count("*").alias("n"))
+    return cms_counts_weighted(counts, item_col, "n", depth, width)
+
+
 def cms_estimate(items: DataFrame, queries: DataFrame, item_col: str,
-                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                 counter_table: DataFrame | None = None) -> DataFrame:
     """Estimate each query item's frequency from the sketch: min over the
     item's depth cells. ``queries`` has one row per distinct item to probe
     (a broadcast-sized set); the join against the counter table is on the
-    (d, bucket) key."""
-    counts = cms_counts(items, item_col, depth, width)
+    (d, bucket) key. Pass ``counter_table`` to reuse an already-built
+    sketch (avoids a second corpus pass)."""
+    counts = (
+        counter_table
+        if counter_table is not None
+        else cms_counts(items, item_col, depth, width)
+    )
     probes = queries.select(F.col(item_col)).withColumn(
         "cell",
         F.explode(

@@ -362,3 +362,49 @@ def hashed_linear_quality(
         ).alias("score_x1000"),
         (F.col("score_sum") > 0).alias("quality_label"),
     )
+
+
+def chunk_documents(
+    df,
+    chunk_len: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split each document into overlapping fixed-token chunks — the
+    context-window preparation step of an LLM training pipeline (stride <
+    chunk_len gives the standard overlap so no span is lost at a boundary).
+
+    Pure Catalyst: tokens → an explicit start sequence (step = stride) →
+    explode → slice. One narrow pass, no shuffle, no Python; chunk count
+    per doc is ⌈max(n−overlap,1)/stride⌉ so output rows ∝ corpus tokens /
+    stride. Emits (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    # start offsets 0, stride, 2·stride … < n (empty docs produce no chunk)
+    starts = F.when(
+        F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = t.select(
+        id_col,
+        "n",
+        "t",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_len), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.expr(f"slice(t, start + 1, {chunk_len})"),
+        ).alias("chunk_text"),
+    )

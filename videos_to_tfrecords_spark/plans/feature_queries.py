@@ -197,17 +197,31 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-underestimates bias is exposed as ``overcount``. Deterministic
     hash family ⇒ even the approximation is hash-checked."""
     from videos_to_tfrecords_spark.functions.textfn import shingles
-    from videos_to_tfrecords_spark.operators.sketches import cms_estimate
+    from videos_to_tfrecords_spark.operators.sketches import (
+        cms_counts_weighted,
+        cms_estimate,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     items = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+    # ONE corpus pass: materialize the vocab-sized (bigram, n) aggregate and
+    # feed both the true top-20 and the sketch from it (localCheckpoint —
+    # the pagerank/dedup eager-release pattern; without it the explode+agg
+    # subtree executes once per consumer, Catalyst has no cross-join CSE)
+    counts = (
+        items.groupBy("bigram").agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    )
     top = (
-        items.groupBy("bigram")
-        .agg(F.count("*").alias("true_n"))
+        counts.select("bigram", F.col("n").alias("true_n"))
         .orderBy(F.desc("true_n"), F.asc("bigram"))
         .limit(20)
     )
-    est = cms_estimate(items, top.select("bigram"), "bigram")
+    est = cms_estimate(
+        items,
+        top.select("bigram"),
+        "bigram",
+        counter_table=cms_counts_weighted(counts, "bigram"),
+    )
     return top.join(est, "bigram").select(
         "bigram",
         "true_n",
@@ -294,9 +308,14 @@ def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.functions.textfn import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(shingles("text", 3)).alias("s")
-    ).distinct()
+    # materialize the distinct (source, shingle) postings once — three
+    # consumers (sizes + both join sides) would otherwise re-run the
+    # explode+distinct subtree each
+    sh = (
+        docs.select("source", F.explode(shingles("text", 3)).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "s")
     b = sh.select(F.col("source").alias("src_b"), "s")
@@ -358,3 +377,96 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value") * 100).cast("long").alias("lo_cents"),
         F.round(F.max("value") * 100).cast("long").alias("hi_cents"),
     )
+
+
+@query(
+    "doc_chunking",
+    """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tt AS (SELECT doc_id, t, len(t) AS n FROM tk),
+s AS (SELECT doc_id, t, n,
+             unnest(CASE WHEN n > 0 THEN generate_series(0, n - 1, 24)
+                    ELSE [] END) AS start
+      FROM tt)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
+FROM s
+""",
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token context windows (len 32, stride 24) over
+    every document — the training-window preparation pass
+    (operators/text.chunk_documents: one narrow codegen'd pass, output rows
+    ∝ corpus tokens / stride, no shuffle)."""
+    from videos_to_tfrecords_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_len=32, stride=24)
+
+
+@query(
+    "doc_simhash_hamming_pairs",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, {h15_sql('tok', salt='tok')} AS h FROM tok),
+bits AS (SELECT doc_id, b,
+                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY 1),
+bands AS (SELECT doc_id, sh, d, (sh >> (8 * d)) & 255 AS band
+          FROM sig, (SELECT unnest(range(0, 4)) AS d)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sh AS sa, b.sh AS sb
+         FROM bands a JOIN bands b
+           ON a.d = b.d AND a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ 3 via PIGEONHOLE
+    banding: a 32-bit signature split into 4 bytes — any pair within
+    distance 3 leaves ≥1 byte untouched, so an equi-join per band finds all
+    of them (candidates ∝ band-bucket populations, never all pairs); exact
+    popcount verification touches candidates only. The LSH-shaped scale
+    path for Hamming space, complementing the MinHash/Jaccard family."""
+    from videos_to_tfrecords_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs, bits=32)
+    bands = sig.select(
+        "doc_id",
+        F.col("simhash").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.shiftright("simhash", 8 * d)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.d").alias("d"), F.col("c.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"), "d", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"), "d", "band"
+    )
+    cand = (
+        a.join(b, ["d", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
+    ).filter(F.col("hamming") <= 3).select("id_a", "id_b", "hamming")
