@@ -470,3 +470,116 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
     ).filter(F.col("hamming") <= 3).select("id_a", "id_b", "hamming")
+
+
+@query(
+    "event_value_outliers",
+    """
+WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1),
+dev AS (SELECT v.event_type, vc, med, abs(vc - med) AS ad
+        FROM v JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad, CAST(count(*) AS BIGINT) AS n
+        FROM dev GROUP BY 1)
+SELECT d.event_type,
+       CAST(2 * d.med AS BIGINT) AS med_x2,
+       CAST(2 * m.mad AS BIGINT) AS mad_x2,
+       m.n,
+       CAST(sum(CASE WHEN d.ad > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: exact interpolated median + MAD
+    (median absolute deviation), flagging values beyond 5·MAD — the
+    data-quality gate shape (robust statistics, not mean/stddev, so a few
+    corrupt rows can't move the fence). Two keyed aggregates + broadcast
+    joins back; exact percentile needs the per-group sort Spark's
+    `percentile` does internally — group count is the type cardinality,
+    tiny at any corpus scale. Both engines use the same linear-interpolated
+    exact quantile, and the doubled outputs (med_x2/mad_x2) are exact
+    integers because .5 fractions are the only possible non-integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(vc, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("vc") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"), F.count("*").alias("n")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            (2 * F.col("med")).cast("long").alias("med_x2"),
+            (2 * F.col("mad")).cast("long").alias("mad_x2"),
+            F.col("n"),
+        )
+        .agg(
+            F.sum(F.when(F.col("ad") > 5 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            )
+        )
+    )
+
+
+@query(
+    "user_value_trend",
+    """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 86400000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY 1)
+SELECT user_id, n,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+         AS slope_x1e6
+FROM s WHERE n * sxx - sx * sx > 0
+""",
+)
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of spend vs days-since-first-event — the trend
+    feature of a behavioral feature store, computed from the five exact
+    integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE keyed
+    aggregate after a same-key window (both hash-partition on user_id, so
+    AQE reuses the exchange). Day offsets are rebased per user so x² sums
+    stay far under int64; the single closing division is one double op with
+    identical order in both engines. Users whose events all land on one
+    day (zero variance) are excluded exactly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    b = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id)) div 86400000000"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = b.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter(den > 0)
+        .select(
+            "user_id",
+            "n",
+            F.floor(F.lit(1000000.0) * num / den).cast("long").alias("slope_x1e6"),
+        )
+    )
