@@ -370,3 +370,29 @@ def test_transform_with_state_sessionize_matches_old_api(spark, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert tws == old and len(tws) == 3
+
+
+def test_streaming_cms_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming CMS must equal the batch sketch even when the source
+    arrives as several microbatches (streaming-agg partial merge IS the
+    sketch's mergeability)."""
+    from videos_to_tfrecords_spark.operators.sketches import cms_counts
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_cms_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evsrc")
+    ev.repartition(4).write.parquet(src)  # several files → several triggers
+    got = {
+        (r.d, r.bucket): r.c
+        for r in streaming_cms_counts(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    expect = {
+        (r.d, r.bucket): r.c
+        for r in cms_counts(
+            ev.select(F.col("user_id").cast("string").alias("item")), "item"
+        ).collect()
+    }
+    assert got == expect

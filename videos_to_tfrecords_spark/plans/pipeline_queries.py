@@ -345,3 +345,34 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
     )
+
+
+def _stream_cms_cells_sql(width: int = 256, depth: int = 4) -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    return " UNION ALL ".join(
+        f"SELECT {d} AS d, "
+        f"{h15_sql('CAST(user_id AS VARCHAR)', salt=f'cms{d}')} % {width} AS bucket "
+        f"FROM events"
+        for d in range(depth)
+    )
+
+
+@query(
+    "streaming_cms_counts",
+    f"""
+WITH cells AS ({_stream_cms_cells_sql()})
+SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+FROM cells GROUP BY 1, 2
+""",
+)
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as a STREAMING aggregation over event user ids —
+    streaming state is the counter table itself (depth·width rows, constant
+    in stream volume; an exact per-key count would grow state with the key
+    universe). Drained on the bounded source, the sketch equals the batch
+    build exactly, so the streaming path is oracle-checked; multi-microbatch
+    mergeability is pytest-driven (streaming/pipeline.streaming_cms_counts)."""
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_cms_counts
+
+    return streaming_cms_counts(spark, sf_dir)

@@ -581,3 +581,57 @@ def streaming_sessionize_tws(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_cms_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Count-Min sketch built AS A STREAMING AGGREGATION over the event
+    stream (items = user ids): the stateless explode emits ``depth`` cells
+    per row and the streaming state is exactly the counter table —
+    depth·width rows, CONSTANT in stream volume. That bounded-state
+    property is what makes sketches the streaming answer to frequency
+    questions (an exact per-item count would grow state with the key
+    universe). Complete-mode memory sink; mergeability across microbatches
+    is Spark's streaming-agg partial merge itself (pytest drives a
+    multi-file source through several microbatches and compares to the
+    batch sketch).
+    """
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    item = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(h15(item, salt=f"cms{d}"), F.lit(width)).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    agg = (
+        reader.parquet(sf_dir)
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select("d", "bucket", "c")
