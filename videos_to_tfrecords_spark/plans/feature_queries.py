@@ -583,3 +583,137 @@ def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(1000000.0) * num / den).cast("long").alias("slope_x1e6"),
         )
     )
+
+
+@query(
+    "event_value_fill_forward",
+    """
+SELECT event_id, user_id,
+       CAST(round(coalesce(
+         last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0) * 100) AS BIGINT) AS filled_cents
+FROM events
+""",
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation: error events carry no trustworthy value
+    (masked to NULL), each user's timeline takes the last valid observation
+    instead — the standard time-series imputation shape, as one analytic
+    window (per-key partitioned running last-non-null; leading gaps → 0).
+    One shuffle on the key; no state beyond the frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(F.last(masked, ignorenulls=True).over(w), F.lit(0.0)) * 100
+        )
+        .cast("long")
+        .alias("filled_cents"),
+    )
+
+
+@query(
+    "doc_negative_samples",
+    f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, j,
+             {h15_sql("concat('neg', CAST(j AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")}
+               % (SELECT n_docs FROM n) AS neg_id
+      FROM documents, (SELECT unnest(range(0, 4)) AS j))
+SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(neg_id AS BIGINT) AS neg_id
+FROM s WHERE neg_id != doc_id
+""",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 4
+    pseudo-random partner ids per document via the portable hash modulo the
+    corpus size (self-pairs dropped, so a document occasionally yields 3).
+    Map-only over the corpus + a 1-row count broadcast — no shuffle of data
+    rows, reproducible across runs/engines, hence oracle-checked; the
+    id-contiguity assumption is the standard contract of a training-corpus
+    manifest."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # 1 driver scalar (metadata, like AQE stats)
+    negs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    h15(
+                        F.concat(
+                            F.lit(f"neg{j}:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    F.lit(n_docs),
+                ).alias("neg_id"),
+            )
+            for j in range(4)
+        ]
+    )
+    return (
+        docs.select("doc_id", F.explode(negs).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.j").cast("long").alias("j"),
+            F.col("s.neg_id").cast("long").alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+
+
+@query(
+    "grouped_split_assignment",
+    f"""
+WITH b AS (SELECT user_id, event_id,
+                  {h15_sql("concat('gsplit:', CAST(user_id AS VARCHAR))")} % 100
+                    AS bucket
+           FROM events),
+lab AS (SELECT user_id, event_id,
+               CASE WHEN bucket < 70 THEN 'train'
+                    WHEN bucket < 85 THEN 'val' ELSE 'test' END AS split
+        FROM b)
+SELECT split,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM lab GROUP BY 1
+""",
+)
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test assignment (all of a user's events share
+    one split — the leakage-safe variant of the reference's row-level
+    randomly_split, reference preprocess.py:36-70): the split is a pure
+    hash of the GROUP key, so no event of a user can cross splits by
+    construction, no join against an assignment table is needed, and the
+    partition is reproducible across engines. Output: per-split user and
+    event counts."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(h15(F.col("user_id").cast("string"), salt="gsplit"), F.lit(100))
+    split = (
+        F.when(bucket < 70, "train").when(bucket < 85, "val").otherwise("test")
+    )
+    return (
+        ev.select("user_id", "event_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
