@@ -262,3 +262,102 @@ def test_simhash_hamming_bands_complete(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_grouped_agg_udaf_matches_native_gmean(spark, sf_dir):
+    """Custom-aggregate API surface: the pandas GROUPED_AGG UDAF computes
+    the same integer-quantized log-mean as the registered native query."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    # explicit GROUPED_AGG: postponed annotations (future import) stringify
+    # the hints, so inference can't classify the aggregating signature
+    @F.pandas_udf(LongType(), F.PandasUDFType.GROUPED_AGG)
+    def lnq_sum(v: pd.Series) -> int:
+        return int(np.floor(np.log(v.to_numpy()) * 1_000_000_000_000).sum())
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # a GROUPED_AGG pandas UDF can't share an agg with native aggregates —
+    # compute counts in a second pass and join driver-side
+    sums = {
+        r.event_type: r.s
+        for r in ev.groupBy("event_type").agg(lnq_sum("value").alias("s")).collect()
+    }
+    ns = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    udaf = {
+        t: math.floor(math.exp(sums[t] / ns[t] / 1_000_000_000_000.0) * 1_000_000)
+        for t in sums
+    }
+    import videos_to_tfrecords_spark.plans.feature_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    native = {
+        r.event_type: r.gmean_x1e6
+        for r in QUERIES["geometric_mean_value"](spark, sf_dir).collect()
+    }
+    assert udaf == native
+
+
+def test_map_in_arrow_gram_matches_map_in_pandas(spark):
+    """mapInArrow twin of the Gram partials — same partial-aggregation
+    contract through the raw-Arrow API (no pandas conversion)."""
+    import pyarrow as pa
+
+    vecs = [[0.1 * i, 0.25, -0.5 * i] for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+
+    def arrow_grams(batches):
+        acc = None
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            m = np.stack([np.asarray(x.as_py()) for x in col]).astype(np.float64)
+            m = (np.sign(m * 1e6) * np.floor(np.abs(m * 1e6) + 0.5)).astype(np.int64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pa.RecordBatch.from_pydict(
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "g": acc[iu]}
+        )
+
+    got = {
+        (r.i, r.j): r.g
+        for r in df.select("embedding")
+        .mapInArrow(arrow_grams, "i long, j long, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    }
+    expect = {(r.i, r.j): r.g for r in gram_matrix(df).collect()}
+    assert got == expect
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe collects pipeline health metrics during the SAME action —
+    no second scan (the observability idiom for a 100 TB write job)."""
+    from pyspark.sql import Observation
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    obs = Observation("ev_metrics")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    n = ev.count()
+    assert obs.get["rows"] == n
+    expect_cents = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert obs.get["cents"] == expect_cents

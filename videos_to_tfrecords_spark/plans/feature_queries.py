@@ -717,3 +717,38 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "geometric_mean_value",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(exp(sum(CAST(floor(ln(value) * 1000000000000) AS BIGINT))
+                      / count(*) / 1000000000000.0) * 1000000) AS BIGINT)
+         AS gmean_x1e6
+FROM events WHERE value > 0
+GROUP BY event_type
+""",
+)
+def q_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type geometric mean via the log-space identity exp(avg(ln x)) —
+    entirely native (partial→final agg, whole-stage codegen). Each ln is
+    floor-scaled to an int64 BEFORE summing, so the aggregation is exact
+    in any partial/merge order (a raw double avg drifts in the last ulp
+    with summation order and can flip the output floor across engines);
+    the closing exp/divisions are fixed-order scalar ops. The same
+    statistic as a pandas GROUPED_AGG UDAF is pytest-asserted equal
+    (tests/test_features.py) — that path covers the custom-aggregate API
+    surface; this native path is the production one."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    lnq = F.floor(F.log("value") * 1_000_000_000_000).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.floor(
+            F.exp(F.sum(lnq) / F.count("*") / F.lit(1_000_000_000_000.0))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("gmean_x1e6"),
+    )
