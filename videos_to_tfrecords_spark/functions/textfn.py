@@ -40,3 +40,34 @@ def shingles_sql(toks_col: str = "t", n: int = 3) -> str:
         f"list_transform(generate_series(1, len({toks_col}) - {n - 1}), i -> {joined}) "
         f"ELSE [] END"
     )
+
+
+def exploded_shingles(df, id_cols, text_col: str, n: int = 3):
+    """(id..., shingle) rows — the explode-oriented twin of :func:`shingles`.
+
+    ``shingles()`` builds the array with a higher-order ``transform``
+    lambda, which Spark evaluates INTERPRETED (higher-order functions are
+    outside whole-stage codegen) — fine when the array stays an array, but
+    ~5× slower than codegen when the very next step is an explode. This
+    shape explodes the start positions first and builds each shingle with
+    plain ``slice`` + ``array_join`` projections, which stay inside
+    codegen. Same output multiset as ``explode(shingles(text, n))``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(text_col)
+    base = df.select(*id_cols, toks.alias("_toks"))
+    pos = base.select(
+        *id_cols,
+        "_toks",
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    )
+    return pos.select(
+        *id_cols,
+        F.array_join(F.slice("_toks", F.col("_i"), F.lit(n)), " ").alias("shingle"),
+    )

@@ -196,14 +196,16 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums) no matter the corpus size; estimates are min-over-rows and the
     never-underestimates bias is exposed as ``overcount``. Deterministic
     hash family ⇒ even the approximation is hash-checked."""
-    from videos_to_tfrecords_spark.functions.textfn import shingles
+    from videos_to_tfrecords_spark.functions.textfn import exploded_shingles
     from videos_to_tfrecords_spark.operators.sketches import (
         cms_counts_weighted,
         cms_estimate,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    items = docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+    items = exploded_shingles(docs, [], "text", 2).withColumnRenamed(
+        "shingle", "bigram"
+    )
     # ONE corpus pass: materialize the vocab-sized (bigram, n) aggregate and
     # feed both the true top-20 and the sketch from it (localCheckpoint —
     # the pagerank/dedup eager-release pattern; without it the explode+agg
@@ -305,14 +307,15 @@ def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset relationship). The join is an inverted index on the shingle
     (shuffle ∝ distinct postings, never |A|·|B|); per-source sizes are a
     k-row broadcast."""
-    from videos_to_tfrecords_spark.functions.textfn import shingles
+    from videos_to_tfrecords_spark.functions.textfn import exploded_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # materialize the distinct (source, shingle) postings once — three
     # consumers (sizes + both join sides) would otherwise re-run the
     # explode+distinct subtree each
     sh = (
-        docs.select("source", F.explode(shingles("text", 3)).alias("s"))
+        exploded_shingles(docs, ["source"], "text", 3)
+        .withColumnRenamed("shingle", "s")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -751,4 +754,114 @@ def q_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("gmean_x1e6"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from videos_to_tfrecords_spark.operators.text import LANG_MARKERS
+
+    def occ(m: str) -> str:
+        return f"(length(p) - length(replace(p, '{m}', ''))) // {len(m)}"
+
+    score_exprs = {
+        lang: " + ".join(occ(m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{later}" for later in langs[i + 1:]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    scores_sel = ", ".join(
+        f"CAST({e} AS BIGINT) AS s_{lang}" for lang, e in score_exprs.items()
+    )
+    return f"""
+WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT doc_id, lang, {scores_sel} FROM p),
+pred AS (SELECT doc_id, lang, {case} AS lang_pred FROM s)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+@query("lang_id_confusion", _lang_confusion_oracle())
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    table's declared language — the accuracy audit every lang-filter stage
+    needs before it gates a corpus (systematic confusions show up as
+    off-diagonal mass). One scan + a tiny two-key aggregate."""
+    from videos_to_tfrecords_spark.operators.text import with_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "doc_duplicate_spans",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(CASE WHEN len(t) >= 8 THEN
+                list_transform(generate_series(1, len(t) - 7),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                       || ' ' || t[i+7])
+                ELSE [] END) AS s
+       FROM tok),
+multi AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_positions
+        FROM sh LEFT JOIN multi m USING (s)
+        GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_dup_positions,
+       CAST(floor(1000 * n_dup_positions / n_shingles) AS BIGINT) AS dup_frac_x1000
+FROM per WHERE n_shingles > 0
+""",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile: the fraction of each document's
+    8-token windows that also occur in ANOTHER document — the per-document
+    statistic behind exact-substring dedup policies (any ≥8-token repeated
+    span necessarily contains a repeated 8-shingle, so this is a complete
+    detector at that granularity). Inverted-index shape: the shuffle is the
+    (shingle → distinct-doc count) aggregate and the join back, both ∝
+    corpus shingles; no pairwise comparison anywhere."""
+    from videos_to_tfrecords_spark.functions.textfn import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, ["doc_id"], "text", 8).withColumnRenamed(
+        "shingle", "s"
+    )
+    multi = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s", F.lit(1).alias("_m"))
+    )
+    per = (
+        sh.join(multi, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_positions"
+            ),
+        )
+    )
+    return per.filter(F.col("n_shingles") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_dup_positions",
+        F.floor(1000 * F.col("n_dup_positions") / F.col("n_shingles"))
+        .cast("long")
+        .alias("dup_frac_x1000"),
     )
