@@ -361,3 +361,51 @@ def test_observe_metrics_single_pass(spark, sf_dir):
         .collect()[0][0]
     )
     assert obs.get["cents"] == expect_cents
+
+
+def test_bpe_train_matches_independent_python(spark):
+    """Merge trajectory parity against an independent pure-Python BPE
+    trainer implementing the same deterministic rules (count DESC / pair
+    ASC argmax; 3-pass single-scan replace application)."""
+    from videos_to_tfrecords_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "low wide newer lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.pair, r.merged, r.cnt)
+        for r in bpe_train_merges(docs, n_merges=6).orderBy("rank").collect()
+    ]
+
+    # independent implementation
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {" " + " ".join(w) + " ": f for w, f in words.items()}
+    expect = []
+    for rank in range(1, 7):
+        pairs = Counter()
+        for seq, f in vocab.items():
+            toks = seq.strip().split(" ")
+            for i in range(len(toks) - 1):
+                pairs[f"{toks[i]} {toks[i+1]}"] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, cnt = best
+        merged = pair.replace(" ", "")
+        expect.append((rank, pair, merged, cnt))
+        new_vocab = {}
+        for seq, f in vocab.items():
+            for _ in range(3):
+                seq = seq.replace(f" {pair} ", f" {merged} ")
+            new_vocab[seq] = new_vocab.get(seq, 0) + f
+        vocab = new_vocab
+    assert got == expect
+    # the learned merges must reconstruct multi-char subwords
+    assert any(len(m[2]) >= 3 for m in got)

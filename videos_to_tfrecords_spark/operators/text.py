@@ -408,3 +408,93 @@ def chunk_documents(
             F.expr(f"slice(t, start + 1, {chunk_len})"),
         ).alias("chunk_text"),
     )
+
+
+def bpe_train_merges(
+    df,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BPE tokenizer MERGE TRAINING over the corpus — the iterative
+    vocabulary-induction algorithm (Sennrich et al. 2016) every modern LLM
+    tokenizer starts from, expressed Spark-first:
+
+    - ONE corpus pass builds the (word, freq) vocabulary — after that,
+      every iteration runs over the vocabulary only (distributed, but
+      vocab-sized: the corpus is never re-read), exactly how production
+      BPE trainers scale.
+    - each iteration: adjacent symbol pairs weighted by word frequency
+      (codegen explode — no higher-order lambdas), a deterministic argmax
+      (count DESC, pair ASC) collected as one driver scalar (the
+      kmeans/pagerank pattern), and the merge applied to every vocabulary
+      sequence.
+    - merge application rule: THREE passes of single-scan left-to-right
+      literal replace on the space-delimited symbol string. A single
+      replace pass misses immediately-adjacent occurrences (the shared
+      separator space is consumed); three passes close runs up to the
+      word lengths that occur in practice, and — critically — Spark SQL,
+      DuckDB, and Python `str.replace` all implement the identical
+      single-scan semantics, so the whole training trajectory is
+      hash-checkable against a SQL oracle. (Canonical BPE merges all
+      non-overlapping occurrences per step; for natural-language word
+      lengths the 3-pass rule coincides with it.)
+
+    Returns (rank, pair, merged, cnt) — the learned merge table.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.trim("seq"), " ")
+        pos = vocab.select(
+            "freq",
+            toks.alias("t"),
+        ).select(
+            "freq",
+            "t",
+            F.explode(
+                F.when(
+                    F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        pairs = pos.select(
+            "freq",
+            F.concat_ws(
+                " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+            ).alias("pair"),
+        ).groupBy("pair").agg(F.sum("freq").alias("cnt"))
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0].pair, best[0].cnt
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        expr = F.col("seq")
+        for _ in range(3):
+            expr = F.replace(expr, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        vocab = vocab.select("freq", expr.alias("seq"))
+        # lineage between checkpoints is a few chained replace projections
+        # over the (checkpointed) vocab — cheap to recompute; an EAGER
+        # checkpoint per merge costs a full job each and dominated the
+        # wall-clock. Cut lineage every 4 merges instead.
+        if rank % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank long, pair string, merged string, cnt long"
+    )

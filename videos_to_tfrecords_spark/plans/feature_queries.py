@@ -865,3 +865,63 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_frac_x1000"),
     )
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE training oracle: one (pairs → best → apply) CTE block
+    per merge, mirroring operators/text.bpe_train_merges exactly
+    (3-pass single-scan replace; count DESC, pair ASC argmax)."""
+    # every CTE MATERIALIZED: the b_k/v_k chain is referenced multiple
+    # times per iteration and DuckDB's default inlining re-expands the
+    # whole lineage (exponential scans of the base table — runs out of
+    # file handles by iteration ~6)
+    parts = [
+        """WITH w AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM w WHERE w != '' GROUP BY 1)"""
+    ]
+    sel = []
+    for k in range(1, n_merges + 1):
+        prev = f"v{k-1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(seq), ' ') AS t, freq FROM {prev}),
+       LATERAL unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                      ELSE [] END) AS u(i)
+  GROUP BY 1)"""
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT pair, cnt, replace(pair, ' ', '') AS merged "
+            f"FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        rep = "seq"
+        for _ in range(3):
+            rep = (
+                f"replace({rep}, ' ' || b.pair || ' ', ' ' || b.merged || ' ')"
+            )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT {rep} AS seq, freq FROM {prev}, b{k} b)"
+        )
+        sel.append(
+            f"SELECT CAST({k} AS BIGINT) AS rank, pair, merged, cnt FROM b{k}"
+        )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(8))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE tokenizer merges learned from the corpus
+    (operators/text.bpe_train_merges): one corpus pass builds the word
+    vocabulary, then every iteration is vocab-sized — distributed pair
+    counts, a deterministic driver-scalar argmax, and a literal-replace
+    merge application whose single-scan semantics are identical in Spark,
+    DuckDB and Python, so the whole training TRAJECTORY hash-matches the
+    unrolled SQL oracle."""
+    from videos_to_tfrecords_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=8)
