@@ -442,15 +442,25 @@ def bpe_train_merges(
 
     Returns (rank, pair, merged, cnt) — the learned merge table.
     """
+    merges, _ = _bpe_loop(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        merges, "rank long, pair string, merged string, cnt long"
+    )
+
+
+def _bpe_loop(df, n_merges: int, text_col: str):
+    """Shared BPE training loop: returns (merge list, final vocabulary
+    DataFrame (w, freq, seq)) — the segmented vocab keyed by the original
+    word so encoders can join against it."""
     from pyspark.sql import functions as F
 
-    spark = df.sparkSession
     vocab = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
+            "w",
             "freq",
             F.concat(
                 F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
@@ -488,13 +498,59 @@ def bpe_train_merges(
         expr = F.col("seq")
         for _ in range(3):
             expr = F.replace(expr, F.lit(f" {pair} "), F.lit(f" {merged} "))
-        vocab = vocab.select("freq", expr.alias("seq"))
+        vocab = vocab.select("w", "freq", expr.alias("seq"))
         # lineage between checkpoints is a few chained replace projections
         # over the (checkpointed) vocab — cheap to recompute; an EAGER
         # checkpoint per merge costs a full job each and dominated the
         # wall-clock. Cut lineage every 4 merges instead.
         if rank % 4 == 0:
             vocab = vocab.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank long, pair string, merged string, cnt long"
+    return merges, vocab
+
+
+def bpe_token_counts(
+    df,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BPE ENCODING via the vocabulary join — apply the learned merges to
+    every document and count its subword tokens. The segmentation is
+    computed once per DISTINCT word (the vocab table from the training
+    loop) and joined back to the corpus token stream — the standard trick
+    that makes tokenizer application a dictionary join instead of per-token
+    string work: at 100 TB the corpus side is one explode + one broadcast
+    or shuffle join on the word key, and only the vocab (≪ corpus) ever
+    touches the merge machinery.
+
+    Output: (doc_id, n_words, n_bpe_tokens, compression_x1000) where
+    compression = 1000·n_bpe_tokens / total chars of the doc's words.
+    """
+    from pyspark.sql import functions as F
+
+    _, vocab = _bpe_loop(df, n_merges, text_col)
+    seg = vocab.select(
+        "w",
+        F.size(F.split(F.trim("seq"), " ")).cast("long").alias("n_sub"),
+        F.length("w").cast("long").alias("n_chars_w"),
+    )
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    joined = words.join(seg, "w")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.sum("n_chars_w").alias("n_word_chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(1000 * n_bpe_tokens) div nullif(n_word_chars, 0)").alias(
+                "compression_x1000"
+            ),
+        )
     )

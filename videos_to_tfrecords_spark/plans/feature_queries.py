@@ -867,23 +867,22 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
-    """Unrolled BPE training oracle: one (pairs → best → apply) CTE block
-    per merge, mirroring operators/text.bpe_train_merges exactly
-    (3-pass single-scan replace; count DESC, pair ASC argmax)."""
-    # every CTE MATERIALIZED: the b_k/v_k chain is referenced multiple
-    # times per iteration and DuckDB's default inlining re-expands the
-    # whole lineage (exponential scans of the base table — runs out of
-    # file handles by iteration ~6)
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared unrolled BPE iteration chain (CTE text, no final SELECT):
+    one (pairs → best → apply) block per merge, mirroring
+    operators/text._bpe_loop exactly (3-pass single-scan replace;
+    count DESC, pair ASC argmax). Every CTE MATERIALIZED: the b_k/v_k
+    chain is referenced multiple times per iteration and DuckDB's default
+    inlining re-expands the whole lineage (exponential scans of the base
+    table — runs out of file handles by iteration ~6)."""
     parts = [
-        """WITH w AS MATERIALIZED (
-  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        """WITH wt AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 v0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
          CAST(count(*) AS BIGINT) AS freq
-  FROM w WHERE w != '' GROUP BY 1)"""
+  FROM wt WHERE w != '' GROUP BY 1)"""
     ]
-    sel = []
     for k in range(1, n_merges + 1):
         prev = f"v{k-1}"
         parts.append(
@@ -904,12 +903,35 @@ v0 AS MATERIALIZED (
                 f"replace({rep}, ' ' || b.pair || ' ', ' ' || b.merged || ' ')"
             )
         parts.append(
-            f"v{k} AS MATERIALIZED (SELECT {rep} AS seq, freq FROM {prev}, b{k} b)"
+            f"v{k} AS MATERIALIZED (SELECT w, {rep} AS seq, freq FROM {prev}, b{k} b)"
         )
-        sel.append(
-            f"SELECT CAST({k} AS BIGINT) AS rank, pair, merged, cnt FROM b{k}"
-        )
-    return ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+    return ",\n".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, pair, merged, cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_chain_sql(n_merges) + "\n" + sel
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
+seg AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub,
+         CAST(length(w) AS BIGINT) AS n_chars_w
+  FROM v{n_merges})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * sum(n_sub)) // nullif(sum(n_chars_w), 0) AS BIGINT)
+         AS compression_x1000
+FROM wt JOIN seg USING (w)
+GROUP BY doc_id"""
+    )
 
 
 @query("bpe_train_merges", _bpe_oracle_sql(8))
@@ -925,3 +947,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, n_merges=8)
+
+
+@query("bpe_token_counts", _bpe_encode_oracle_sql(8))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING: apply the 8 learned merges to every document and
+    count subword tokens + chars-per-token compression. Segmentation is
+    computed once per DISTINCT word and joined back to the corpus token
+    stream (operators/text.bpe_token_counts) — tokenizer application as a
+    dictionary join, the shape that scales."""
+    from videos_to_tfrecords_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, n_merges=8)
