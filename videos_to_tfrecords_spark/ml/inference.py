@@ -189,3 +189,40 @@ def batch_inference_by_shape(
         return res
 
     return df.groupBy(*shape_keys).applyInPandas(infer_group, schema)
+
+
+def int_hash_linear_model(out_dim: int = 8) -> ModelFactory:
+    """Linear+relu stub whose weights are EXACT integers derived from the
+    engine's portable md5 hash — w[i][j] = (md5_60bit("w:i:j") % 201) − 100
+    — and whose inputs are quantized to rint(1000·x). Every logit is then
+    an exact small integer (|logit| ≤ dims·1000·100 < 2²⁴, so even the
+    float32 Arrow column holds it exactly), which makes the whole
+    inference pass — the same iterator-pandas-UDF path as the float
+    models — reproducible bit-for-bit in a SQL oracle. The float-weight
+    :func:`linear_stub_model` stays as the realistic-model twin covered by
+    numeric-golden tests."""
+    import hashlib
+
+    def factory() -> Callable[[np.ndarray], np.ndarray]:
+        cache: dict[int, np.ndarray] = {}
+
+        def weights(d: int) -> np.ndarray:
+            w = cache.get(d)
+            if w is None:
+                w = np.empty((d, out_dim), dtype=np.int64)
+                for i in range(d):
+                    for j in range(out_dim):
+                        h = int(
+                            hashlib.md5(f"w:{i}:{j}".encode()).hexdigest()[:15], 16
+                        )
+                        w[i, j] = h % 201 - 100
+                cache[d] = w
+            return w
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            xq = np.rint(batch.astype(np.float64) * 1000).astype(np.int64)
+            return np.maximum(xq @ weights(batch.shape[1]), 0).astype(np.float64)
+
+        return predict
+
+    return factory

@@ -71,17 +71,51 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_frames(docs)
 
 
-@query("inference_logits")  # rows-only: float matmul has no exact SQL twin
+_INFER_ORACLE = """
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 v -> CAST(round(v * 1000) AS BIGINT)) AS xq
+           FROM embeddings),
+dims AS (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)))
+           AS i),
+outs AS (SELECT unnest(range(0, 8)) AS j),
+w AS (SELECT i, j,
+             CAST(concat('0x', substr(md5('w:' || i || ':' || j), 1, 15)) AS BIGINT)
+               % 201 - 100 AS w
+      FROM dims, outs),
+l AS (SELECT vec_id, j, greatest(CAST(sum(xq[i + 1] * w) AS BIGINT), 0) AS logit
+      FROM x, w GROUP BY 1, 2),
+r AS (SELECT vec_id, j, logit,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY logit DESC, j) AS rnk
+      FROM l)
+SELECT vec_id, CAST(8 AS BIGINT) AS n_logits,
+       CAST(j AS BIGINT) AS argmax_idx, CAST(logit AS BIGINT) AS max_logit
+FROM r WHERE rnk = 1
+"""
+
+
+@query("inference_logits", _INFER_ORACLE)
 def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched model inference (U2, reference preprocess.py:192-265) as an
-    iterator pandas UDF with per-worker model init. Stub linear model (no
-    model downloads here); numeric goldens asserted in tests/test_ml.py."""
+    iterator pandas UDF with per-worker model init. The stub's weights are
+    portable-hash integers and inputs are quantized (ml/inference
+    .int_hash_linear_model), so every logit is an exact small integer and
+    the whole inference pass — Arrow batching, per-worker factory, the
+    same UDF plumbing a real model uses — is hash-checked against a SQL
+    matmul oracle (upgraded from rows-only in round 3). The float-weight
+    stub keeps its numeric-golden pytest coverage in tests/test_ml.py."""
+    from videos_to_tfrecords_spark.ml.inference import int_hash_linear_model
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = batch_inference(emb, "embedding", linear_stub_model(64, 8), drop_input=True)
+    out = batch_inference(emb, "embedding", int_hash_linear_model(8), drop_input=True)
     return out.select(
         "vec_id",
         F.size("logits").cast("long").alias("n_logits"),
-        (F.array_position("logits", F.array_max("logits")) - 1).cast("long").alias("argmax_idx"),
+        (F.array_position("logits", F.array_max("logits")) - 1)
+        .cast("long")
+        .alias("argmax_idx"),
+        F.array_max("logits").cast("long").alias("max_logit"),
     )
 
 
