@@ -960,3 +960,127 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_token_counts(docs, n_merges=8)
+
+
+@query(
+    "doc_unigram_entropy",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+q AS (SELECT c.doc_id,
+             sum(c.c * CAST(floor(1000000000 * ln(CAST(n.n AS DOUBLE) / c.c))
+                            AS BIGINT)) AS inner
+      FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1)
+SELECT q.doc_id, n.n AS n_tokens,
+       CAST(q.inner // (n.n * 1000) AS BIGINT) AS entropy_x1e6
+FROM q JOIN n ON q.doc_id = n.doc_id
+""",
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the
+    information-density quality signal (templated/looping text scores low,
+    natural text high; complements the repetition-signal family). Each
+    distinct token's contribution c·ln(n/c) is floor-quantized to an int64
+    BEFORE summing, so the aggregate is exact under any partial/merge
+    order; the per-doc normalization is one integer floor division. Two
+    keyed aggregates, shuffle ∝ distinct (doc, token) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    q = (
+        c.join(n, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("c")
+                * F.floor(
+                    F.lit(1_000_000_000)
+                    * F.log(F.col("n").cast("double") / F.col("c"))
+                ).cast("long")
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("inner"))
+    )
+    return q.join(n, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr("inner div (n * 1000)").alias("entropy_x1e6"),
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    """
+WITH rev AS (SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+                    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev_cents
+             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             GROUP BY 1, 2),
+revd AS (SELECT nationkey, rev_cents, rev_cents // 10000 AS rev_d FROM rev),
+agg AS (SELECT nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+               CAST(sum(rev_d) AS BIGINT) AS total_d,
+               CAST(sum(rev_d * rev_d) AS BIGINT) AS sumsq
+        FROM revd GROUP BY 1)
+SELECT n.n_name,
+       n_suppliers,
+       total_cents,
+       CAST(1000 * ((1000 * sumsq) // (total_d * total_d))
+            + (1000 * ((1000 * sumsq) % (total_d * total_d)))
+              // (total_d * total_d) AS BIGINT) AS hhi_x1e6
+FROM agg JOIN nation n ON n.n_nationkey = agg.nationkey
+""",
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    Σ(share²) of each supplier's revenue within its nation, the
+    market-structure analytic. Per-supplier revenue is summed in exact
+    integer cents; the squared terms are computed on floor-scaled whole
+    100-dollar units so Σrev² stays far inside int64 at any SF (cents²
+    overflows; at yet larger SFs the unit scales with the data — shares
+    are ratio statistics, so the unit only sets quantization),
+    and integer sums are order-independent, so both engines agree exactly.
+    The closing ×1e6 ratio is an EXACT two-step integer long division
+    (1e6·Σrev² exceeds int64, so split 1e6 = 1000·1000 and carry the
+    remainder) — no doubles anywhere: a single-supplier nation sits
+    exactly on the 1.0 boundary, where one ulp of double rounding flipped
+    the floor between engines. Plan: broadcast dim joins, two keyed
+    aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+        .withColumn("rev_d", F.expr("rev_cents div 10000"))
+    )
+    agg = rev.groupBy("nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev_cents").alias("total_cents"),
+        F.sum("rev_d").alias("total_d"),
+        F.sum(F.col("rev_d") * F.col("rev_d")).alias("sumsq"),
+    )
+    return agg.join(
+        F.broadcast(nat), nat.n_nationkey == agg.nationkey
+    ).select(
+        "n_name",
+        "n_suppliers",
+        "total_cents",
+        F.expr(
+            "1000 * ((1000 * sumsq) div (total_d * total_d))"
+            " + (1000 * pmod(1000 * sumsq, total_d * total_d))"
+            "   div (total_d * total_d)"
+        ).alias("hhi_x1e6"),
+    )
