@@ -1084,3 +1084,53 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   div (total_d * total_d)"
         ).alias("hhi_x1e6"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    """
+SELECT 'lineitem.orderkey' AS fk,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem.partkey',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders.custkey',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+""",
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the ingest-time
+    data-quality gate (a broken upstream export shows up here before it
+    poisons joins). Each check is a LEFT ANTI join counted; the dimension
+    side broadcasts, so the audit costs one scan per fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(fact, dim, fk, fact_key, dim_key):
+        orphans = fact.join(
+            F.broadcast(dim), fact[fact_key] == dim[dim_key], "left_anti"
+        )
+        return (
+            fact.agg(F.count("*").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        check(li, orders, "lineitem.orderkey", "l_orderkey", "o_orderkey")
+        .unionAll(check(li, part, "lineitem.partkey", "l_partkey", "p_partkey"))
+        .unionAll(check(orders, cust, "orders.custkey", "o_custkey", "c_custkey"))
+    )
