@@ -1134,3 +1134,73 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(li, part, "lineitem.partkey", "l_partkey", "p_partkey"))
         .unionAll(check(orders, cust, "orders.custkey", "o_custkey", "c_custkey"))
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (SELECT o_custkey AS custkey,
+                CAST((epoch_us((SELECT mx FROM mx)) - epoch_us(max(o_orderdate)))
+                     // 86400000000 AS BIGINT) AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS monetary_cents
+         FROM orders GROUP BY 1)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS BIGINT)
+         AS m_quartile
+FROM base
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical behavioral feature-store derivation. One keyed aggregate
+    over orders, then quartile ranks on the (already customer-sized)
+    result; the global ntile windows run over the aggregated frame, not
+    the fact table, and are tie-broken for a total cross-engine order.
+    Recency is exact integer days against the corpus max date (a 1-row
+    broadcast scalar)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.expr(
+                "(unix_micros(mx) - unix_micros(last_order)) div 86400000000"
+            ).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "custkey"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "custkey"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+        .cast("long")
+        .alias("m_quartile"),
+    )
