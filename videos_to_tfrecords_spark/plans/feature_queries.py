@@ -1204,3 +1204,45 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_quartile"),
     )
+
+
+@query(
+    "order_cohort_retention",
+    """
+WITH om AS (SELECT o_custkey AS custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                     AS ym
+            FROM orders),
+cohort AS (SELECT custkey, min(ym) AS cohort_ym FROM om GROUP BY 1),
+act AS (SELECT DISTINCT o.custkey, c.cohort_ym, o.ym - c.cohort_ym AS age_months
+        FROM om o JOIN cohort c ON o.custkey = c.custkey)
+SELECT cohort_ym, CAST(age_months AS BIGINT) AS age_months,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act GROUP BY 1, 2
+""",
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix: customers grouped by first-order
+    month, counted as active at each month offset — the canonical
+    retention analytic. Months are exact integers (year·12+month), the
+    cohort table is customer-sized and joins back on the customer key
+    (same hash partitioning as the per-customer min — AQE reuses the
+    exchange), and the final matrix is cohorts × ages, metadata-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+    )
+    cohort = om.groupBy("custkey").agg(F.min("ym").alias("cohort_ym"))
+    act = (
+        om.join(cohort, "custkey")
+        .select(
+            "custkey", "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_ym", F.col("age_months").cast("long").alias("age_months")).agg(
+        F.count("*").alias("n_active")
+    )
