@@ -54,9 +54,9 @@ from videos_to_tfrecords_spark.plans.registry import ORACLES, QUERIES  # noqa: E
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Queries already hash-verified by the driver in CORRECTNESS_r01/r02. The
-# driver's per-round snapshot only covers a prefix of the registry, so we
-# order never-driver-checked (and newly added) queries FIRST and push these
+# Queries already hash-verified by the driver in CORRECTNESS_r01/r02/r03.
+# The driver's per-round snapshot only covers a ~50-entry prefix of the
+# registry, so we order never-driver-checked queries FIRST and push these
 # previously-verified ones to the back — every query gets driver coverage
 # across rounds without dropping any from the registry.
 _DRIVER_VERIFIED_R1_R2 = (
@@ -83,36 +83,70 @@ _DRIVER_VERIFIED_R1_R2 = (
     "embedding_norm_by_label", "embedding_threshold_pairs", "multimodal_meta",
 )
 
-# Round-2 registry entries the driver prefix never reached but the judge
-# hash-checked out-of-band with tools/check_oracle.py (VERDICT round 2:
-# "37 hash-match, 4 justified rows-only, 0 failures"). Middle tier: behind
-# the never-checked round-3 additions, ahead of the driver-verified set.
-_JUDGE_VERIFIED_R2 = (
-    "above_nation_average", "ann_topk_lsh_multiprobe", "array_functions",
-    "asof_last_purchase", "bag_set_ops", "conditional_functions",
-    "cube_quantity", "date_functions", "dedup_keep_best",
-    "doc_bpe_token_estimate", "doc_oov_rate", "embedding_quantize_int8",
-    "event_funnel", "hll_sketch_union_distinct", "inference_logits",
-    "interval_range_join", "media_decode_frames", "merge_upsert_orders",
-    "outer_join_profile", "price_quartiles_ntile", "quantity_percentiles",
-    "regexp_functions", "salted_join_revenue", "salted_revenue_by_supplier",
-    "session_window_native", "shipment_gaps", "sql_frontend_q5",
-    "streaming_tumbling_counts", "string_functions",
-    "uniform_sample_exact_k", "user_sessions", "video_pipeline_crop_mode",
-    "video_pipeline_e2e", "vocab_token_ids", "zorder_values",
+# Names in the driver-of-record CORRECTNESS_r03.json snapshot (50 full
+# passes). Same back-of-the-line tier as the r01/r02 set.
+_DRIVER_VERIFIED_R3 = (
+    "tpch_q18_large_volume", "tpch_q21_waiting_suppliers",
+    "tpch_q6_forecast_revenue", "tpch_q22_global_sales_opportunity",
+    "doc_repetition_signals", "mixture_resample", "doc_decontamination",
+    "doc_pii_scrub", "doc_bigram_lm_nll", "doc_line_dedup",
+    "doc_quality_classifier", "embedding_dup_clusters",
+    "streaming_stream_stream_join", "jsonl_source_roundtrip",
+    "csv_source_roundtrip", "streaming_cms_counts",
+    "overlap_shipping_windows", "user_sessions_udtf", "variant_props_stats",
+    "gap_filled_daily_counts", "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_shipping_priority_mode",
+    "tpch_q13_customer_distribution", "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion", "graph_pagerank_trade",
+    "graph_ppr_region_affinity", "graph_triangles_copurchase",
+    "bm25_topk_docs", "knn_loo_accuracy", "embedding_gram_matrix",
+    "ewma_user_value", "skyline_parts", "weighted_doc_sample",
+    "cms_bigram_frequencies", "pca_power_component",
+    "source_shingle_containment", "equidepth_value_histogram",
+    "doc_chunking", "doc_simhash_hamming_pairs", "event_value_outliers",
+)
+
+# The 49 registry entries with no driver-of-record row after r03's rotation
+# (judge verified all 49 out-of-band in round 3: "0 failures / 155 queries").
+# FRONT of the r04 snapshot prefix so the driver union r01-r04 covers the
+# whole registry (VERDICT r03, next-round item #1).
+_JUDGE_ONLY_R3 = (
+    "doc_bpe_token_estimate", "doc_oov_rate", "uniform_sample_exact_k",
+    "dedup_keep_best", "ann_topk_lsh_multiprobe", "embedding_quantize_int8",
+    "media_decode_frames", "inference_logits", "video_pipeline_e2e",
+    "streaming_tumbling_counts", "video_pipeline_crop_mode",
+    "asof_last_purchase", "user_sessions", "salted_revenue_by_supplier",
+    "quantity_percentiles", "shipment_gaps", "above_nation_average",
+    "string_functions", "date_functions", "cube_quantity", "sql_frontend_q5",
+    "array_functions", "regexp_functions", "conditional_functions",
+    "bag_set_ops", "session_window_native", "salted_join_revenue",
+    "merge_upsert_orders", "price_quartiles_ntile", "vocab_token_ids",
+    "outer_join_profile", "interval_range_join", "event_funnel",
+    "zorder_values", "hll_sketch_union_distinct", "user_value_trend",
+    "event_value_fill_forward", "doc_negative_samples",
+    "grouped_split_assignment", "geometric_mean_value", "lang_id_confusion",
+    "doc_duplicate_spans", "bpe_train_merges", "bpe_token_counts",
+    "doc_unigram_entropy", "nation_supplier_hhi",
+    "referential_integrity_audit", "customer_rfm_segments",
+    "order_cohort_retention",
 )
 
 
 def _rotated(mapping: dict) -> dict:
     """Three-tier ordering so the driver's fixed-size snapshot prefix always
-    covers the least-verified queries first: (1) round-3 additions no harness
-    has ever hash-checked, (2) round-2 queries verified only by the judge's
-    out-of-band oracle run, (3) queries already in CORRECTNESS_r01/r02."""
-    driver_done = set(_DRIVER_VERIFIED_R1_R2)
-    judge_done = set(_JUDGE_VERIFIED_R2)
-    order = [k for k in mapping if k not in driver_done and k not in judge_done]
-    order += [k for k in mapping if k in judge_done]
-    order += [k for k in mapping if k in driver_done]
+    covers the least-driver-verified queries first: (1) the 49 queries whose
+    only hash check is the judge's round-3 out-of-band run, (2) brand-new
+    round-4 additions (judge verifies these out-of-band; they rotate to the
+    front next round), (3) queries already in CORRECTNESS_r01/r02/r03."""
+    driver_done = set(_DRIVER_VERIFIED_R1_R2) | set(_DRIVER_VERIFIED_R3)
+    judge_only = set(_JUDGE_ONLY_R3)
+    order = [k for k in mapping if k in judge_only]
+    order += [k for k in mapping if k not in judge_only and k not in driver_done]
+    order += [k for k in mapping if k in driver_done and k not in judge_only]
     return {k: mapping[k] for k in order}
 
 
