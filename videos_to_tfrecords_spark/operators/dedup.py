@@ -470,17 +470,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """SimHash fingerprint: per-bit ±1 votes of (multiset) token hashes,
     assembled into a ``bits``-wide integer. Single explode + one aggregation."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    th = h15("tok", salt="tok")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(th, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # Hoist the md5-based hash into a projection: aggregate expressions are
+    # not common-subexpression-eliminated across aggregate functions, so
+    # inlining `th` would recompute md5 `bits` times per token. Projected
+    # once, the per-bit aggregates are single shift+AND ops on a long
+    # (sf0.1: 1.05 s -> 0.73 s steady-state, 2.9 s -> 1.0 s first run).
+    tok = tok.select(id_col, h15("tok", salt="tok").alias("th"))
+    th = F.col("th")
+    # votes_b > 0  <=>  2 * count(bit b set) > n_tokens; summing the raw bit
+    # avoids the ±1 CASE expression in the hot aggregate loop.
+    counts = [
+        F.sum(F.shiftright(th, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count("*").alias("n"), *counts)
     sh = F.lit(0).cast("long")
     for b in range(bits):
-        sh = sh + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sh = sh + F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
     return agg.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
