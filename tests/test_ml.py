@@ -287,3 +287,31 @@ def test_mixed_resolution_frames_through_full_pipeline(spark):
         assert len(lists["logits"]) == 3
         assert all(len(step) == 4 for step in lists["logits"])
         assert [t[0] for t in lists["timestamp_ms"]] == [0.0, 500.0, 1000.0]
+
+
+def test_fused_decode_infer_matches_unfused_chain(spark):
+    """decode_and_infer (one Python boundary, frames never cross Arrow)
+    must be bit-identical to decode_videos → batch_inference."""
+    from videos_to_tfrecords_spark.ml.video import decode_and_infer
+
+    files = spark.createDataFrame(
+        [
+            ("gs://b/L/360P/v1.mp4", "L", "Train"),
+            ("gs://b/M/720P/v2.mkv", "M", "Val"),
+            ("gs://b/N/480P/v3.avi", "N", "Test"),
+        ],
+        "filename string, label string, dataset string",
+    )
+    unfused = batch_inference(
+        decode_videos(files, cloud=True), "image", linear_stub_model(12, 4)
+    )
+    fused = decode_and_infer(files, linear_stub_model(12, 4), cloud=True)
+    key = lambda r: (r.filename, r.timestamp_ms)  # noqa: E731
+    a = sorted(unfused.collect(), key=key)
+    b = sorted(fused.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra.filename, ra.label, ra.dataset) == (rb.filename, rb.label, rb.dataset)
+        assert (ra.timestamp_ms, ra.frame_per_sec, ra.frame_total) == (
+            rb.timestamp_ms, rb.frame_per_sec, rb.frame_total)
+        assert ra.logits == rb.logits

@@ -147,10 +147,22 @@ def decode_videos(
     skip_msec: float = DEFAULT_SKIP_MSEC,
     cloud: bool = False,
     use_real: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """UDTF-style flat map: one input row per video → one output row per
     sampled frame (reference preprocess.py:156-189). Expects columns
-    filename, label, dataset (+ optional content binary for the real path)."""
+    filename, label, dataset (+ optional content binary for the real path).
+
+    ``spread`` round-robin-repartitions the file list to cluster
+    parallelism first. The input is metadata-sized (one row per video) and
+    routinely arrives in far fewer partitions than there are cores (a
+    single parquet listing file → ONE task doing all decode work); the
+    work amplification happens inside the flat-map, so a tiny shuffle of
+    filename rows buys a fully parallel decode+inference stage. At sf0.1
+    this took the crop-mode E2E from a 1-task decode to 32 tasks."""
+    if spread:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(target)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,6 +204,77 @@ def decode_videos(
             )
 
     return df.mapInPandas(decode, FRAME_SCHEMA)
+
+
+def decode_and_infer(
+    df: DataFrame,
+    model_factory,
+    skip_msec: float = DEFAULT_SKIP_MSEC,
+    cloud: bool = False,
+    use_real: bool = False,
+    output_col: str = "logits",
+    spread: bool = True,
+) -> DataFrame:
+    """FUSED decode → inference in one ``mapInPandas`` pass: frames go
+    straight from the decoder into ``model_factory()``'s batch predict as
+    numpy, and only the (narrow) logits column crosses the Arrow boundary.
+
+    Why fuse: the unfused chain (``decode_videos`` → ``batch_inference``)
+    ships every decoded frame JVM-side and back — at real resolutions that
+    is ~100× the bytes of the logits. The reference's DoFn chain has the
+    same property (frames stay inside one worker, preprocess.py:156-265);
+    this is its Spark twin. One Python boundary, one model init per
+    worker-partition, no image column in the output schema.
+
+    Requires a shape-homogeneous decoder (np.stack over ragged frames
+    raises) — for mixed resolutions use ``decode_videos`` +
+    ``batch_inference_by_shape``. Results are bit-identical to the
+    unfused chain (pytest-asserted)."""
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    out_schema = (
+        "filename string, label string, dataset string, "
+        "height int, width int, channels int, "
+        "timestamp_ms double, frame_per_sec double, frame_total double, "
+        f"{output_col} array<float>"
+    )
+    meta_cols = [
+        "filename", "label", "dataset", "height", "width", "channels",
+        "timestamp_ms", "frame_per_sec", "frame_total",
+    ]
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_factory()  # per-worker-partition init ≡ DoFn.setup()
+        for pdf in batches:
+            metas: list[tuple] = []
+            images: list[np.ndarray] = []
+            for rec in pdf.itertuples(index=False):
+                if use_real and HAVE_CV2:
+                    kept = _decode_real(getattr(rec, "content", None), skip_msec, cloud)
+                else:
+                    kept = _decode_fake(rec.filename, skip_msec, cloud)
+                for image, h, w, c, ts, fps, total in kept:
+                    metas.append(
+                        (
+                            rec.filename,
+                            getattr(rec, "label", None),
+                            getattr(rec, "dataset", None),
+                            h, w, c,
+                            float(ts), float(fps), float(total),
+                        )
+                    )
+                    images.append(image)
+            if metas:
+                out = model(np.stack(images))
+                logits = [row.astype(np.float32).tolist() for row in out]
+            else:
+                logits = []
+            res = pd.DataFrame(metas, columns=meta_cols)
+            res[output_col] = logits
+            yield res
+
+    return df.mapInPandas(fused, out_schema)
 
 
 def decode_videos_udtf(df: DataFrame, skip_msec: float = DEFAULT_SKIP_MSEC, cloud: bool = False) -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.ml.inference import batch_inference, linear_stub_model
-from videos_to_tfrecords_spark.ml.video import decode_videos
+from videos_to_tfrecords_spark.ml.video import decode_and_infer, decode_videos
 from videos_to_tfrecords_spark.operators.multimodal import (
     decode_media_frames,
     with_media_payload,
@@ -138,13 +138,13 @@ def run_pipeline_e2e(
 
     labeled = extract_label(filter_extensions(files))
     split = hash_bucket_split(labeled, "doc_id")
-    frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
     if by_shape:
         from videos_to_tfrecords_spark.ml.inference import (
             adaptive_stub_model,
             batch_inference_by_shape,
         )
 
+        frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
         embedded = batch_inference_by_shape(
             frames,
             "image",
@@ -154,8 +154,12 @@ def run_pipeline_e2e(
             model_cache_key="e2e_adaptive",
         )
     else:
-        embedded = batch_inference(
-            frames, "image", linear_stub_model(12, 4), drop_input=True
+        # fused decode→inference: frames never cross the Arrow boundary
+        # (decode_and_infer docstring; pytest asserts == the unfused chain)
+        embedded = decode_and_infer(
+            split.select("filename", "label", "dataset"),
+            linear_stub_model(12, 4),
+            cloud=True,
         )
     full = to_full_video(
         embedded.select(
@@ -237,8 +241,12 @@ def q_pipeline_crop_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labeled = extract_label(filter_extensions(files))
     split = hash_bucket_split(labeled, "doc_id")
-    frames = decode_videos(split.select("filename", "label", "dataset"), cloud=True)
-    embedded = batch_inference(frames, "image", linear_stub_model(12, 4), drop_input=True)
+    # fused decode→inference (one Python boundary; see decode_and_infer)
+    embedded = decode_and_infer(
+        split.select("filename", "label", "dataset"),
+        linear_stub_model(12, 4),
+        cloud=True,
+    )
     length_ms = F.lit(1000.0) * F.col("frame_total") / F.col("frame_per_sec")
     crop = crop_video(
         embedded.withColumn("length_ms", length_ms),
