@@ -103,7 +103,14 @@ def test_triangle_closure_is_equi_join(spark):
     OR-of-directions predicate would silently degenerate to a
     nested-loop join over all wedges × edges."""
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
-    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    # eager=False: audit the lazy plan (the eager path checkpoints the
+    # 1-row result, which audits as a plain RDD scan)
+    plan = (
+        triangle_count(df, eager=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # the closure probe must be a hash/merge EQUI-join on the (w1, w2) pair
     assert "Join [w1" in plan or "Join [coalesce(w1" in plan
     assert "CartesianProduct" not in plan

@@ -260,3 +260,42 @@ def test_tpch_q15_reuses_revenue_view_without_rescan(spark, sf_dir):
     plan = plan_of(q_tpch_q15(spark, sf_dir))
     assert plan.count("Scan parquet") <= 3  # lineitem ×2 shared subtree or reused + supplier
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_event_funnel_is_single_pass(spark, sf_dir):
+    """The funnel must be ONE events scan + one user_id shuffle + a global
+    agg — the per-stage join formulation (3 scans / 6 shuffles) must not
+    silently return (round-3 bench regression class)."""
+    from videos_to_tfrecords_spark.plans.advanced_queries import q_event_funnel
+
+    plan = plan_of(q_event_funnel(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1  # user_id only
+    assert "Join" not in plan
+
+
+def test_doc_unigram_entropy_single_scan_no_self_join(spark, sf_dir):
+    """Entropy via H = ln n − (1/n)·Σ c·ln c: one documents scan, two
+    keyed aggregates, and NO join of the token-count table back onto a
+    per-doc total (the c⋈n shape re-ran the explode per branch)."""
+    from videos_to_tfrecords_spark.plans.feature_queries import q_entropy
+
+    plan = plan_of(q_entropy(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # (doc,tok) then doc
+
+
+def test_triangle_count_releases_cached_intermediates(spark, sf_dir):
+    """The eager triangle count must not leak persisted RDDs across
+    queries (persist + eager-release pattern): after construction the
+    block-manager cache holds nothing new."""
+    from videos_to_tfrecords_spark.plans.graph_queries import q_triangles_copurchase
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    q_triangles_copurchase(spark, sf_dir).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    # the only surviving cache entry is the 1-row result checkpoint (it IS
+    # the returned DataFrame); the edge/degree/orientation intermediates —
+    # the ones that scale with data — must all be gone
+    assert len(after - before) <= 1

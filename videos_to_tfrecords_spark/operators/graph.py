@@ -132,7 +132,7 @@ def personalized_pagerank_integer(
 
 
 def triangle_count(
-    und: DataFrame, a: str = "a", b: str = "b"
+    und: DataFrame, a: str = "a", b: str = "b", eager: bool = True
 ) -> DataFrame:
     """Global triangle count of an undirected simple graph given as
     canonical (a < b) distinct edge pairs. Returns one row:
@@ -143,13 +143,29 @@ def triangle_count(
     pair. Exactly-once counting: a triangle's three vertices have a strict
     (degree, id) order u < v < w, and only the wedge centered at u has both
     of its edges oriented outward — its closure edge v→w is oriented too.
+
+    ``eager`` (default) runs the count at construction and releases the
+    persisted intermediates (see below); ``eager=False`` returns the lazy
+    plan — used by plan-shape tests that need to see the closure equi-join
+    in ``executedPlan`` (a checkpointed result audits as a plain RDD scan).
     """
-    ea = und.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # The edge table and its derivations are each consumed by SEVERAL plan
+    # branches (deg: orientation join ×2 + n_nodes; o: wedge self-join ×2 +
+    # closure probe; ea: keyed + n_edges) — without a cache marker Spark
+    # re-executes the whole upstream derivation (often a groupBy + pair
+    # explosion + distinct) once per branch. LAZY persist (not eager
+    # localCheckpoint: that forces one serial materialization job per
+    # layer and measured slower) + eager-release: the final result is a
+    # single 1-row checkpoint, after which every intermediate unpersists —
+    # nothing leaks across queries. Same pattern as pagerank_integer
+    # (graph.py:58) and the dedup eager_release note.
+    ea = und.select(F.col(a).alias("x"), F.col(b).alias("y")).persist()
     deg = (
         ea.select(F.col("x").alias("n"))
         .unionAll(ea.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .persist()
     )
     keyed = (
         ea.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
@@ -161,7 +177,7 @@ def triangle_count(
     o = keyed.select(
         F.when(lower, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
-    )
+    ).persist()
     wedges = (
         o.alias("e1")
         .join(o.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -181,4 +197,10 @@ def triangle_count(
     n_tri = tri.groupBy().agg(F.count("*").alias("n_triangles"))
     n_edges = ea.groupBy().agg(F.count("*").alias("n_edges"))
     n_nodes = deg.groupBy().agg(F.count("*").alias("n_nodes"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    res = n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    if not eager:
+        return res
+    out = res.localCheckpoint(eager=True)
+    for cached in (ea, deg, o):
+        cached.unpersist(blocking=False)
+    return out
