@@ -40,6 +40,16 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # one full registered query, untimed (VERDICT r03 #6): first-run
+    # codegen/JIT on a real query plan (the range/pandas warm-ups above
+    # don't touch join/agg codegen paths), so the first TIMED query isn't
+    # the one paying session-global JIT warm-up
+    try:
+        _warm_fn = next(iter(entrymod.queries().values()))
+        _warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench warm-up query failed: {e}", file=sys.stderr)
+
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:

@@ -79,10 +79,43 @@ def _bucket_sql(n_planes: int, vec: str = "v") -> str:
     return " + ".join(terms)
 
 
-def _lsh_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
+_AUTO_MAX_PLANES = 20  # supports corpora to 128·2^20 ≈ 134M rows
+
+
+def _auto_bucket_sql(vec: str = "v", max_planes: int = _AUTO_MAX_PLANES) -> str:
+    """Bucket expression whose PLANE COUNT is derived from the corpus size
+    inside the SQL itself — the exact twin of operators.similarity
+    .auto_planes: n = 8 if rows ≤ 128 else max(8, ceil(log2(rows/128))).
+    Unrolled to ``max_planes`` conditional terms (plane p contributes only
+    when p < n), so one static SQL string is correct at every SF."""
+    terms = []
+    for p in range(max_planes):
+        plane_hash = h15_sql(f"concat('{p},', CAST(i - 1 AS VARCHAR))")
+        sign = f"CASE WHEN {plane_hash} % 2 = 1 THEN 1 ELSE -1 END"
+        signed = (
+            f"list_sum(list_transform({vec}, (x, i) -> "
+            f"CAST(round(x * 1000000) AS BIGINT) * ({sign})))"
+        )
+        terms.append(
+            f"CASE WHEN {p} < (SELECT n FROM np) AND {signed} > 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_AUTO_PLANES_CTE = """
+np AS (SELECT CASE WHEN count(*) <= 128 THEN 8
+              ELSE GREATEST(8, CAST(ceiling(log2(count(*) / 128.0)) AS BIGINT))
+              END AS n
+       FROM embeddings)
+"""
+
+
+def _lsh_oracle(k: int = 3) -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bkt AS (SELECT vec_id, v, CAST({_bucket_sql(n_planes)} AS BIGINT) AS bucket FROM e),
+WITH {_AUTO_PLANES_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, CAST({_auto_bucket_sql()} AS BIGINT) AS bucket FROM e),
 s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -99,20 +132,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/similarity.py lsh_topk) and the plane count derives from
     the corpus size — both leave the logical result unchanged, so the SQL
     oracle is the plain same-bucket ranking. Recall vs brute force is
-    additionally pytest-asserted."""
+    additionally pytest-asserted.
+
+    The SCALE path is the registered path (round-3 ADVICE closed): the
+    oracle derives the plane count from count(embeddings) with the same
+    formula as auto_planes (its ``np`` CTE), so Spark's ``n_planes="auto"``
+    and the SQL agree at every SF — no pinned-planes test-only split."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # The registered query pins n_planes to the oracle's static plane
-    # count: auto-derived planes grow with the corpus (>32,768 rows at 8
-    # planes) and would silently diverge from a fixed-plane SQL oracle at
-    # larger SFs. The auto + chunk-grid scale path is exercised by pytest
-    # (tests/test_text_similarity.py) against brute-force recall instead.
-    return lsh_topk(emb, k=3, n_planes=N_PLANES)
+    return lsh_topk(emb, k=3, n_planes="auto")
 
 
-def _multiprobe_oracle(n_planes: int = N_PLANES, k: int = 3) -> str:
+def _multiprobe_oracle(k: int = 3) -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bkt AS (SELECT vec_id, v, CAST({_bucket_sql(n_planes)} AS BIGINT) AS bucket FROM e),
+WITH {_AUTO_PLANES_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, CAST({_auto_bucket_sql()} AS BIGINT) AS bucket FROM e),
 s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
       FROM bkt a JOIN bkt b
         ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id != b.vec_id),
@@ -128,9 +162,11 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets at Hamming distance 1 (probe-side explode + equi-join — the
     candidate side never replicates). The oracle states the same semantics
     declaratively as a Hamming-≤1 bucket join. Recall gain over
-    single-probe is pytest-asserted vs brute force."""
+    single-probe is pytest-asserted vs brute force. Plane count is
+    auto-derived on BOTH sides (the oracle's ``np`` CTE mirrors
+    auto_planes), so the scale path is the registered path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk_multiprobe(emb, k=3)
+    return lsh_topk_multiprobe(emb, k=3, n_planes="auto")
 
 
 _BANDED_PLANES, _BANDED_BANDS, _BANDED_THR = 24, 6, 400_000_000_000
