@@ -99,9 +99,9 @@ def test_triangle_count_known_graphs(spark):
 
 
 def test_triangle_closure_is_equi_join(spark):
-    """The degree-ordered closure probe must stay a hash equi-join — an
-    OR-of-directions predicate would silently degenerate to a
-    nested-loop join over all wedges × edges."""
+    """The adjacency-intersection probe must stay hash/merge EQUI-joins
+    (edge ⋈ adj on u, then on v) — a predicate-shaped formulation would
+    silently degenerate to a nested-loop join over edges × adjacency."""
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
     # eager=False: audit the lazy plan (the eager path checkpoints the
     # 1-row result, which audits as a plain RDD scan)
@@ -111,8 +111,8 @@ def test_triangle_closure_is_equi_join(spark):
         .executedPlan()
         .toString()
     )
-    # the closure probe must be a hash/merge EQUI-join on the (w1, w2) pair
-    assert "Join [w1" in plan or "Join [coalesce(w1" in plan
+    # the neighbor-array intersection runs inside codegen, never a join
+    assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
     # the only nested-loop joins allowed are the two 1-row × 1-row scalar
     # crossJoins that assemble (n_nodes, n_edges, n_triangles)

@@ -138,22 +138,30 @@ def triangle_count(
     canonical (a < b) distinct edge pairs. Returns one row:
     (n_nodes, n_edges, n_triangles).
 
-    Degree-ordered orientation (see module docstring) keeps the wedge join
-    skew-safe; the closure probe is an equi-join on the oriented (v, w)
-    pair. Exactly-once counting: a triangle's three vertices have a strict
-    (degree, id) order u < v < w, and only the wedge centered at u has both
-    of its edges oriented outward — its closure edge v→w is oriented too.
+    Degree-ordered orientation (see module docstring) keeps per-node
+    out-degree ≤ O(√m); the count itself is the "forward" adjacency-
+    intersection algorithm: a triangle's three vertices have a strict
+    (degree, id) order u < v < w, so it is found exactly once — at its
+    oriented edge (u, v), as w ∈ N⁺(u) ∩ N⁺(v). Compared to the wedge
+    self-join + closure-probe formulation this never materializes the
+    Σ C(d⁺,2) wedge rows into a shuffle (≈17M rows at sf0.1): the
+    intersection of two SORTED neighbor arrays runs in-task inside
+    codegen, and the per-edge counts partial-aggregate map-side to a
+    single scalar. Shuffled volume is Σ d⁺(n)·|N⁺(n)| array ints across
+    the two adjacency joins — the same asymptotics as the wedge join's
+    INPUT, with its output never leaving the task.
 
     ``eager`` (default) runs the count at construction and releases the
     persisted intermediates (see below); ``eager=False`` returns the lazy
-    plan — used by plan-shape tests that need to see the closure equi-join
-    in ``executedPlan`` (a checkpointed result audits as a plain RDD scan).
+    plan — used by plan-shape tests that need to see the adjacency
+    equi-joins in ``executedPlan`` (a checkpointed result audits as a
+    plain RDD scan).
     """
     # The edge table and its derivations are each consumed by SEVERAL plan
-    # branches (deg: orientation join ×2 + n_nodes; o: wedge self-join ×2 +
-    # closure probe; ea: keyed + n_edges) — without a cache marker Spark
-    # re-executes the whole upstream derivation (often a groupBy + pair
-    # explosion + distinct) once per branch. LAZY persist (not eager
+    # branches (deg: orientation join ×2 + n_nodes; o: adjacency build +
+    # per-edge probe ×2; ea: keyed + n_edges) — without a cache marker
+    # Spark re-executes the whole upstream derivation (often a groupBy +
+    # pair explosion + distinct) once per branch. LAZY persist (not eager
     # localCheckpoint: that forces one serial materialization job per
     # layer and measured slower) + eager-release: the final result is a
     # single 1-row checkpoint, after which every intermediate unpersists —
@@ -178,23 +186,22 @@ def triangle_count(
         F.when(lower, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
     ).persist()
-    wedges = (
-        o.alias("e1")
-        .join(o.alias("e2"), F.col("e1.u") == F.col("e2.u"))
-        .filter(F.col("e1.v") < F.col("e2.v"))
-        .select(F.col("e1.v").alias("w1"), F.col("e2.v").alias("w2"))
+    # sorted out-adjacency per node (max size ≤ O(√m) by orientation, so
+    # no array blows up a task even on power-law graphs)
+    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    tri_per_edge = (
+        o.join(adj, "u")
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vnbrs")),
+            "v",
+        )
+        .select(
+            F.array_size(F.array_intersect("nbrs", "vnbrs")).alias("n_common")
+        )
     )
-    # the closure edge between w1/w2 is oriented by THEIR degree order,
-    # unknown here — canonicalize both sides to (min id, max id) so the
-    # probe stays a hash EQUI-join (an OR over both directions would
-    # degenerate to a nested-loop join)
-    closure = o.select(
-        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+    n_tri = tri_per_edge.groupBy().agg(
+        F.coalesce(F.sum("n_common"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    tri = wedges.join(
-        closure, (F.col("w1") == F.col("cu")) & (F.col("w2") == F.col("cv"))
-    )
-    n_tri = tri.groupBy().agg(F.count("*").alias("n_triangles"))
     n_edges = ea.groupBy().agg(F.count("*").alias("n_edges"))
     n_nodes = deg.groupBy().agg(F.count("*").alias("n_nodes"))
     res = n_nodes.crossJoin(n_edges).crossJoin(n_tri)
