@@ -415,12 +415,12 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM document
 th AS (SELECT doc_id, {h15_sql('tok', salt='tok')} AS h FROM tok),
 bits AS (SELECT doc_id, b,
                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2),
+         FROM th, (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
 sig AS (SELECT doc_id,
                CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
                         ELSE 0 END) AS BIGINT) AS sh
         FROM bits GROUP BY 1),
-bands AS (SELECT doc_id, sh, d, (sh >> (8 * d)) & 255 AS band
+bands AS (SELECT doc_id, sh, d, (sh >> (15 * d)) & 32767 AS band
           FROM sig, (SELECT unnest(range(0, 4)) AS d)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                 a.sh AS sa, b.sh AS sb
@@ -432,15 +432,24 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 )
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at SimHash Hamming distance ≤ 3 via PIGEONHOLE
-    banding: a 32-bit signature split into 4 bytes — any pair within
-    distance 3 leaves ≥1 byte untouched, so an equi-join per band finds all
-    of them (candidates ∝ band-bucket populations, never all pairs); exact
-    popcount verification touches candidates only. The LSH-shaped scale
-    path for Hamming space, complementing the MinHash/Jaccard family."""
+    banding: the full 60-bit h15 signature split into 4 bands of 15 bits —
+    any pair within distance 3 leaves ≥1 band untouched, so an equi-join
+    per band finds all of them (candidates ∝ band-bucket populations,
+    never all pairs); exact popcount verification touches candidates only.
+    The LSH-shaped scale path for Hamming space, complementing the
+    MinHash/Jaccard family.
+
+    Band width IS the scale knob: random collisions grow ∝ n²/2^width per
+    band, so the r04 sf1 probe showed the earlier 8-bit bands (256
+    buckets) going superlinear (exponent 1.39, 24.6× for 10× docs) — 15-
+    bit bands (32768 buckets) push the quadratic term down 128× and the
+    probe back to ~linear. At larger corpora, widen bands further (a
+    k-bit hash gives k/4-bit bands) — the pigeonhole argument only needs
+    ≥ threshold+1 bands."""
     from videos_to_tfrecords_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = simhash(docs, bits=32)
+    sig = simhash(docs, bits=60)
     bands = sig.select(
         "doc_id",
         F.col("simhash").alias("sh"),
@@ -449,8 +458,8 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.shiftright("simhash", 8 * d)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("simhash", 15 * d)
+                        .bitwiseAND(F.lit(32767))
                         .alias("band"),
                     )
                     for d in range(4)
