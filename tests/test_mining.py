@@ -1,0 +1,139 @@
+"""Round-4 mining/history operators: market-basket rules, Markov
+transitions, SCD2 intervals, PMI pairs, hard-negative mining — invariant
+tests beyond the oracle hash gate (which checks values; these check the
+semantic contracts hand-constructed inputs make visible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.operators.similarity import hard_negatives
+from videos_to_tfrecords_spark.plans.mining_queries import (
+    q_hard_negatives,
+    q_market_basket,
+    q_markov_transitions,
+    q_scd2_history,
+)
+
+
+def test_hard_negatives_labels_always_differ(spark):
+    """Every mined negative must carry a label different from its query's,
+    and the top-1 must be the true max-dot other-label vector."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (10, [0.9, 0.1], 0),   # same label as 0 — never a negative for it
+        (1, [0.8, 0.2], 1),    # closest other-label to 0
+        (2, [0.0, 1.0], 1),
+        (3, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = hard_negatives(df, query_mod=10, k=2).collect()
+    assert all(r.query_label != r.neg_label for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # query 0 (label 0): nearest other-label is vec 1 ([0.8, 0.2])
+    top = min(by_q[0], key=lambda r: r.rnk)
+    assert top.cand_id == 1
+    # query 10 (label 0) exists because 10 % 10 == 0; query 1 etc. excluded
+    assert set(by_q) == {0, 10}
+    assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_scd2_intervals_tile_and_alternate(spark, sf_dir):
+    """Per customer: segments ordered by seg_id must tile time (each
+    segment's valid_to equals the next's valid_from), never be empty, and
+    consecutive segments must change priority (runs are maximal)."""
+    out = q_scd2_history(spark, sf_dir).collect()
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for segs in by_cust.values():
+        segs.sort(key=lambda r: r.seg_id)
+        # date-granularity feed: two same-day orders with different
+        # priorities collapse to a zero-length segment — allowed (<=)
+        for i, s in enumerate(segs):
+            assert s.valid_from_ms <= s.valid_to_ms
+            assert s.n_orders >= 1
+            if i + 1 < len(segs):
+                assert s.valid_to_ms == segs[i + 1].valid_from_ms
+                assert s.priority != segs[i + 1].priority
+
+
+def test_market_basket_rules_support_consistency(spark, sf_dir):
+    """pair_support can never exceed either item support; confidence and
+    lift floors must match their integer definitions."""
+    rows = q_market_basket(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert r.pair_support <= min(r.support_a, r.support_b)
+        assert r.conf_ab_x1e6 == r.pair_support * 1_000_000 // r.support_a
+
+
+def test_markov_transition_rows_sum_to_totals(spark, sf_dir):
+    """Per from_type, transition counts must sum to n_from (the row of a
+    stochastic matrix), and each user contributes exactly n_events - 1
+    transitions corpus-wide."""
+    t = q_markov_transitions(spark, sf_dir)
+    agg = (
+        t.groupBy("from_type", "n_from")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    )
+    assert agg and all(r.s == r.n_from for r in agg)
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total_transitions = t.agg(F.sum("n")).collect()[0][0]
+    assert total_transitions == n_events - n_users
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (the row-level analog of
+    partition pruning): with the optimizer thresholds lowered, a selective
+    dimension filter must inject a bloom_filter_agg on the build side and
+    a BloomFilterMightContain probe into the fact scan — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    only rows that can possibly join."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast joins skip bloom
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_hard_negatives_query_matches_operator(spark, sf_dir):
+    """The registered query is exactly the operator at (mod 10, k=3)."""
+    a = sorted(
+        tuple(r) for r in q_hard_negatives(spark, sf_dir).collect()
+    )
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = sorted(tuple(r) for r in hard_negatives(emb, query_mod=10, k=3).collect())
+    assert a == b

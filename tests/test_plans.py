@@ -286,6 +286,38 @@ def test_doc_unigram_entropy_single_scan_no_self_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2  # (doc,tok) then doc
 
 
+def test_triangle_count_consumers_hit_cache(spark, sf_dir):
+    """Every multi-branch consumer of the triangle intermediates (ea ×2,
+    deg ×3, o ×3) must read the persisted cache — if the persists are
+    dropped, Spark re-derives the groupBy + pair-explosion + distinct once
+    per branch (the round-3 '18 file scans' bench regression). Printed
+    scan counts overstate cached plans (the cached subtree is re-printed
+    per consumer), so assert the cache READS instead."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.graph import triangle_count
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+            " size(ps)), y -> struct(x AS a, y AS b))))")).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    plan = (
+        triangle_count(und, eager=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 5
+    assert "array_intersect" in plan  # the in-task intersection probe
+
+
 def test_triangle_count_releases_cached_intermediates(spark, sf_dir):
     """The eager triangle count must not leak persisted RDDs across
     queries (persist + eager-release pattern): after construction the

@@ -729,6 +729,56 @@ def knn_loo_accuracy(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_mod: int | None = 10,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each sampled
+    query vector, the top-k most-similar corpus vectors whose LABEL
+    differs — the negatives a contrastive loss learns the most from
+    (easy negatives are already far away; hard ones sit near the
+    decision boundary).
+
+    Composition over the exact broadcast kernel shape (brute_force_topk):
+    the sampled query side (id, label, vector) broadcasts against the
+    full corpus, the cross-label filter drops same-class candidates
+    BEFORE the rank (so k survivors are guaranteed hard), and the per-
+    query row_number is tie-broken on candidate id. ``query_mod`` bounds
+    the broadcast side exactly as in knn_loo_accuracy — the Arrow volume
+    is |queries|·|corpus|, linear in the corpus for a fixed sample.
+
+    Output: (query_id, query_label, cand_id, neg_label, dot_scaled, rnk)
+    — integers only (vectors are ×1e6 int-quantized inside the dot).
+    """
+    q = df if query_mod is None else df.filter(F.col(id_col) % query_mod == 0)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).cast("long").alias("neg_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neg_label"))
+        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "query_label", "cand_id", "neg_label", "dot_scaled", "rnk")
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,423 @@
+"""Round-4 mining / history queries: market-basket association rules,
+Markov transition matrices, SCD2 validity-interval history, PMI token
+co-occurrence, hard-negative mining, tokenizer fertility, ORC round-trip.
+
+Cross-engine determinism (registry.py rules): every ratio is an exact
+integer floor-division or a single final double division with an identical
+expression tree; every ln is taken of an INTEGER and floor-quantized to
+int64 BEFORE any sum/difference (the doc_unigram_entropy pattern, green
+across three rounds); every top-k is fully tie-broken.
+"""
+
+from __future__ import annotations
+
+import hashlib as _hl
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from videos_to_tfrecords_spark.plans.registry import query
+from videos_to_tfrecords_spark.sources.tables import load_table
+
+# pair-explosion of a sorted in-task array: C(n,2) structs (a < b by
+# construction) — the same codegen trick as the co-purchase edge table
+_PAIRS = (
+    "flatten(transform({arr}, (x, i) ->"
+    " transform(slice({arr}, i + 2, size({arr})), y -> struct(x AS a, y AS b))))"
+)
+
+_MIN_SUP = 5  # absolute basket support for a frequent item (a-priori prune)
+_TOP_RULES = 25
+
+
+@query(
+    "market_basket_rules",
+    f"""
+WITH basket AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ord) AS BIGINT) AS n_orders FROM basket),
+sup AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM basket GROUP BY 1),
+freq AS (SELECT item, s FROM sup WHERE s >= {_MIN_SUP}),
+pair AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS s_ab
+  FROM basket a
+  JOIN basket b ON a.ord = b.ord AND a.item < b.item
+  WHERE a.item IN (SELECT item FROM freq) AND b.item IN (SELECT item FROM freq)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT ia, ib, s_ab,
+         row_number() OVER (ORDER BY s_ab DESC, ia, ib) AS rk
+  FROM pair)
+SELECT r.ia AS item_a, r.ib AS item_b, r.s_ab AS pair_support,
+       fa.s AS support_a, fb.s AS support_b,
+       CAST(r.s_ab * 1000000 // fa.s AS BIGINT) AS conf_ab_x1e6,
+       CAST((r.s_ab * 1000000 * (SELECT n_orders FROM n)) // (fa.s * fb.s)
+            AS BIGINT) AS lift_x1e6,
+       CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN freq fa ON r.ia = fa.item JOIN freq fb ON r.ib = fb.item
+WHERE r.rk <= {_TOP_RULES}
+""",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori-pruned association rules over order baskets: top-25 item
+    pairs by co-occurrence, with confidence and lift as exact integer
+    floor ratios.
+
+    Scale shape: item supports are one groupBy over distinct (order, item);
+    the FREQUENT-ITEM PRUNE happens BEFORE any pair is generated (the
+    a-priori downward-closure argument — an infrequent item cannot appear
+    in a frequent pair), so the pair space is bounded by frequent items
+    only; pairs are then exploded IN-TASK from each basket's sorted
+    frequent-item array (baskets are bounded — TPC-H ≤ 7 lines — so C(n,2)
+    stays tiny per group, no basket⋈basket shuffle join); the support
+    joins at the end are frequent-item-sized (broadcast). The only
+    data-sized shuffles are the basket groupBy and the pair count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("item")
+    )
+    basket = li.distinct()
+    sup = basket.groupBy("item").agg(F.count("*").alias("s"))
+    freq = sup.filter(F.col("s") >= _MIN_SUP)
+    n_orders = basket.agg(
+        F.countDistinct("ord").cast("long").alias("n_orders")
+    )
+    pairs = (
+        basket.join(F.broadcast(freq.select("item")), "item")
+        .groupBy("ord")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .select(F.explode(F.expr(_PAIRS.format(arr="items"))).alias("p"))
+        .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
+        .agg(F.count("*").cast("long").alias("s_ab"))
+    )
+    ranked = pairs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("s_ab"), F.asc("ia"), F.asc("ib"))
+        ),
+    ).filter(F.col("rk") <= _TOP_RULES)
+    fa = freq.select(F.col("item").alias("ia"), F.col("s").alias("support_a"))
+    fb = freq.select(F.col("item").alias("ib"), F.col("s").alias("support_b"))
+    return (
+        ranked.join(F.broadcast(fa), "ia")
+        .join(F.broadcast(fb), "ib")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("s_ab").alias("pair_support"),
+            "support_a",
+            "support_b",
+            F.expr("s_ab * 1000000 div support_a").cast("long").alias("conf_ab_x1e6"),
+            F.expr("(s_ab * 1000000 * n_orders) div (support_a * support_b)")
+            .cast("long")
+            .alias("lift_x1e6"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@query(
+    "event_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events),
+t AS (SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n, tot.n_from,
+       CAST(t.n * 1000000 // tot.n_from AS BIGINT) AS p_x1e6
+FROM t JOIN tot ON t.from_type = tot.from_type
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences —
+    the behavioral-model sufficient statistic (and the generator of
+    synthetic clickstreams). One user_id shuffle feeds the lag window,
+    transitions aggregate partial→final on (from, to), and the row
+    normalization joins a type×type-sized total table (broadcast).
+    Probabilities are exact integer floor(1e6·n/n_from)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    t = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.expr("n * 1000000 div n_from").cast("long").alias("p_x1e6"),
+    )
+
+
+# validity sentinel for the open SCD2 segment: 3000-01-01 in epoch ms —
+# a concrete integer both engines agree on (NULL would also hash, but a
+# closed interval keeps downstream BETWEEN predicates sargable)
+_SCD2_OPEN_MS = 32503680000000
+
+
+@query(
+    "scd2_priority_history",
+    f"""
+WITH o AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         epoch_us(o_orderdate) // 1000 AS ts_ms, o_orderkey
+  FROM orders),
+flagged AS (
+  SELECT *, CASE WHEN lag(priority) OVER w IS DISTINCT FROM priority
+                 THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY custkey ORDER BY ts_ms, o_orderkey)),
+seg AS (
+  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY ts_ms, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged),
+hist AS (
+  SELECT custkey, CAST(seg_id AS BIGINT) AS seg_id, priority,
+         CAST(min(ts_ms) AS BIGINT) AS valid_from_ms,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM seg GROUP BY 1, 2, 3)
+SELECT custkey, seg_id, priority, valid_from_ms,
+       CAST(coalesce(lead(valid_from_ms) OVER (PARTITION BY custkey
+                                               ORDER BY seg_id),
+                     {_SCD2_OPEN_MS}) AS BIGINT) AS valid_to_ms,
+       n_orders
+FROM hist
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type-2) history build from an
+    ordered change feed: each customer's order-priority runs collapse to
+    validity intervals [valid_from, valid_to) — the CDC-to-warehouse
+    pattern (gaps-and-islands). All three windows and the final groupBy
+    hash-partition on custkey, so the whole query is ONE exchange that
+    AQE reuses across stages; interval bounds are exact epoch ms and the
+    open segment closes with a concrete year-3000 sentinel."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("custkey").orderBy("ts_ms", "o_orderkey")
+    o = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("unix_micros(o_orderdate) div 1000").cast("long").alias("ts_ms"),
+        "o_orderkey",
+    )
+    seg = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1
+        ).otherwise(0),
+    ).withColumn("seg_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    hist = seg.groupBy(
+        "custkey", F.col("seg_id").cast("long").alias("seg_id"), "priority"
+    ).agg(
+        F.min("ts_ms").cast("long").alias("valid_from_ms"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("seg_id")
+    return hist.select(
+        "custkey",
+        "seg_id",
+        "priority",
+        "valid_from_ms",
+        F.coalesce(F.lead("valid_from_ms").over(w2), F.lit(_SCD2_OPEN_MS))
+        .cast("long")
+        .alias("valid_to_ms"),
+        "n_orders",
+    )
+
+
+_PMI_TOP_TOKENS = 50
+_PMI_TOP_PAIRS = 50
+_QLN = "CAST(floor(1000000000 * ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+
+
+@query(
+    "token_pmi_pairs",
+    f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+top AS (SELECT tok, c FROM df ORDER BY c DESC, tok LIMIT {_PMI_TOP_TOKENS}),
+pair AS (
+  SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  WHERE a.tok IN (SELECT tok FROM top) AND b.tok IN (SELECT tok FROM top)
+  GROUP BY 1, 2),
+ranked AS (SELECT ta, tb, c_ab,
+                  row_number() OVER (ORDER BY c_ab DESC, ta, tb) AS rk
+           FROM pair)
+SELECT r.ta AS tok_a, r.tb AS tok_b, r.c_ab AS n_co,
+       fa.c AS df_a, fb.c AS df_b,
+       CAST((SELECT {_QLN.format(x='n_docs')} FROM n)
+            + {_QLN.format(x='r.c_ab')}
+            - {_QLN.format(x='fa.c')}
+            - {_QLN.format(x='fb.c')} AS BIGINT) AS pmi_x1e9,
+       CAST((r.c_ab * 1000000 * (SELECT n_docs FROM n)) // (fa.c * fb.c)
+            AS BIGINT) AS lift_x1e6,
+       CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN top fa ON r.ta = fa.tok JOIN top fb ON r.tb = fb.tok
+WHERE r.rk <= {_PMI_TOP_PAIRS}
+""",
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI of the top-50 corpus tokens: which frequent
+    tokens co-occur more than independence predicts — the collocation /
+    topic-coherence statistic. The pair space is capped BEFORE explosion
+    (only top-df tokens pair, ≤ C(50,2) per doc), doc-level pair counts
+    come from one in-task array explosion + one aggregate, and PMI is the
+    entropy-pattern sum of four floor-quantized ln-of-integer terms
+    (exact under any aggregation order); lift is a pure integer ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    n_docs = docs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    df_tok = dt.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    top = df_tok.orderBy(F.desc("c"), F.asc("tok")).limit(_PMI_TOP_TOKENS)
+    pairs = (
+        dt.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("toks"))
+        .select(F.explode(F.expr(_PAIRS.format(arr="toks"))).alias("p"))
+        .groupBy(F.col("p.a").alias("ta"), F.col("p.b").alias("tb"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    ranked = pairs.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("c_ab"), F.asc("ta"), F.asc("tb"))),
+    ).filter(F.col("rk") <= _PMI_TOP_PAIRS)
+    qln = lambda c: F.floor(  # noqa: E731
+        F.lit(1_000_000_000) * F.log(F.col(c).cast("double"))
+    ).cast("long")
+    fa = top.select(F.col("tok").alias("ta"), F.col("c").alias("df_a"))
+    fb = top.select(F.col("tok").alias("tb"), F.col("c").alias("df_b"))
+    return (
+        ranked.join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("ta").alias("tok_a"),
+            F.col("tb").alias("tok_b"),
+            F.col("c_ab").alias("n_co"),
+            "df_a",
+            "df_b",
+            (
+                qln("n_docs") + qln("c_ab") - qln("df_a") - qln("df_b")
+            ).alias("pmi_x1e9"),
+            F.expr("(c_ab * 1000000 * n_docs) div (df_a * df_b)")
+            .cast("long")
+            .alias("lift_x1e6"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_IV = "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT))"
+_DOT = (
+    "CAST(list_sum(list_transform(list_zip(a.v, b.v), "
+    "p -> p[1] * p[2])) AS BIGINT)"
+)
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {_IV} AS v
+           FROM embeddings),
+s AS (SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS cand_id, b.label AS neg_label, {_DOT} AS dot_scaled
+      FROM e a, e b
+      WHERE a.vec_id % 10 = 0 AND a.label != b.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_scaled DESC, cand_id) AS rnk
+      FROM s)
+SELECT query_id, query_label, cand_id, neg_label, dot_scaled,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): top-3
+    nearest OTHER-label vectors per sampled query — the contrastive-
+    training pair miner. Exact broadcast kernel, label filter before the
+    rank, 1-in-10 query sample bounds the Arrow volume."""
+    from videos_to_tfrecords_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, query_mod=10, k=3)
+
+
+@query(
+    "doc_token_fertility",
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(text)) * 1000 // sum(len(string_split(text, ' ')))
+            AS BIGINT) AS chars_per_token_x1000
+FROM documents GROUP BY lang
+""",
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per whitespace token —
+    the compression-rate statistic that decides per-language sampling
+    budgets (a high-fertility language consumes more context per word).
+    Map-side partial sums only; one tiny lang-keyed exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_ws_tokens"),
+        F.expr(
+            "sum(length(text)) * 1000 div sum(size(split(text, ' ')))"
+        )
+        .cast("long")
+        .alias("chars_per_token_x1000"),
+    )
+
+
+@query(
+    "orc_source_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink breadth (§2.1 extension, columnar sibling of the
+    jsonl/csv round-trips): events written as ORC (integer cents), read
+    back, aggregated — the oracle computes the same aggregate from the
+    parquet directly, so the ORC round-trip itself is hash-checked.
+    ORC carries its own schema, so no inference pass is ever paid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "orc_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
+    )
