@@ -137,3 +137,33 @@ def test_hard_negatives_query_matches_operator(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     b = sorted(tuple(r) for r in hard_negatives(emb, query_mod=10, k=3).collect())
     assert a == b
+
+
+def test_basket_and_pmi_topk_is_take_ordered(spark, sf_dir):
+    """The top-k extraction must be a distributed TakeOrderedAndProject,
+    never a single-partition global-sort window over the full pair
+    table."""
+    from videos_to_tfrecords_spark.plans.mining_queries import (
+        q_market_basket,
+        q_token_pmi,
+    )
+
+    for qfn in (q_market_basket, q_token_pmi):
+        plan = qfn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles must converge to two communities, each
+    labeled by its minimum node id (min tie-break)."""
+    from videos_to_tfrecords_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    und = tri1 + tri2
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = {r.node: r.lab for r in label_propagation(edges, n_iter=3).collect()}
+    assert {labels[n] for n in (1, 2, 3)} == {1}
+    assert {labels[n] for n in (10, 11, 12)} == {10}

@@ -22,7 +22,7 @@ Scale design (100 TB of edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_TOTAL = 10**12  # total rank mass (integer "1.0")
@@ -129,6 +129,57 @@ def personalized_pagerank_integer(
     e_deg.unpersist(blocking=False)
     seed_tel.unpersist(blocking=False)
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): every node
+    starts labeled with its own id; each round it adopts the most frequent
+    label among its neighbors **and itself** (the self-loop damps the
+    2-coloring oscillation LPA exhibits on bipartite graphs), ties broken
+    by the SMALLEST label — fully deterministic, so an unrolled-CTE oracle
+    reproduces it bit-for-bit (the pagerank_integer technique).
+
+    Scale shape (per iteration): one node-keyed equi-join (edge src →
+    current label), one (node, label) partial→final count, one per-node
+    window argmax — all hash-partitioned on the node key, so consecutive
+    iterations reuse the partitioning. Labels are lazily
+    localCheckpoint'ed each round so the logical plan stays one-iteration
+    deep — analysis/optimization time stays constant per round instead of
+    growing with the full unrolled lineage.
+
+    Returns (node, lab) after ``n_iter`` rounds; callers aggregate to
+    community histograms (the result a corpus-clustering pass feeds to
+    mixture balancing).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    # self-loop: a node's own label always votes once
+    e_self = e.unionAll(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
+    e_self = e_self.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(n_iter):
+        votes = (
+            e_self.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels
 
 
 def triangle_count(

@@ -89,12 +89,20 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
         .agg(F.count("*").cast("long").alias("s_ab"))
     )
-    ranked = pairs.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.desc("s_ab"), F.asc("ia"), F.asc("ib"))
-        ),
-    ).filter(F.col("rk") <= _TOP_RULES)
+    # top-k FIRST via orderBy+limit (distributed TakeOrderedAndProject —
+    # every partition contributes its local top-25), THEN rank the 25
+    # survivors; a bare global row_number window would single-partition
+    # sort the whole pair table
+    ranked = (
+        pairs.orderBy(F.desc("s_ab"), F.asc("ia"), F.asc("ib"))
+        .limit(_TOP_RULES)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("s_ab"), F.asc("ia"), F.asc("ib"))
+            ),
+        )
+    )
     fa = freq.select(F.col("item").alias("ia"), F.col("s").alias("support_a"))
     fb = freq.select(F.col("item").alias("ib"), F.col("s").alias("support_b"))
     return (
@@ -296,10 +304,18 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("ta"), F.col("p.b").alias("tb"))
         .agg(F.count("*").cast("long").alias("c_ab"))
     )
-    ranked = pairs.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("c_ab"), F.asc("ta"), F.asc("tb"))),
-    ).filter(F.col("rk") <= _PMI_TOP_PAIRS)
+    # top-k via orderBy+limit (TakeOrderedAndProject), then rank the
+    # bounded survivors — see market_basket_rules
+    ranked = (
+        pairs.orderBy(F.desc("c_ab"), F.asc("ta"), F.asc("tb"))
+        .limit(_PMI_TOP_PAIRS)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("c_ab"), F.asc("ta"), F.asc("tb"))
+            ),
+        )
+    )
     qln = lambda c: F.floor(  # noqa: E731
         F.lit(1_000_000_000) * F.log(F.col(c).cast("double"))
     ).cast("long")
@@ -388,6 +404,183 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("chars_per_token_x1000"),
+    )
+
+
+@query(
+    "mixture_alpha_weights",
+    """
+WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+w AS (SELECT lang, n_docs,
+             CAST(floor(1000000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM n),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w)
+SELECT lang, n_docs, w,
+       CAST(w * 1000000 // (SELECT tot FROM t) AS BIGINT) AS p_x1e6,
+       CAST(w * 10000 // (SELECT tot FROM t) AS BIGINT) AS expected_docs
+FROM w
+""",
+)
+def q_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (the multilingual-LM
+    mixture rule p_l ∝ n_l^α, α=0.5): upweights low-resource languages
+    relative to proportional sampling. α=0.5 makes the power a SQRT —
+    IEEE-754 requires sqrt to be correctly rounded, so floor(1e6·√n) is
+    bit-identical across engines with no quantized-ln machinery. One tiny
+    lang-keyed aggregate + a broadcast 1-row total; expected_docs is the
+    per-language draw for a 10k-doc budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs")).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(1_000_000) * F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    tot = w.agg(F.sum("w").cast("long").alias("tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr("w * 1000000 div tot").cast("long").alias("p_x1e6"),
+        F.expr("w * 10000 div tot").cast("long").alias("expected_docs"),
+    )
+
+
+_VOCAB_KS = (10, 100, 1000, 10000)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_distinct FROM c),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM c
+      ORDER BY c DESC, tok LIMIT {max(_VOCAB_KS)})
+SELECT (SELECT total FROM tot) AS total_tokens,
+       (SELECT n_distinct FROM tot) AS n_distinct,
+       {", ".join(
+           f'''CAST(sum(CASE WHEN rk <= {k} THEN c ELSE 0 END) * 1000000
+            // (SELECT total FROM tot) AS BIGINT) AS cov{k}_x1e6'''
+           for k in _VOCAB_KS)}
+FROM r
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: fraction of corpus token OCCURRENCES
+    covered by the top-{{10,100,1k,10k}} most frequent types — the
+    statistic that sizes a tokenizer vocabulary (the knee of this curve is
+    where added vocab stops paying). Scale shape: token counts are one
+    partial→final aggregate; the top-10k extraction is a distributed
+    TakeOrderedAndProject (every partition contributes its local top-k,
+    only 10k rows ever sit in one place — never a global sort/cumsum
+    window over the full vocabulary); the four coverage sums are
+    conditional aggregates over those bounded 10k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    top = c.orderBy(F.desc("c"), F.asc("tok")).limit(max(_VOCAB_KS))
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0)).alias(f"s{k}")
+            for k in _VOCAB_KS
+        ]
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "total_tokens",
+        "n_distinct",
+        *[
+            F.expr(f"s{k} * 1000000 div total_tokens")
+            .cast("long")
+            .alias(f"cov{k}_x1e6")
+            for k in _VOCAB_KS
+        ],
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle_sql() -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS (SELECT DISTINCT src AS node FROM e0
+          UNION SELECT DISTINCT dst AS node FROM e0),
+edges AS (SELECT src AS s, dst AS d FROM e0
+          UNION ALL SELECT dst AS s, src AS d FROM e0
+          UNION ALL SELECT node AS s, node AS d FROM nodes),
+l0 AS (SELECT node, node AS lab FROM nodes)"""
+    iters = []
+    for i in range(1, _LPA_ITERS + 1):
+        prev = f"l{i-1}"
+        iters.append(
+            f""",
+l{i} AS (
+  SELECT node, lab FROM (
+    SELECT v.node, v.lab,
+           row_number() OVER (PARTITION BY v.node
+                              ORDER BY v.c DESC, v.lab) AS rn
+    FROM (SELECT e.d AS node, p.lab, count(*) AS c
+          FROM edges e JOIN {prev} p ON e.s = p.node
+          GROUP BY 1, 2) v)
+  WHERE rn = 1)"""
+        )
+    tail = f"""
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{_LPA_ITERS} GROUP BY 1
+"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_lpa_communities", _lpa_oracle_sql())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the customer↔supplier trade graph
+    (operators/graph.label_propagation, 3 synchronous rounds, min-label
+    tie-break, self-loops) aggregated to community sizes. The oracle
+    unrolls the identical deterministic update rule into one CTE per
+    round — the pagerank_integer verification technique."""
+    from videos_to_tfrecords_spark.operators.graph import label_propagation
+
+    labels = label_propagation(
+        _trade_edges_mining(spark, sf_dir), n_iter=_LPA_ITERS
+    )
+    return labels.groupBy(F.col("lab").cast("long").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+def _trade_edges_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier trade edges, namespaced 2k / 2k+1 —
+    the same derivation as graph_queries._trade_edges (re-declared here to
+    keep the module import graph acyclic)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
