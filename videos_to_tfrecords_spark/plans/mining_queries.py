@@ -584,6 +584,138 @@ def _trade_edges_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+@query(
+    "table_profile_lineitem",
+    f"""
+SELECT * FROM (
+{" UNION ALL ".join(
+    f'''SELECT '{c}' AS col,
+        CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_str,
+        CAST(max(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_str
+    FROM lineitem'''
+    for c in _PROFILE_COLS)})
+""",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the fact table (null count, exact
+    distinct count, lexicographic min/max as strings) — the data-quality
+    census a pipeline runs before trusting a new snapshot. All eight
+    columns profile in a SINGLE aggregate pass: Spark plans multiple
+    COUNT(DISTINCT) via Expand (one scan, rows × #distinct-aggs
+    intermediate, partial-aggregated map-side before the one exchange) —
+    versus eight scans for the naive per-column loop. Min/max compare as
+    strings so one schema covers every column type; the output is
+    8 rows, metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            (F.count("*") - F.count(s)).cast("long").alias(f"null_{c}"),
+            F.countDistinct(s).cast("long").alias(f"dist_{c}"),
+            F.min(s).alias(f"min_{c}"),
+            F.max(s).alias(f"max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack})"
+        " AS (col, n_null, n_distinct, min_str, max_str)"
+    )
+
+
+@query(
+    "data_quality_checks",
+    """
+SELECT 'orders_nonneg_price' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_valid_status',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_positive_qty',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_value_not_null',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents_nonempty_text',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+""",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule suite (the expectations-runner shape):
+    each rule is a conditional aggregate over its table — violations
+    count, never row explosion; per-table rules fuse into that table's
+    single scan (map-side partial sums, one tiny final exchange). New
+    rules are one SELECT each on both engine and oracle sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(df: DataFrame, name: str, violated) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias("n_violations"),
+        ).select(F.lit(name).alias("rule"), "n_checked", "n_violations")
+
+    parts = [
+        rule(orders, "orders_nonneg_price", F.col("o_totalprice") < 0),
+        rule(
+            orders,
+            "orders_valid_status",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        rule(
+            li,
+            "lineitem_discount_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        rule(li, "lineitem_positive_qty", F.col("l_quantity") <= 0),
+        rule(ev, "events_value_not_null", F.col("value").isNull()),
+        rule(docs, "documents_nonempty_text", F.length("text") == 0),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 @query(
     "orc_source_roundtrip",
     """
