@@ -127,3 +127,74 @@ def test_triangle_star_hub_wedges_bounded(spark):
     star = [(0, i) for i in range(1, 41)]
     row = triangle_count(spark.createDataFrame(star, "a long, b long")).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (41, 40, 0)
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """A 4-clique (every degree 3) survives 3-core peeling; pendant nodes
+    hanging off it peel in round 1, which drops clique degrees seen by
+    LATER rounds only via removed neighbors — the clique stays intact."""
+    from videos_to_tfrecords_spark.operators.graph import kcore_rounds
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendants = [(1, 10), (2, 11), (3, 12)]
+    df = spark.createDataFrame(clique + pendants, "a long, b long")
+    rows = {r.round: (r.nodes_left, r.edges_left)
+            for r in kcore_rounds(df, k=3, rounds=3).collect()}
+    assert rows[1] == (4, 6)  # pendants (deg 1) peel; clique intact
+    assert rows[2] == (4, 6)
+    assert rows[3] == (4, 6)
+
+
+def test_kcore_cascading_peel(spark):
+    """A path a-b-c-d under k=2: endpoints peel round 1, then the middle
+    edge's endpoints drop below 2 and everything unravels round 2 —
+    the census must show the cascade, not a one-shot filter."""
+    from videos_to_tfrecords_spark.operators.graph import kcore_rounds
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    rows = {r.round: (r.nodes_left, r.edges_left)
+            for r in kcore_rounds(df, k=2, rounds=2).collect()}
+    assert rows[1] == (2, 1)  # endpoints gone, middle edge 2-3 left
+    assert rows[2] == (0, 0)  # cascade: 2 and 3 now degree-1
+
+
+def test_local_clustering_known_coefficients(spark):
+    """Triangle with a pendant: the two pure-triangle nodes have coef 1
+    (1_000_000 ppm); the node also touching the pendant has deg 3, one
+    triangle => 2*1/(3*2) = 333333 ppm."""
+    from videos_to_tfrecords_spark.operators.graph import local_clustering_topk
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_ppm)
+           for r in local_clustering_topk(df, topk=10).collect()}
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (2, 1, 1_000_000)
+    assert got[3] == (3, 1, 333_333)
+    assert 4 not in got  # degree 1: coefficient undefined, excluded
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    """Square 1-2-3-4: diagonals (1,3) and (2,4) each share two
+    neighbors; existing edges never appear as predictions."""
+    from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    )
+    rows = [(r.pa, r.pb, r.n_common)
+            for r in common_neighbor_pairs(df, cap=64, topk=10).collect()]
+    assert rows == [(1, 3, 2), (2, 4, 2)]
+
+
+def test_common_neighbors_cap_binds_deterministically(spark):
+    """Star center with 5 leaves, cap=3: only the 3 smallest leaf ids
+    enter pair expansion — C(3,2)=3 predicted pairs, all among leaves
+    {2,3,4}, each with exactly one common neighbor (the hub)."""
+    from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
+
+    df = spark.createDataFrame([(1, k) for k in (2, 3, 4, 5, 6)], "a long, b long")
+    rows = [(r.pa, r.pb, r.n_common)
+            for r in common_neighbor_pairs(df, cap=3, topk=10).collect()]
+    assert rows == [(2, 3, 1), (2, 4, 1), (3, 4, 1)]

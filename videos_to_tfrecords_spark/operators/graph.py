@@ -262,3 +262,178 @@ def triangle_count(
     for cached in (ea, deg, o):
         cached.unpersist(blocking=False)
     return out
+
+
+def kcore_rounds(
+    und: DataFrame, k: int = 2, rounds: int = 4, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Iterative k-core peeling census: repeatedly delete nodes of degree
+    < k (and their edges) for a FIXED number of synchronous rounds, and
+    report (round, nodes_left, edges_left) per round — the standard
+    "dense-core extraction" signal (spam link farms and boilerplate
+    template clusters live in high cores; long-tail content peels early).
+
+    A fixed round count (rather than running to convergence) keeps the
+    computation deterministic and unrolled-CTE-oracle-checkable, the
+    pagerank_integer technique. Scale shape per round: one degree
+    aggregation + two semi-joins, all hash-partitioned on the node key;
+    the surviving edge set is localCheckpoint'ed per round so lineage
+    stays one round deep.
+
+    ``und`` is a canonical undirected edge list (a < b, distinct).
+    """
+    e = und.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    censuses = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("x").alias("n"))
+            .unionAll(e.select(F.col("y").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "x"), "x", "semi")
+            .join(keep.withColumnRenamed("n", "y"), "y", "semi")
+            .select("x", "y")
+            .localCheckpoint(eager=False)
+        )
+        # census AFTER this round's peel: nodes are survivors with ≥1
+        # remaining edge plus isolated survivors dropped next round —
+        # count nodes still present in the surviving edge set
+        censuses.append(
+            e.select(F.col("x").alias("n"))
+            .unionAll(e.select(F.col("y").alias("n")))
+            .groupBy()
+            .agg(
+                F.count_distinct("n").alias("nodes_left"),
+                F.expr("count(n) div 2").alias("edges_left"),
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("nodes_left").cast("long").alias("nodes_left"),
+                F.col("edges_left").cast("long").alias("edges_left"),
+            )
+        )
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def local_clustering_topk(
+    und: DataFrame, topk: int = 100, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node local clustering coefficient (triangles incident to the
+    node / C(deg, 2)) for the top-``topk`` nodes — the per-node companion
+    of :func:`triangle_count` (community-density quality signal).
+
+    Triangle discovery is the same degree-ordered adjacency-intersection
+    forward algorithm, but each triangle (u, v, w) found at oriented edge
+    (u, v) credits ALL THREE corners: u and v each get |N⁺(u) ∩ N⁺(v)|
+    map-side (no explosion), and each w in the intersection gets one
+    exploded row — the explode is bounded by the triangle count itself,
+    not by degree². The coefficient is the exact integer ppm ratio
+    (2·tri·10⁶) div (d·(d−1)), so the oracle's canonical triple join
+    reproduces it bit-for-bit.
+    """
+    ea = und.select(F.col(a).alias("x"), F.col(b).alias("y")).persist()
+    deg = (
+        ea.select(F.col("x").alias("n"))
+        .unionAll(ea.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    keyed = (
+        ea.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    lower = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = keyed.select(
+        F.when(lower, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
+    )
+    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    common = (
+        o.join(adj, "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vnbrs")), "v")
+        .select("u", "v", F.array_intersect("nbrs", "vnbrs").alias("ws"))
+        .filter(F.array_size("ws") > 0)
+        .persist()
+    )
+    credits = (
+        common.select(F.col("u").alias("n"), F.array_size("ws").alias("c"))
+        .unionAll(common.select(F.col("v").alias("n"), F.array_size("ws").alias("c")))
+        .unionAll(
+            common.select(F.explode("ws").alias("n"), F.lit(1).alias("c"))
+        )
+        .groupBy("n")
+        .agg(F.sum("c").alias("tri"))
+    )
+    res = (
+        deg.filter(F.col("d") >= 2)
+        .join(credits, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(tri, 0) * 1000000) div (d * (d - 1))"
+            ).cast("long").alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("clustering_ppm"), F.desc("degree"), F.asc("node"))
+        .limit(topk)
+    )
+    out = res.localCheckpoint(eager=True)
+    for cached in (ea, deg, common):
+        cached.unpersist(blocking=False)
+    return out
+
+
+def common_neighbor_pairs(
+    und: DataFrame,
+    cap: int = 64,
+    topk: int = 100,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Link prediction by common-neighbor count: for node pairs NOT already
+    adjacent, count shared neighbors and return the top-``topk`` candidate
+    links — the classic "you may also like" / related-document signal.
+
+    Scale guard: wedge generation from a hub of degree d emits C(d, 2)
+    pairs, so each node's adjacency is CAPPED at its ``cap`` smallest
+    neighbor ids before pair expansion (the standard truncated-adjacency
+    practice in production link prediction — hubs contribute their
+    strongest/stable neighborhood subset instead of a quadratic blowup).
+    The cap is deterministic (sorted prefix), so the oracle reproduces it
+    with a rank filter; tests pin a graph where the cap does not bind,
+    proving exactness below the cap.
+    """
+    e = und.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    both = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    capped = both.groupBy("x").agg(
+        F.slice(F.sort_array(F.collect_list("y")), 1, cap).alias("nbrs")
+    )
+    # in-task pair expansion over the capped sorted array: C(min(d,cap),2)
+    wedges = capped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(nbrs, (p, i) ->"
+                " transform(slice(nbrs, i + 2, size(nbrs)),"
+                " q -> struct(p AS pa, q AS pb))))"
+            )
+        ).alias("w")
+    ).select("w.pa", "w.pb")
+    scored = wedges.groupBy("pa", "pb").agg(F.count("*").alias("n_common"))
+    cand = scored.join(
+        e.select(F.col("x").alias("pa"), F.col("y").alias("pb")),
+        ["pa", "pb"],
+        "anti",
+    )
+    return cand.select(
+        "pa", "pb", F.col("n_common").cast("long").alias("n_common")
+    ).orderBy(F.desc("n_common"), F.asc("pa"), F.asc("pb")).limit(topk)

@@ -185,12 +185,17 @@ def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple-join count exactly."""
     from videos_to_tfrecords_spark.operators.graph import triangle_count
 
+    return triangle_count(_copurchase_und(spark, sf_dir))
+
+
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b, distinct) part co-purchase edges. Pairs are
+    generated IN-TASK from each order's part set (one groupBy shuffle +
+    codegen pair expansion) instead of a lineitem self-join — same result,
+    no SMJ exchange, and safe because lines per order are bounded (TPC-H
+    ≤ 7; C(n,2) stays tiny per group)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # co-purchase pairs generated IN-TASK from each order's part set (one
-    # groupBy shuffle + codegen pair expansion) instead of a lineitem
-    # self-join — same result, no SMJ exchange, and safe because lines
-    # per order are bounded (TPC-H ≤ 7; C(n,2) stays tiny per group)
-    und = (
+    return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select(
@@ -205,4 +210,125 @@ def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .distinct()
     )
-    return triangle_count(und)
+
+
+_UND_SQL = """
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle_sql() -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT least(o_custkey*2, l_suppkey*2+1) AS x,
+                  greatest(o_custkey*2, l_suppkey*2+1) AS y
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+d{r} AS (SELECT n, count(*) AS d
+        FROM (SELECT x AS n FROM e{p} UNION ALL SELECT y FROM e{p}) GROUP BY n),
+k{r} AS (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+e{r} AS (SELECT x, y FROM e{p}
+        WHERE x IN (SELECT n FROM k{r}) AND y IN (SELECT n FROM k{r})),
+c{r} AS (SELECT CAST({r} AS BIGINT) AS round,
+                CAST(count(DISTINCT n) AS BIGINT) AS nodes_left,
+                CAST(count(n) // 2 AS BIGINT) AS edges_left
+         FROM (SELECT x AS n FROM e{r} UNION ALL SELECT y FROM e{r}))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM c{r}" for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@query("graph_kcore_trade", _kcore_oracle_sql())
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous 3-core peeling census of the undirected customer↔supplier
+    trade graph, 4 fixed rounds (operators/graph.kcore_rounds); the oracle
+    unrolls the identical peel per round."""
+    from videos_to_tfrecords_spark.operators.graph import kcore_rounds
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.least(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1).alias("a"),
+            F.greatest(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    return kcore_rounds(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@query(
+    "graph_local_clustering",
+    f"""
+WITH und AS ({_UND_SQL}),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und) GROUP BY n),
+tris AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM und e1
+  JOIN und e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+cnt AS (SELECT n, count(*) AS tri
+        FROM (SELECT x AS n FROM tris UNION ALL SELECT y FROM tris
+              UNION ALL SELECT z FROM tris) GROUP BY n)
+SELECT deg.n AS node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(cnt.tri, 0) AS BIGINT) AS n_triangles,
+       CAST((2 * coalesce(cnt.tri, 0) * 1000000) // (deg.d * (deg.d - 1)) AS BIGINT)
+         AS clustering_ppm
+FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+WHERE deg.d >= 2
+ORDER BY clustering_ppm DESC, degree DESC, node ASC
+LIMIT 100
+""",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part co-purchase nodes by local clustering coefficient
+    (operators/graph.local_clustering_topk): degree-ordered adjacency
+    intersection credits all three triangle corners; exact integer ppm
+    ratio reproduces the canonical triple-join oracle bit-for-bit."""
+    from videos_to_tfrecords_spark.operators.graph import local_clustering_topk
+
+    return local_clustering_topk(_copurchase_und(spark, sf_dir), topk=100)
+
+
+_CN_CAP = 64
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+WITH und AS ({_UND_SQL}),
+bidir AS (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
+ranked AS (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+           FROM bidir),
+capped AS (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
+wedges AS (SELECT l.y AS pa, r.y AS pb
+           FROM capped l JOIN capped r ON l.x = r.x AND l.y < r.y),
+scored AS (SELECT pa, pb, count(*) AS n_common FROM wedges GROUP BY pa, pb),
+cand AS (SELECT s.pa, s.pb, s.n_common FROM scored s
+         LEFT JOIN und u ON u.pa = s.pa AND u.pb = s.pb
+         WHERE u.pa IS NULL)
+SELECT pa, pb, CAST(n_common AS BIGINT) AS n_common
+FROM cand ORDER BY n_common DESC, pa ASC, pb ASC LIMIT 100
+""",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted co-purchase links by common-neighbor count over
+    capped sorted adjacency (operators/graph.common_neighbor_pairs);
+    the oracle reproduces the deterministic cap with a rank filter."""
+    from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
+
+    return common_neighbor_pairs(_copurchase_und(spark, sf_dir), cap=_CN_CAP, topk=100)
