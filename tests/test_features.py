@@ -409,3 +409,64 @@ def test_bpe_train_matches_independent_python(spark):
     assert got == expect
     # the learned merges must reconstruct multi-char subwords
     assert any(len(m[2]) >= 3 for m in got)
+
+
+def test_rolling_lower_median_known_series(spark):
+    """7-row trailing lower median on a hand-computed series: for the
+    first rows the frame is shorter, and even-length frames take the
+    LOWER middle (no interpolation)."""
+    import datetime as dt
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    got = (
+        df.select(
+            "event_id",
+            F.sort_array(
+                F.collect_list(F.round(F.col("value") * 100).cast("long")).over(w)
+            ).alias("l"),
+        )
+        .select("event_id", F.expr("l[(size(l) + 1) div 2 - 1]").alias("m"))
+        .orderBy("event_id")
+        .collect()
+    )
+    meds = [r.m for r in got]
+    # frames: [5] [5,1] [5,1,9] [5,1,9,3] [5,1,9,3,7] [5,1,9,3,7,2] [5,1,9,3,7,2,8] then slides
+    assert meds == [500, 100, 500, 300, 500, 300, 500, 400]
+
+
+def test_drift_chisq_zero_on_identical_halves(spark, tmp_path):
+    """If both halves draw the same rows, every bin's chi contribution
+    is exactly 0 (the statistic's null fixed point)."""
+    import datetime as dt
+
+    rows = []
+    for h, base in ((0, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 6, 1))):
+        for i, v in enumerate([1.0, 5.0, 12.0, 33.0, 95.0]):
+            rows.append((h * 100 + i, base + dt.timedelta(minutes=i), 1, "view", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p, mode="overwrite")
+    import shutil, glob, os
+    part = glob.glob(p + "/part-*.parquet")[0]
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(part, d / "events.parquet")
+    import videos_to_tfrecords_spark.plans.feature_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    out = QUERIES["value_drift_chisq"](spark, str(d)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.o1 == r.o2
+        assert r.chi_x1e6 == 0

@@ -1256,3 +1256,200 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_ym", F.col("age_months").cast("long").alias("age_months")).agg(
         F.count("*").alias("n_active")
     )
+
+
+@query(
+    "rolling_median_value",
+    """
+SELECT event_id, user_id,
+       CAST(l[(len(l) + 1) // 2] AS BIGINT) AS med_cents
+FROM (
+  SELECT event_id, user_id,
+         list_sort(list(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+  FROM events)
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling LOWER median (exact, 7-row trailing window) of
+    spend — the robust analog of a moving average for burst-noise series.
+    Exactness strategy: integer cents + lower-median (element at position
+    (n+1) div 2 of the sorted window) so there is no interpolation float;
+    the window is a same-key analytic (one user_id shuffle), the per-row
+    sort touches ≤7 elements in-task. At 100 TB this is the standard
+    windowed robust-smoothing pass: state is bounded by the frame, not
+    the series."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sort_array(
+            F.collect_list(F.round(F.col("value") * 100).cast("long")).over(w)
+        ).alias("l"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(l[(size(l) + 1) div 2 - 1] AS BIGINT)").alias("med_cents"),
+    )
+
+
+@query(
+    "acf_user_value",
+    """
+WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+         lead(CAST(round(value * 100) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+         lead(CAST(round(value * 100) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+         lead(CAST(round(value * 100) AS BIGINT), 3)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+  FROM events),
+st AS (
+  SELECT k.lag,
+         CAST(count(CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) IS NOT NULL THEN y END) AS BIGINT) AS sx,
+         CAST(sum(CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) AS BIGINT) AS sy,
+         CAST(sum(y * (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END)) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) IS NOT NULL THEN y * y END) AS BIGINT) AS sxx,
+         CAST(sum((CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) * (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END)) AS BIGINT) AS syy
+  FROM s CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) k
+  GROUP BY k.lag)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) /
+            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+         AS BIGINT) AS acf_x1e6
+FROM st WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""",
+)
+def q_acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide lag-1..3 autocorrelation of per-user spend series from
+    exact integer sufficient statistics (the user_value_trend technique
+    extended to pairs): one per-user window computes the three leads, one
+    global aggregate the 3×6 stats; the only float ops are the closing
+    Pearson ratio with IDENTICAL expression order in both engines. The
+    lag×row expansion runs in-task (Expand, no extra shuffle)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.select(
+        y.alias("y"),
+        F.lead(y, 1).over(w).alias("l1"),
+        F.lead(y, 2).over(w).alias("l2"),
+        F.lead(y, 3).over(w).alias("l3"),
+    )
+    lagged = s.select(
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("l1").alias("yl")),
+                F.struct(F.lit(2).alias("lag"), F.col("l2").alias("yl")),
+                F.struct(F.lit(3).alias("lag"), F.col("l3").alias("yl")),
+            )
+        ).alias("p")
+    ).select("y", "p.lag", "p.yl")
+    st = lagged.groupBy("lag").agg(
+        F.count("yl").alias("n"),
+        F.sum(F.when(F.col("yl").isNotNull(), F.col("y"))).alias("sx"),
+        F.sum("yl").alias("sy"),
+        F.sum(F.col("y") * F.col("yl")).alias("sxy"),
+        F.sum(F.when(F.col("yl").isNotNull(), F.col("y") * F.col("y"))).alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        st.filter((dx > 0) & (dy > 0))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n"),
+            F.floor(
+                F.lit(1000000.0) * num
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            ).cast("long").alias("acf_x1e6"),
+        )
+    )
+
+
+@query(
+    "value_drift_chisq",
+    """
+WITH half AS (
+  SELECT CAST(least(greatest(CAST(round(value * 100) AS BIGINT) // 1000, 0), 9)
+         AS BIGINT) AS bin,
+         CASE WHEN epoch_us(ts) * 2 <
+                   (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events)
+              THEN 0 ELSE 1 END AS h
+  FROM events),
+o AS (SELECT bin,
+             CAST(count(*) FILTER (WHERE h = 0) AS BIGINT) AS o1,
+             CAST(count(*) FILTER (WHERE h = 1) AS BIGINT) AS o2
+      FROM half GROUP BY bin),
+n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2 FROM o)
+SELECT bin, o1, o2,
+       CAST(floor(1000000.0 * (
+         CASE WHEN o1 + o2 = 0 THEN 0.0 ELSE
+           (CAST(o1 AS DOUBLE) - CAST((o1 + o2) * n1 AS DOUBLE) / (n1 + n2))
+           * (CAST(o1 AS DOUBLE) - CAST((o1 + o2) * n1 AS DOUBLE) / (n1 + n2))
+           / (CAST((o1 + o2) * n1 AS DOUBLE) / (n1 + n2))
+           + (CAST(o2 AS DOUBLE) - CAST((o1 + o2) * n2 AS DOUBLE) / (n1 + n2))
+           * (CAST(o2 AS DOUBLE) - CAST((o1 + o2) * n2 AS DOUBLE) / (n1 + n2))
+           / (CAST((o1 + o2) * n2 AS DOUBLE) / (n1 + n2))
+         END)) AS BIGINT) AS chi_x1e6
+FROM o, n
+""",
+)
+def q_value_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: split the event stream at its temporal
+    midpoint, histogram spend into 10 fixed bins, and report each bin's
+    two-sample chi-square contribution — the training-data drift check run
+    before mixing a new crawl snapshot into a corpus. Counts are exact
+    integers (one scan, one tiny agg); the statistic is a fixed-order
+    double expression over those integers, floor-scaled, so both engines
+    produce identical bits. The temporal midpoint is two scalar aggregates
+    (min/max), broadcast — no per-row subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mm")
+    )
+    half = ev.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            "CAST(least(greatest(CAST(round(value * 100) AS BIGINT) div 1000, 0), 9)"
+            " AS BIGINT)"
+        ).alias("bin"),
+        F.when(F.unix_micros("ts") * 2 < F.col("mm"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("h"),
+    )
+    o = half.groupBy("bin").agg(
+        F.count(F.when(F.col("h") == 0, 1)).alias("o1"),
+        F.count(F.when(F.col("h") == 1, 1)).alias("o2"),
+    )
+    n = o.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    tot = (F.col("o1") + F.col("o2")).cast("double")
+    nn = (F.col("n1") + F.col("n2"))
+    e1 = ((F.col("o1") + F.col("o2")) * F.col("n1")).cast("double") / nn
+    e2 = ((F.col("o1") + F.col("o2")) * F.col("n2")).cast("double") / nn
+    chi = F.when(
+        (F.col("o1") + F.col("o2")) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("o1").cast("double") - e1) * (F.col("o1").cast("double") - e1) / e1
+        + (F.col("o2").cast("double") - e2) * (F.col("o2").cast("double") - e2) / e2
+    )
+    return o.crossJoin(F.broadcast(n)).select(
+        "bin",
+        F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        F.floor(F.lit(1000000.0) * chi).cast("long").alias("chi_x1e6"),
+    )

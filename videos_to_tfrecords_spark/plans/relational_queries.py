@@ -719,3 +719,76 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than ROLLUP/CUBE: a chosen lattice
+    subset) with the GROUPING() id disambiguating real NULL keys from
+    subtotal rows — one shuffle computes all three granularities
+    (Catalyst Expand + single partial→final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("gid"),
+            F.sum("cents").alias("rev_cents"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS total,
+       CAST(min(val) AS BIGINT) AS vmin,
+       CAST(max(val) AS BIGINT) AS vmax
+FROM (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+) UNPIVOT (val FOR metric IN (price_cents, size))
+GROUP BY metric
+""",
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide columns → long (metric, value) rows) — the
+    inverse of pivot, a narrow codegen Expand with no shuffle of its own;
+    the per-metric aggregate that follows is the only exchange."""
+    part = load_table(spark, sf_dir, "part")
+    melted = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    ).unpivot("p_partkey", ["price_cents", "size"], "metric", "val")
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
