@@ -167,3 +167,54 @@ def test_label_propagation_two_cliques(spark):
     labels = {r.node: r.lab for r in label_propagation(edges, n_iter=3).collect()}
     assert {labels[n] for n in (1, 2, 3)} == {1}
     assert {labels[n] for n in (10, 11, 12)} == {10}
+
+
+def test_fastss_deletion_blocking_full_recall(spark, tmp_path):
+    """Every edit-distance-1 pair type (substitute / insert / delete) is
+    caught by the deletion-signature join; distance-2 names are not."""
+    import shutil, glob
+
+    names = [
+        "alpha-001", "alpha-002",   # substitution
+        "alpha-01", "alpha-001x",   # deletion vs alpha-001 is distance 1... see asserts
+        "beta-900", "gamma-55",
+    ]
+    df = spark.createDataFrame(
+        [(i, n, 0, 0.0, "A") for i, n in enumerate(names)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    p = str(tmp_path / "c")
+    df.coalesce(1).write.parquet(p, mode="overwrite")
+    d = tmp_path / "sf"; d.mkdir()
+    shutil.copy(glob.glob(p + "/part-*.parquet")[0], d / "customer.parquet")
+    import videos_to_tfrecords_spark.plans.mining_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    got = {(r.tok_a, r.tok_b): r.dist
+           for r in QUERIES["fuzzy_name_pairs"](spark, str(d)).collect()}
+    assert got[("alpha-001", "alpha-002")] == 1     # substitution
+    assert got[("alpha-001", "alpha-01")] == 1      # deletion
+    assert got[("alpha-001", "alpha-001x")] == 1    # insertion
+    assert ("beta-900", "gamma-55") not in got
+    assert ("alpha-002", "alpha-01") not in got     # distance 2
+
+
+def test_nested_subsets_are_nested(spark):
+    """The 1% hash tier is a strict subset of the 5% tier, etc. — counts
+    are monotone per lang and the 10000-bp tier equals the full count."""
+    import videos_to_tfrecords_spark.plans.mining_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["nested_subset_curve"](spark, sf).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.tier_bp] = r.n_docs
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    totals = {
+        r.lang: r.n for r in
+        load_table(spark, sf, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, tiers in by_lang.items():
+        assert tiers[100] <= tiers[500] <= tiers[2500] <= tiers[10000]
+        assert tiers[10000] == totals[lang]

@@ -746,3 +746,99 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
     )
+
+
+@query(
+    "nested_subset_curve",
+    f"""
+WITH h AS (
+  SELECT lang, {{h}} % 10000 AS b
+  FROM documents
+), tiers AS (SELECT unnest([100, 500, 2500, 10000]) AS permille)
+SELECT t.permille AS tier_bp, lang,
+       CAST(count(*) FILTER (WHERE h.b < t.permille) AS BIGINT) AS n_docs
+FROM h CROSS JOIN tiers t
+GROUP BY t.permille, lang
+""".replace("{h}", "CAST(concat('0x', substr(md5(concat('curve:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"),
+)
+def q_nested_subset_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve nested sampling: hash-threshold tiers (1%, 5%, 25%,
+    100% in basis points of 10000) are NESTED by construction — the 1%
+    subset is contained in the 5% subset, which scaling-law studies
+    require (each point trains on a superset of the previous). One scan,
+    one agg; the tier expansion is an in-task Expand. Per (tier, lang)
+    doc counts let the curve be stratified by language. Nestedness is
+    pytest-asserted; membership is the portable h15 hash so the oracle
+    reproduces the exact subsets."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", (h15(F.col("doc_id").cast("string"), "curve") % 10000).alias("b")
+    )
+    tiers = F.array(*[F.lit(x) for x in (100, 500, 2500, 10000)])
+    return (
+        docs.select("lang", "b", F.explode(tiers).alias("tier_bp"))
+        .groupBy("tier_bp", "lang")
+        .agg(F.count(F.when(F.col("b") < F.col("tier_bp"), 1)).alias("n_docs"))
+        .select(
+            F.col("tier_bp").cast("long").alias("tier_bp"),
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+WITH toks AS (SELECT DISTINCT c_name AS tok FROM customer),
+sigs AS (
+  SELECT tok, substr(tok, 1, i - 1) || substr(tok, i + 1) AS sig
+  FROM toks, (SELECT unnest(range(1, 41)) AS i) pos
+  WHERE i <= len(tok)
+  UNION ALL
+  SELECT tok, tok AS sig FROM toks),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.tok < b.tok)
+SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching via FastSS deletion-neighborhood
+    blocking: every name emits its |t|+1 delete-one signatures (plus
+    itself); any two strings within edit distance 1 MUST share a
+    signature, so the equi-join on signature finds ALL candidates with
+    zero recall loss and no quadratic cross-join — then Levenshtein
+    verifies candidates only. Signature volume is O(n·len), join fan-out
+    is bounded by signature-bucket sizes (each bucket holds strings one
+    edit apart, not the whole table) — the 100 TB-safe shape for dedup of
+    near-identical IDs/URLs/titles. Both engines share identical
+    Levenshtein and substring semantics."""
+    cust = load_table(spark, sf_dir, "customer")
+    toks = cust.select(F.col("c_name").alias("tok")).distinct()
+    dels = toks.select(
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"),
+    ).select(
+        "tok",
+        F.concat(
+            F.expr("substring(tok, 1, i - 1)"),
+            F.expr("substring(tok, i + 1, length(tok))"),
+        ).alias("sig"),
+    )
+    sigs = dels.unionAll(toks.select("tok", F.col("tok").alias("sig")))
+    a = sigs.select(F.col("tok").alias("tok_a"), "sig")
+    b = sigs.select(F.col("tok").alias("tok_b"), "sig")
+    cand = (
+        a.join(b, "sig")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= 1)
+        .select("tok_a", "tok_b", F.col("dist").cast("long").alias("dist"))
+    )
