@@ -932,3 +932,83 @@ SELECT spine.day AS day,
 FROM spine LEFT JOIN d USING (day)
 """
     )
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS grp,
+         CAST(concat('0x', substr(md5(concat('hll:', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+  FROM lineitem),
+rho AS (
+  SELECT grp, hv // 18014398509481984 AS idx,
+         CASE WHEN hv % 18014398509481984 = 0 THEN 55
+              ELSE 55 - len(bin(hv % 18014398509481984)) END AS r
+  FROM h),
+regs AS (SELECT grp, idx, max(r) AS m FROM rho GROUP BY grp, idx),
+allregs AS (
+  SELECT grp, idx, m FROM regs
+  UNION ALL
+  SELECT 'ALL' AS grp, idx, max(m) AS m FROM regs GROUP BY idx),
+sums AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(sum(CAST(pow(2.0, 55 - m) AS BIGINT)) AS BIGINT) AS sp
+  FROM allregs GROUP BY grp)
+SELECT grp, n_hit,
+       CAST(floor(0.709 * 4096.0 * pow(2.0, 55) /
+            CAST(sp + (64 - n_hit) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+         AS est_distinct
+FROM sums
+"""
+
+
+@query("hll_portable_union_distinct", _HLL_SQL)
+def q_hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (p=6, 64 registers) built from the engine's own
+    h15 hash family, so — unlike the Datasketches-backed
+    hll_sketch_union_distinct, whose estimator is library-internal — the
+    WHOLE sketch (register indexes, leading-zero ranks, merge-by-max,
+    harmonic estimate) is reproduced bit-for-bit by the SQL oracle: the
+    approximate answer itself is hash-checked. Register index = top 6 bits
+    of the 60-bit hash; rho = leading-zero count of the remaining 54 bits
+    + 1 via len(bin(x)) (identical in both engines); the harmonic sum is
+    EXACT (integer powers of two, 2^(55−m) per register, absent registers
+    contributing 2^55); the only float op is the single closing α·m²/S
+    division with an identical expression tree. Merge = per-register max
+    across group sketches — the mergeability that makes HLL the 100 TB
+    distinct-count workhorse (map-side partial registers, one tiny
+    shuffle of 64·groups rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    two54 = 18014398509481984  # 2^54
+    h = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('hll:', CAST(l_partkey AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    rho = h.select(
+        "grp",
+        F.expr(f"hv div {two54}").alias("idx"),
+        F.expr(
+            f"CASE WHEN hv % {two54} = 0 THEN 55"
+            f" ELSE 55 - length(bin(hv % {two54})) END"
+        ).alias("r"),
+    )
+    regs = rho.groupBy("grp", "idx").agg(F.max("r").alias("m"))
+    union_regs = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
+        F.lit("ALL").alias("grp"), "idx", "m"
+    )
+    allregs = regs.select("grp", "idx", "m").unionAll(union_regs)
+    sums = allregs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(F.expr("CAST(pow(2.0, 55 - m) AS BIGINT)")).cast("long").alias("sp"),
+    )
+    return sums.select(
+        "grp",
+        "n_hit",
+        F.expr(
+            "CAST(floor(0.709 * 4096.0 * pow(2.0, 55) /"
+            " CAST(sp + (64 - n_hit) * 36028797018963968 AS DOUBLE)) AS BIGINT)"
+        ).alias("est_distinct"),
+    )
