@@ -492,3 +492,41 @@ def test_portable_hll_estimate_accuracy_and_merge(spark):
                 .agg(F.count_distinct("l_partkey").alias("n")).collect()}
     for flag, exact in exact_by.items():
         assert abs(rows[flag] - exact) / exact < 0.25
+
+
+def test_pack_concat_spans_two_level_scan_matches_sequential(spark):
+    """With block=4 (many blocks), the distributed two-level prefix sum
+    must reproduce the exact sequential concat-and-chunk layout: spans
+    tile each doc completely, bins fill to exactly `capacity` except the
+    last, and offsets match a pure-Python fold."""
+    from videos_to_tfrecords_spark.operators.packing import pack_concat_spans
+
+    lens = [3, 10, 1, 7, 25, 2, 2, 9, 14, 5, 30, 1]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    rows = pack_concat_spans(df, capacity=8, block=4).collect()
+    # python reference fold
+    expect = []
+    s = 0
+    for i, n in enumerate(lens):
+        for b in range(s // 8, (s + n - 1) // 8 + 1):
+            expect.append(
+                (i, b, max(b * 8 - s, 0), max(s - b * 8, 0),
+                 min((b + 1) * 8, s + n) - max(b * 8, s))
+            )
+        s += n
+    got = sorted((r.doc_id, r.bin_id, r.off_in_doc, r.off_in_bin, r.len_in_bin)
+                 for r in rows)
+    assert got == sorted(expect)
+    # tiling: per-doc span lengths sum to n_tokens
+    per_doc = {}
+    for d, b, od, ob, l in got:
+        per_doc[d] = per_doc.get(d, 0) + l
+    assert per_doc == {i: n for i, n in enumerate(lens)}
+    # bins full except the last
+    per_bin = {}
+    for d, b, od, ob, l in got:
+        per_bin[b] = per_bin.get(b, 0) + l
+    last = max(per_bin)
+    assert all(v == 8 for b, v in per_bin.items() if b != last)

@@ -904,3 +904,42 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
 
     return hashed_linear_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "packed_concat_spans",
+    """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM d),
+spans AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // 128, (s + n - 1) // 128 + 1)) AS bin_id
+  FROM c WHERE n > 0)
+SELECT doc_id,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(greatest(bin_id * 128 - s, 0) AS BIGINT) AS off_in_doc,
+       CAST(greatest(s - bin_id * 128, 0) AS BIGINT) AS off_in_bin,
+       CAST(least((bin_id + 1) * 128, s + n) - greatest(bin_id * 128, s) AS BIGINT)
+         AS len_in_bin
+FROM spans
+""",
+)
+def q_packed_concat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing layout (capacity 128) over the
+    documents corpus via the two-level distributed prefix sum
+    (operators/packing.pack_concat_spans) — the oracle's single global
+    window reproduces the same offsets, proving the distributed scan
+    computes the sequential layout exactly."""
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+    from videos_to_tfrecords_spark.operators.packing import pack_concat_spans
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_concat_spans(docs, capacity=128)
