@@ -530,3 +530,19 @@ def test_pack_concat_spans_two_level_scan_matches_sequential(spark):
         per_bin[b] = per_bin.get(b, 0) + l
     last = max(per_bin)
     assert all(v == 8 for b, v in per_bin.items() if b != last)
+
+
+def test_kmeans_profile_partitions_corpus(spark, sf_dir):
+    """Cluster sizes sum to the corpus size; inertia is non-negative and
+    the profile is deterministic across runs."""
+    from videos_to_tfrecords_spark.operators.similarity import kmeans_profile
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prof = kmeans_profile(emb, k=4, iters=2)
+    rows1 = sorted((r.cid, r.n_vecs, r.inertia_k) for r in prof.collect())
+    rows2 = sorted((r.cid, r.n_vecs, r.inertia_k) for r in prof.collect())
+    assert rows1 == rows2
+    assert sum(n for _, n, _ in rows1) == emb.count()
+    assert all(i >= 0 for _, _, i in rows1)
+    assert len(rows1) <= 4

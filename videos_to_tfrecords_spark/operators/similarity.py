@@ -820,3 +820,40 @@ def gram_matrix(
         partial_grams, "i long, j long, g long"
     )
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def kmeans_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Corpus clustering profile: kmeans-lite centroids (deterministic,
+    exact-integer Lloyd — see :func:`kmeans_lite`), then one Arrow pass
+    assigns every vector and emits per-cluster size and inertia
+    (Σ ‖v−c‖² div 1000 — the div keeps the int64 sum far from overflow at
+    10⁹ vectors). The output is k rows: the corpus-organization summary a
+    mixture-balancing / curriculum pass reads (cluster sizes feed
+    sampling weights; inertia tracks clustering quality across corpus
+    versions). Nothing but (cid, dist2) ever shuffles — the profile is a
+    map-side partial aggregate over the assignment pass."""
+    cents = kmeans_lite(df, id_col, vec_col, k=k, iters=iters)
+
+    @F.pandas_udf("struct<cid: int, d2k: long>")
+    def assign_with_dist(vs: pd.Series) -> pd.DataFrame:
+        vi = _to_int_matrix(vs)
+        d = _dist2_matrix(vi, cents)
+        cid = np.argmin(d, axis=1).astype("int32")
+        d2 = d[np.arange(len(cid)), cid] // 1000
+        return pd.DataFrame({"cid": cid, "d2k": d2})
+
+    assigned = df.select(assign_with_dist(F.col(vec_col)).alias("a"))
+    return (
+        assigned.groupBy(F.col("a.cid").alias("cid"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("a.d2k").cast("long").alias("inertia_k"),
+        )
+        .select(F.col("cid").cast("long").alias("cid"), "n_vecs", "inertia_k")
+    )

@@ -398,3 +398,61 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_BANDED_BANDS,
     ).select("id_a", "id_b")
     return connected_components(pairs)
+
+
+def _kmeans_profile_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
+    """SQL twin of operators/similarity.kmeans_profile: the kmeans-lite
+    prefix of the IVF oracle (same init, same unrolled integer Lloyd),
+    closed with per-cluster size + inertia (dist² div 1000)."""
+    hk = h15_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)",
+        f"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
+  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM e) WHERE rn <= {k})""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"""s{it} AS (SELECT cid, i, x FROM
+  (SELECT cid, unnest(iv) AS x, unnest(range(1, len(iv) + 1)) AS i
+   FROM (SELECT a.cid, e.iv FROM
+         (SELECT vec_id, cid FROM
+          (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
+           FROM e, {prev} c) WHERE rn = 1) a JOIN e ON e.vec_id = a.vec_id)))""",
+            f"""u{it} AS (SELECT cid,
+  list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) ORDER BY i) AS civ FROM
+  (SELECT cid, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS cnt
+   FROM s{it} GROUP BY cid, i) GROUP BY cid)""",
+            f"""c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
+  FROM {prev} p LEFT JOIN u{it} u USING (cid))""",
+        ]
+    final = f"c{iters}"
+    parts.append(
+        f"""af AS (SELECT vec_id, cid, d2 FROM
+  (SELECT e.vec_id, c.cid, {_int_dist2("e.iv", "c.civ")} AS d2,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
+   FROM e, {final} c) WHERE rn = 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2 // 1000) AS BIGINT) AS inertia_k
+FROM af GROUP BY cid"""
+    )
+
+
+@query("kmeans_cluster_profile", _kmeans_profile_oracle())
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means corpus clustering profile (k=8, 2 integer
+    Lloyd iterations): per-cluster sizes + inertia, the summary a
+    mixture-balancing pass consumes. Fully deterministic, so even the
+    clustering itself is hash-checked against the unrolled-SQL twin."""
+    from videos_to_tfrecords_spark.operators.similarity import kmeans_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_profile(emb, k=_IVF_K, iters=_IVF_ITERS)
