@@ -546,3 +546,21 @@ def test_kmeans_profile_partitions_corpus(spark, sf_dir):
     assert sum(n for _, n, _ in rows1) == emb.count()
     assert all(i >= 0 for _, _, i in rows1)
     assert len(rows1) <= 4
+
+
+def test_group_quota_sample_exact_and_deterministic(spark):
+    """Groups above the quota are capped at exactly k; smaller groups are
+    kept whole; two runs agree row-for-row."""
+    from videos_to_tfrecords_spark.operators.sampling import group_quota_sample
+
+    rows = [(f"g{g}", g * 1000 + i) for g in range(3) for i in range((g + 1) * 10)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = group_quota_sample(df, "grp", "id", quota=15)
+    got1 = sorted((r.grp, r.id) for r in out.collect())
+    got2 = sorted((r.grp, r.id) for r in out.collect())
+    assert got1 == got2
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in got1)
+    assert sizes == {"g0": 10, "g1": 15, "g2": 15}
+    assert {i for g, i in got1 if g == "g0"} == {i for _, i in rows[:10]}

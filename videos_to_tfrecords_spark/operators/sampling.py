@@ -157,3 +157,31 @@ def weighted_sample_exact_k(
         .withColumn("wkey_x1e9", F.floor(F.col("_wkey") * 1_000_000_000).cast("long"))
         .drop("_wkey")
     )
+
+
+def group_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Per-group EXACT-k deterministic sampling: keep each group's ``quota``
+    rows with the smallest (h15(id), id) — the per-domain/per-language cap
+    every web corpus applies so no single source dominates training. A
+    distributed reservoir with none of the RNG-state trouble: membership
+    is a pure hash rank, so re-runs, engines, and partitionings agree.
+    One group-keyed window (single shuffle); groups smaller than the
+    quota are kept whole."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    w = Window.partitionBy(group_col).orderBy("_hk", id_col)
+    return (
+        df.withColumn("_hk", h15(F.col(id_col).cast("string"), salt))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_hk", "_rn")
+    )

@@ -1453,3 +1453,64 @@ def q_value_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o2").cast("long").alias("o2"),
         F.floor(F.lit(1000000.0) * chi).cast("long").alias("chi_x1e6"),
     )
+
+
+@query(
+    "seasonal_dow_anomaly",
+    """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+daily AS (
+  SELECT day, CAST((day + 4) % 7 AS BIGINT) AS dow,
+         CAST(sum(cents) AS BIGINT) AS day_cents
+  FROM d GROUP BY day),
+base AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day_cents) AS BIGINT) AS s,
+         CAST(sum(day_cents * day_cents) AS BIGINT) AS ss
+  FROM daily GROUP BY dow)
+SELECT CAST(daily.day AS BIGINT) AS day, daily.dow, day_cents,
+       CAST(floor(1000.0 * (n * day_cents - s) /
+            sqrt(CAST(n AS DOUBLE) * (n * ss - s * s))) AS BIGINT) AS z_x1000
+FROM daily JOIN base ON base.dow = daily.dow
+WHERE n * ss - s * s > 0
+""",
+)
+def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scores: each calendar day's total spend is
+    z-scored against its OWN day-of-week's distribution (Mondays against
+    Mondays), catching e.g. a quiet Saturday that a global z-score would
+    call normal. Day-of-week is pure integer arithmetic ((epoch_day+4)%7,
+    portable — engines disagree on dayofweek()); sufficient statistics
+    are exact integer sums; the closing z is one fixed-order double
+    expression (z = (n·x−s)/√(n·(n·ss−s²)) — the ÷n-cancelled form that
+    needs no intermediate division)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = d.groupBy("day").agg(F.sum("cents").alias("day_cents")).select(
+        "day", F.expr("CAST((day + 4) % 7 AS BIGINT)").alias("dow"), "day_cents"
+    )
+    base = daily.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum("day_cents").alias("s"),
+        F.sum(F.col("day_cents") * F.col("day_cents")).alias("ss"),
+    )
+    num = F.col("n") * F.col("day_cents") - F.col("s")
+    var = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .filter(var > 0)
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dow",
+            "day_cents",
+            F.floor(
+                F.lit(1000.0) * num / F.sqrt(F.col("n").cast("double") * var)
+            ).cast("long").alias("z_x1000"),
+        )
+    )

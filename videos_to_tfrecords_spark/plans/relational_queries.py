@@ -792,3 +792,54 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("vmin"),
         F.max("val").alias("vmax"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the engine computes the
+    per-priority aggregate as BASE (orders before 1996-01-01) plus DELTA
+    (orders after), then MERGES the two partial states algebraically
+    (counts add, sums add, maxes max) — the daily-refresh shape that lets
+    a 100 TB rollup absorb a day's CDC without rescanning history. The
+    oracle computes the full aggregate directly: merged(base, delta)
+    must equal it exactly (integer cents ⇒ order-independent)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate"),
+    )
+    cut = "1996-01-01"
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("rev_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    base = state(orders.filter(F.col("o_orderdate") < cut))
+    delta = state(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )

@@ -943,3 +943,90 @@ def q_packed_concat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
     return pack_concat_spans(docs, capacity=128)
+
+
+@query(
+    "source_quota_sample",
+    """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(concat('quota:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                    doc_id) AS rn
+  FROM documents)
+SELECT source, doc_id FROM r WHERE rn <= 15
+""",
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (exact 15 docs per source, hash-ranked) —
+    operators/sampling.group_quota_sample; the oracle reproduces the
+    exact kept set via the same portable hash rank."""
+    from videos_to_tfrecords_spark.operators.sampling import group_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return group_quota_sample(docs, "source", "doc_id", quota=15)
+
+
+@query(
+    "vocab_zipf_slope",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+freq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok WHERE t <> '' GROUP BY t),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq),
+pts AS (
+  SELECT CAST(floor(1000000 * ln(r)) AS BIGINT) AS x,
+         CAST(floor(1000000 * ln(f)) AS BIGINT) AS y
+  FROM ranked WHERE r <= 50),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+         AS zipf_slope_x1e6
+FROM s
+""",
+)
+def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) vs
+    ln(rank) over the top-50 tokens — the one-number sanity check that a
+    synthetic/filtered corpus still has natural-language frequency decay
+    (slope ≈ −1 for natural text). Log points are floor-quantized to
+    int64 BEFORE the sums (the doc_unigram_entropy technique), so the
+    regression's sufficient statistics are exact integers; the closing
+    division is one double op with identical expression order. Top-50 is
+    a TakeOrderedAndProject, never a global sort."""
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("t")).limit(50)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.lit(1000000) * F.log(F.col("r").cast("double"))).cast("long").alias("x"),
+        F.floor(F.lit(1000000) * F.log(F.col("f").cast("double"))).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.lit(1000000.0) * num / den).cast("long").alias("zipf_slope_x1e6"),
+    )
