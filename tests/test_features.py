@@ -564,3 +564,29 @@ def test_group_quota_sample_exact_and_deterministic(spark):
     sizes = Counter(g for g, _ in got1)
     assert sizes == {"g0": 10, "g1": 15, "g2": 15}
     assert {i for g, i in got1 if g == "g0"} == {i for _, i in rows[:10]}
+
+
+def test_phash_band_join_has_full_recall(spark):
+    """The 3-band pigeonhole candidate join loses NO pair within
+    Hamming ≤ 2: compare against the brute-force all-pairs scan at
+    sf0.001."""
+    import videos_to_tfrecords_spark.plans.pipeline_queries  # noqa: F401
+    from videos_to_tfrecords_spark.operators.multimodal import (
+        phash_signatures,
+        with_media_payload,
+    )
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in QUERIES["media_phash_dup_pairs"](spark, sf).collect()}
+    sig = {r.doc_id: r.ph for r in phash_signatures(
+        with_media_payload(load_table(spark, sf, "documents"))).collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sig[a] ^ sig[b]).count("1") <= 2
+    }
+    assert got == brute

@@ -71,3 +71,35 @@ def decode_media_frames(df: DataFrame, frames_per_doc_mod: int = 4) -> DataFrame
             )
 
     return df.select("doc_id").mapInPandas(decode, DECODED_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, ph long"
+
+
+def phash_signatures(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash over the binary payload, Arrow-batched:
+    each asset's (fake-decoded) 4×4 grayscale plane is the payload's 16
+    bytes; bit i of the 16-bit hash is the EXACT integer comparison
+    16·pixel_i > Σpixels (cross-multiplied — no float mean). The decode
+    + hash runs in one mapInPandas pass over the raw bytes (numpy
+    frombuffer, no Python-per-pixel loop); because the pixel plane is a
+    deterministic function of the payload, the whole signature is
+    reproducible in SQL, keeping even this Python-boundary operator
+    hash-checkable. Real codecs drop into the same pass (decode → resize
+    to 4×4 → same comparison) without touching the plan shape."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.frombuffer(
+                b"".join(bytes(p[:16]) for p in pdf[payload_col]), dtype=np.uint8
+            ).reshape(len(pdf), 16).astype(np.int64)
+            s = mat.sum(axis=1, keepdims=True)
+            bits = (16 * mat > s).astype(np.int64)
+            ph = (bits << np.arange(16, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "ph": ph})
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, PHASH_SCHEMA)

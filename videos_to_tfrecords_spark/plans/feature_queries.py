@@ -1382,9 +1382,7 @@ def q_acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "value_drift_chisq",
-    """
+DRIFT_ORACLE_SQL = """
 WITH half AS (
   SELECT CAST(least(greatest(CAST(round(value * 100) AS BIGINT) // 1000, 0), 9)
          AS BIGINT) AS bin,
@@ -1408,8 +1406,10 @@ SELECT bin, o1, o2,
            / (CAST((o1 + o2) * n2 AS DOUBLE) / (n1 + n2))
          END)) AS BIGINT) AS chi_x1e6
 FROM o, n
-""",
-)
+"""
+
+
+@query("value_drift_chisq", DRIFT_ORACLE_SQL)
 def q_value_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: split the event stream at its temporal
     midpoint, histogram spend into 10 fixed bins, and report each bin's

@@ -418,3 +418,127 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.streaming.pipeline import streaming_cms_counts
 
     return streaming_cms_counts(spark, sf_dir)
+
+
+def _drift_oracle() -> str:
+    from videos_to_tfrecords_spark.plans.feature_queries import DRIFT_ORACLE_SQL
+
+    return DRIFT_ORACLE_SQL
+
+
+@query("streaming_value_drift", _drift_oracle())
+def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor run THROUGH Structured Streaming: the temporal
+    midpoint comes from one batch scalar aggregate (driver metadata, like
+    pagerank's node count), the (half, bin) histogram is a streaming
+    aggregation with constant 20-row state
+    (streaming/pipeline.streaming_drift_histogram), and the closing
+    chi-square pivot runs on the drained result. Must hash-match the
+    SAME oracle as the batch value_drift_chisq — the streaming and batch
+    paths are interchangeable bit-for-bit."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_drift_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mid2 = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("m")
+    ).collect()[0].m
+    hist = streaming_drift_histogram(spark, sf_dir, midpoint_us2=int(mid2))
+    o = hist.groupBy("bin").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("c")).otherwise(F.lit(0))).alias("o1"),
+        F.sum(F.when(F.col("h") == 1, F.col("c")).otherwise(F.lit(0))).alias("o2"),
+    )
+    n = o.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    nn = F.col("n1") + F.col("n2")
+    e1 = ((F.col("o1") + F.col("o2")) * F.col("n1")).cast("double") / nn
+    e2 = ((F.col("o1") + F.col("o2")) * F.col("n2")).cast("double") / nn
+    chi = F.when(
+        (F.col("o1") + F.col("o2")) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("o1").cast("double") - e1) * (F.col("o1").cast("double") - e1) / e1
+        + (F.col("o2").cast("double") - e2) * (F.col("o2").cast("double") - e2) / e2
+    )
+    return o.crossJoin(F.broadcast(n)).select(
+        "bin",
+        F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        F.floor(F.lit(1000000.0) * chi).cast("long").alias("chi_x1e6"),
+    )
+
+
+def _phash_oracle() -> str:
+    # pixel i = byte i of md5(text); bit i set iff 16·v_i > Σv (exact ints)
+    vs = ", ".join(
+        f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS BIGINT) AS v{i}"
+        for i in range(16)
+    )
+    total = " + ".join(f"v{i}" for i in range(16))
+    ph = " + ".join(
+        f"(CASE WHEN 16 * v{i} > s THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH px AS (SELECT doc_id, {vs} FROM documents),
+ps AS (SELECT *, {total} AS s FROM px),
+sig AS (SELECT doc_id, CAST({ph} AS BIGINT) AS ph FROM ps),
+bands AS (
+  SELECT doc_id, ph, 0 AS b, ph % 64 AS v FROM sig
+  UNION ALL SELECT doc_id, ph, 1 AS b, (ph // 64) % 32 AS v FROM sig
+  UNION ALL SELECT doc_id, ph, 2 AS b, ph // 2048 AS v FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.ph AS pha, r.ph AS phb
+  FROM bands l JOIN bands r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pha, phb)) <= 2
+"""
+
+
+@query("media_phash_dup_pairs", _phash_oracle())
+def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection: perceptual average-hash signatures
+    computed from the raw binary payload in one Arrow pass
+    (operators/multimodal.phash_signatures), candidate pairs via the
+    3-band pigeonhole join (any pair within Hamming ≤ 2 shares an intact
+    band — zero recall loss, no quadratic cross), popcount-verified on
+    candidates only. The image plane is a deterministic function of the
+    payload, so the WHOLE pipeline — Python decode included — is
+    hash-checked. Band width scales with corpus size like the simhash
+    bands (SCALE.md)."""
+    from videos_to_tfrecords_spark.operators.multimodal import (
+        phash_signatures,
+        with_media_payload,
+    )
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = phash_signatures(with_media_payload(docs))
+    bands = sig.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.expr("ph % 64").alias("v")),
+                F.struct(F.lit(1).alias("b"), F.expr("(ph div 64) % 32").alias("v")),
+                F.struct(F.lit(2).alias("b"), F.expr("ph div 2048").alias("v")),
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ph", "bv.b", "bv.v")
+    l = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("pha"), "b", "v"
+    )
+    r = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("phb"), "b", "v"
+    )
+    cand = (
+        l.join(r, ["b", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pha", "phb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(pha ^ phb)")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -635,3 +635,47 @@ def streaming_cms_counts(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select("d", "bucket", "c")
+
+
+def streaming_drift_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    midpoint_us2: int,
+    bins: int = 10,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Distribution-drift monitor AS A STREAMING AGGREGATION: every event
+    lands in a (half, value-bin) cell — half 0 if 2·epoch_us(ts) <
+    ``midpoint_us2`` (the pre-computed reference/current split), half 1
+    otherwise — and the streaming state is the 2·``bins`` cell-count
+    table, CONSTANT in stream volume (the same bounded-state argument as
+    streaming_cms_counts). Drained on a bounded source the histogram
+    equals the batch build exactly, so the downstream chi-square drift
+    statistic is oracle-checked end-to-end through the streaming path.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    cells = reader.parquet(sf_dir).select(
+        F.expr(
+            f"CAST(least(greatest(CAST(round(value * 100) AS BIGINT) div 1000, 0),"
+            f" {bins - 1}) AS BIGINT)"
+        ).alias("bin"),
+        F.when(F.unix_micros("ts") * 2 < F.lit(midpoint_us2), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("h"),
+    )
+    agg = cells.groupBy("h", "bin").agg(F.count("*").alias("c"))
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select("h", "bin", "c")
