@@ -282,7 +282,13 @@ def kcore_rounds(
 
     ``und`` is a canonical undirected edge list (a < b, distinct).
     """
-    e = und.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # round 1 consumes the raw edge derivation from multiple branches
+    # (degree agg + two semi-joins); later rounds read the previous
+    # round's checkpoint. One lazy checkpoint here keeps the upstream
+    # join/distinct from re-executing per branch.
+    e = und.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint(
+        eager=False
+    )
     censuses = []
     for r in range(1, rounds + 1):
         deg = (
@@ -413,7 +419,12 @@ def common_neighbor_pairs(
     with a rank filter; tests pin a graph where the cap does not bind,
     proving exactness below the cap.
     """
-    e = und.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # the edge table feeds THREE plan branches (both wedge sides via the
+    # capped adjacency, and the anti-join that removes existing edges) —
+    # persist it or Spark re-executes the upstream derivation (usually a
+    # groupBy + pair explosion + distinct) once per branch. Same
+    # persist + eager-release pattern as triangle_count.
+    e = und.select(F.col(a).alias("x"), F.col(b).alias("y")).persist()
     both = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
     capped = both.groupBy("x").agg(
         F.slice(F.sort_array(F.collect_list("y")), 1, cap).alias("nbrs")
@@ -434,6 +445,9 @@ def common_neighbor_pairs(
         ["pa", "pb"],
         "anti",
     )
-    return cand.select(
+    res = cand.select(
         "pa", "pb", F.col("n_common").cast("long").alias("n_common")
     ).orderBy(F.desc("n_common"), F.asc("pa"), F.asc("pb")).limit(topk)
+    out = res.localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
+    return out

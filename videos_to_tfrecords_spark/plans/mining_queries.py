@@ -621,22 +621,25 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings so one schema covers every column type; the output is
     8 rows, metadata-sized."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        s = F.col(c).cast("string")
-        aggs += [
-            (F.count("*") - F.count(s)).cast("long").alias(f"null_{c}"),
-            F.countDistinct(s).cast("long").alias(f"dist_{c}"),
-            F.min(s).alias(f"min_{c}"),
-            F.max(s).alias(f"max_{c}"),
-        ]
-    wide = li.agg(*aggs)
+    # melt → (col, val) narrow rows, then TWO partial→final aggregates:
+    # (col, val) counts dedup map-side, the per-col rollup is 8 groups.
+    # The single-agg multi-COUNT(DISTINCT) formulation plans an Expand ×9
+    # into ONE global group — measured 20 s at sf0.1 vs ~1 s for this
+    # shape, and the Expand volume only grows with column count.
     stack = ", ".join(
-        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
     )
-    return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack})"
-        " AS (col, n_null, n_distinct, min_str, max_str)"
+    melted = li.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, val)"
+    )
+    per_val = melted.groupBy("col", "val").agg(F.count("*").alias("cnt"))
+    return per_val.groupBy("col").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("n_null"),
+        F.count("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_str"),
+        F.max("val").alias("max_str"),
     )
 
 
