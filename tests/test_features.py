@@ -571,10 +571,7 @@ def test_phash_band_join_has_full_recall(spark):
     Hamming ≤ 2: compare against the brute-force all-pairs scan at
     sf0.001."""
     import videos_to_tfrecords_spark.plans.pipeline_queries  # noqa: F401
-    from videos_to_tfrecords_spark.operators.multimodal import (
-        phash_signatures,
-        with_media_payload,
-    )
+    from videos_to_tfrecords_spark.operators.multimodal import phash_signatures
     from videos_to_tfrecords_spark.plans.registry import QUERIES
     from videos_to_tfrecords_spark.sources.tables import load_table
 
@@ -582,7 +579,7 @@ def test_phash_band_join_has_full_recall(spark):
     got = {(r.doc_a, r.doc_b, r.hamming)
            for r in QUERIES["media_phash_dup_pairs"](spark, sf).collect()}
     sig = {r.doc_id: r.ph for r in phash_signatures(
-        with_media_payload(load_table(spark, sf, "documents"))).collect()}
+        load_table(spark, sf, "documents")).collect()}
     ids = sorted(sig)
     brute = {
         (a, b, bin(sig[a] ^ sig[b]).count("1"))
@@ -590,3 +587,20 @@ def test_phash_band_join_has_full_recall(spark):
         if bin(sig[a] ^ sig[b]).count("1") <= 2
     }
     assert got == brute
+
+
+def test_phash_detects_single_token_edit(spark):
+    """One token substitution perturbs one thumbnail pixel: the pair must
+    surface with a small Hamming distance, while an unrelated doc must
+    not pair with either."""
+    from videos_to_tfrecords_spark.operators.multimodal import phash_signatures
+
+    base = " ".join(f"tok{i}" for i in range(64))
+    edited = base.replace("tok17", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    sig = {r.doc_id: r.ph for r in phash_signatures(df).collect()}
+    assert bin(sig[1] ^ sig[2]).count("1") <= 2
+    assert bin(sig[1] ^ sig[3]).count("1") > 2

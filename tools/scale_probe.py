@@ -21,7 +21,16 @@ FAMILIES = [
     "ann_topk_lsh",               # sign-LSH ANN (auto planes)
     "graph_pagerank_trade",       # 5-iteration integer PageRank
     "doc_simhash_hamming_pairs",  # simhash + pigeonhole pairing
-    "dedup_exact_documents",      # exact dedup baseline
+    "doc_exact_dedup",            # exact dedup baseline
+    # round-4 session additions
+    "fuzzy_name_pairs",           # FastSS deletion-signature join
+    "graph_link_prediction",      # capped common-neighbor wedges
+    "graph_local_clustering",     # per-node triangle credits
+    "graph_kcore_trade",          # 4-round synchronous peel
+    "media_phash_dup_pairs",      # phash bands + popcount verify
+    "packed_concat_spans",        # two-level distributed prefix sum
+    "kmeans_cluster_profile",     # 2-iteration integer Lloyd
+    "table_profile_lineitem",     # melt + two-phase profile agg
 ]
 SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".scale_probe", "sf1")

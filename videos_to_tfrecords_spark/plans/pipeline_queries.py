@@ -32,8 +32,8 @@ from videos_to_tfrecords_spark.streaming.pipeline import streaming_tumbling_coun
     "multimodal_meta",
     """
 SELECT doc_id,
-       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
-       sha256(md5(text)) AS sha_hex
+       CAST(octet_length(unhex(sha256(text))) AS BIGINT) AS n_bytes,
+       sha256(sha256(text)) AS sha_hex
 FROM documents
 """,
 )
@@ -469,23 +469,37 @@ def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_oracle() -> str:
-    # pixel i = byte i of md5(text); bit i set iff 16·v_i > Σv (exact ints)
-    vs = ", ".join(
-        f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS BIGINT) AS v{i}"
-        for i in range(16)
-    )
-    total = " + ".join(f"v{i}" for i in range(16))
+    # thumbnail pixel j = Σ md5-lead-byte of tokens at positions ≡ j (mod
+    # 32), mod 256; bit j set iff 32·v_j > Σv (exact ints)
     ph = " + ".join(
-        f"(CASE WHEN 16 * v{i} > s THEN {1 << i} ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN 32 * v[{i + 1}] > s THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
     )
     return f"""
-WITH px AS (SELECT doc_id, {vs} FROM documents),
-ps AS (SELECT *, {total} AS s FROM px),
-sig AS (SELECT doc_id, CAST({ph} AS BIGINT) AS ph FROM ps),
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(0, len(string_split(text, ' ')))) AS o
+  FROM documents),
+pxs AS (
+  SELECT doc_id, o % 32 AS j,
+         CAST(sum(CAST(concat('0x', substr(md5(t), 1, 2)) AS BIGINT)) % 256
+              AS BIGINT) AS px
+  FROM tok GROUP BY doc_id, o % 32),
+plane2 AS (
+  SELECT doc_id,
+         list(coalesce(px, 0) ORDER BY j) AS v0
+  FROM (SELECT d.doc_id, g.j, pxs.px
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS j) g
+        LEFT JOIN pxs ON pxs.doc_id = d.doc_id AND pxs.j = g.j)
+  GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, CAST({ph} AS BIGINT) AS ph
+  FROM (SELECT doc_id, v0 AS v, list_sum(v0) AS s FROM plane2)),
 bands AS (
-  SELECT doc_id, ph, 0 AS b, ph % 64 AS v FROM sig
-  UNION ALL SELECT doc_id, ph, 1 AS b, (ph // 64) % 32 AS v FROM sig
-  UNION ALL SELECT doc_id, ph, 2 AS b, ph // 2048 AS v FROM sig),
+  SELECT doc_id, ph, 0 AS b, ph % 2048 AS v FROM sig
+  UNION ALL SELECT doc_id, ph, 1 AS b, (ph // 2048) % 2048 AS v FROM sig
+  UNION ALL SELECT doc_id, ph, 2 AS b, ph // 4194304 AS v FROM sig),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.ph AS pha, r.ph AS phb
   FROM bands l JOIN bands r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id)
@@ -505,22 +519,19 @@ def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, so the WHOLE pipeline — Python decode included — is
     hash-checked. Band width scales with corpus size like the simhash
     bands (SCALE.md)."""
-    from videos_to_tfrecords_spark.operators.multimodal import (
-        phash_signatures,
-        with_media_payload,
-    )
+    from videos_to_tfrecords_spark.operators.multimodal import phash_signatures
     from videos_to_tfrecords_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = phash_signatures(with_media_payload(docs))
+    sig = phash_signatures(docs)
     bands = sig.select(
         "doc_id",
         "ph",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("b"), F.expr("ph % 64").alias("v")),
-                F.struct(F.lit(1).alias("b"), F.expr("(ph div 64) % 32").alias("v")),
-                F.struct(F.lit(2).alias("b"), F.expr("ph div 2048").alias("v")),
+                F.struct(F.lit(0).alias("b"), F.expr("ph % 2048").alias("v")),
+                F.struct(F.lit(1).alias("b"), F.expr("(ph div 2048) % 2048").alias("v")),
+                F.struct(F.lit(2).alias("b"), F.expr("ph div 4194304").alias("v")),
             )
         ).alias("bv"),
     ).select("doc_id", "ph", "bv.b", "bv.v")
