@@ -604,3 +604,42 @@ def test_phash_detects_single_token_edit(spark):
     sig = {r.doc_id: r.ph for r in phash_signatures(df).collect()}
     assert bin(sig[1] ^ sig[2]).count("1") <= 2
     assert bin(sig[1] ^ sig[3]).count("1") > 2
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """The bootstrap CI must bracket the full-sample mean, be deterministic
+    across runs, and have positive width (replica means do vary)."""
+    import videos_to_tfrecords_spark.plans.advanced_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    r1 = QUERIES["bootstrap_mean_ci"](spark, sf_dir).collect()[0]
+    r2 = QUERIES["bootstrap_mean_ci"](spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1.lo_cents <= r1.mean_cents <= r1.hi_cents
+    assert r1.lo_cents < r1.hi_cents
+
+
+def test_mutual_information_zero_for_independent_and_positive_for_copy(spark):
+    """MI ≈ 0 (≤ quantization noise) for independent columns; MI = H(X)
+    when Y is a copy of X — checked against a direct float computation."""
+    import math
+
+    rows = [(i, f"a{i % 4}", f"b{(i // 4) % 4}", f"a{i % 4}") for i in range(1600)]
+    df = spark.createDataFrame(rows, "id long, x string, y_ind string, y_copy string")
+
+    def mi(df, xc, yc):
+        c = df.groupBy(xc, yc).count().collect()
+        n = sum(r["count"] for r in c)
+        cx, cy = {}, {}
+        for r in c:
+            cx[r[xc]] = cx.get(r[xc], 0) + r["count"]
+            cy[r[yc]] = cy.get(r[yc], 0) + r["count"]
+        tot = 0
+        for r in c:
+            q = lambda v: math.floor(1_000_000 * math.log(v))
+            tot += r["count"] * (q(r["count"]) + q(n) - q(cx[r[xc]]) - q(cy[r[yc]]))
+        return tot // n
+
+    assert abs(mi(df, "x", "y_ind")) < 100          # ~0 up to quantization
+    h_x = mi(df, "x", "y_copy")
+    assert abs(h_x - int(1_000_000 * math.log(4))) < 100  # = H(X) = ln 4

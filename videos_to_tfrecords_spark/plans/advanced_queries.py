@@ -1012,3 +1012,169 @@ def q_hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(sp + (64 - n_hit) * 36028797018963968 AS DOUBLE)) AS BIGINT)"
         ).alias("est_distinct"),
     )
+
+
+@query(
+    "mutual_information_fields",
+    """
+WITH c AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, CAST(count(*) AS BIGINT) AS cxy
+  FROM lineitem GROUP BY 1, 2),
+mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM c GROUP BY x),
+my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY y),
+n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM c),
+cells AS (
+  SELECT c.x, c.y, cxy,
+         cxy * (CAST(floor(1000000 * ln(cxy)) AS BIGINT)
+                + CAST(floor(1000000 * ln(n.n)) AS BIGINT)
+                - CAST(floor(1000000 * ln(mx.cx)) AS BIGINT)
+                - CAST(floor(1000000 * ln(my.cy)) AS BIGINT)) AS contrib
+  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(contrib) // (SELECT n FROM n) AS BIGINT) AS mi_x1e6
+FROM cells
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(returnflag; linestatus) — the feature-selection
+    / redundancy signal a training pipeline computes between candidate
+    categorical features. I = (1/N)·Σ c_xy·(ln c_xy + ln N − ln c_x −
+    ln c_y): every ln is taken of an INTEGER count and floor-quantized to
+    int64 BEFORE the weighted sum (the doc_unigram_entropy technique,
+    hash-green three rounds), so the statistic is exact cross-engine.
+    One contingency aggregate (cells = |X|·|Y|, metadata-sized) + two
+    marginal rollups OF THE CELLS (never rescanning the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.groupBy(
+            F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+        )
+        .agg(F.count("*").alias("cxy"))
+        .persist()
+    )
+    mx = c.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = c.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = c.agg(F.sum("cxy").alias("n"))
+    L = lambda col: F.floor(F.lit(1000000) * F.log(F.col(col).cast("double"))).cast("long")  # noqa: E731
+    cells = (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cxy",
+            (
+                F.col("cxy")
+                * (L("cxy") + L("n") - L("cx") - L("cy"))
+            ).alias("contrib"),
+            "n",
+        )
+    )
+    return cells.groupBy().agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr("CAST(sum(contrib) div first(n) AS BIGINT)").alias("mi_x1e6"),
+    )
+
+
+# Poisson(1) CDF ×1e6 (floor): multiplicity k iff u < threshold[k],
+# scanning k upward — the online-bootstrap resampling weight
+_POIS_TH = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989,
+            999998, 999999)
+_BOOT_B = 16
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_TH)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_TH)} END)"
+
+
+def _bootstrap_oracle_sql() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    u = h15_sql("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b.b AS VARCHAR))",
+                salt="boot")
+    return f"""
+WITH reps AS (
+  SELECT b.b, {_pois_case_sql(f"({u}) % 1000000")} AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+means AS (
+  SELECT b, CAST(sum(m * cents) // sum(m) AS BIGINT) AS mean_cents
+  FROM reps GROUP BY b HAVING sum(m) > 0),
+full_mean AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_cents
+  FROM orders),
+ordered AS (SELECT list(mean_cents ORDER BY mean_cents) AS l FROM means)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+       (SELECT mean_cents FROM full_mean) AS mean_cents,
+       CAST(l[2] AS BIGINT) AS lo_cents,
+       CAST(l[{_BOOT_B - 1}] AS BIGINT) AS hi_cents
+FROM ordered
+"""
+
+
+@query("bootstrap_mean_ci", _bootstrap_oracle_sql())
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-bootstrap confidence interval for mean order value: each of
+    16 replicas weights every row by a Poisson(1) multiplicity inverted
+    from the portable hash (the streaming/online bootstrap — one pass,
+    no resampled copies of the data ever materialize), per-replica means
+    in exact integer cents, CI = the 2nd/15th order statistics of the 16
+    replica means. The replica expansion is an in-task Expand (rows ×16
+    flow into ONE partial→final aggregate of 16 groups); the order
+    statistics sort 16 rows. Fully deterministic ⇒ the uncertainty
+    estimate itself is hash-checked."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        (
+            h15(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ),
+                "boot",
+            )
+            % 1000000
+        ).alias("u"),
+    )
+    branches = F.lit(len(_POIS_TH))
+    for k in range(len(_POIS_TH) - 1, -1, -1):
+        branches = F.when(F.col("u") < _POIS_TH[k], F.lit(k)).otherwise(branches)
+    means = (
+        reps.withColumn("m", branches)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("m") * F.col("cents")).alias("wsum"),
+            F.sum("m").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .select(F.expr("CAST(wsum div w AS BIGINT)").alias("mean_cents"))
+    )
+    full_mean = orders.agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("fm")
+    )
+    ordered = means.agg(
+        F.sort_array(F.collect_list("mean_cents")).alias("l")
+    )
+    return ordered.crossJoin(F.broadcast(full_mean)).select(
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        F.col("fm").alias("mean_cents"),
+        # Spark [] is 0-based, the DuckDB twin's is 1-based: 0-based 1 and
+        # B-2 are the 2nd and (B-1)th order statistics on both sides
+        F.expr("CAST(l[1] AS BIGINT)").alias("lo_cents"),
+        F.expr(f"CAST(l[{_BOOT_B - 2}] AS BIGINT)").alias("hi_cents"),
+    )
