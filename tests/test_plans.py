@@ -331,3 +331,57 @@ def test_triangle_count_releases_cached_intermediates(spark, sf_dir):
     # the returned DataFrame); the edge/degree/orientation intermediates —
     # the ones that scale with data — must all be gone
     assert len(after - before) <= 1
+
+
+def test_packed_spans_prefix_sum_window_is_partitioned(spark, sf_dir):
+    """The corpus-sized cumsum window must be keyed on the block id — a
+    'No Partition Defined' global window over the documents would be the
+    single-task scale-killer the two-level scan exists to avoid. The only
+    unpartitioned window is over the metadata-scale per-block sums."""
+    import videos_to_tfrecords_spark.plans.text_queries as tq
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["packed_concat_spans"](spark, sf_dir))
+    assert plan.count("Window") >= 2
+    # the per-document window is partitioned by the block id
+    assert "_blk" in plan
+    windows = [l for l in plan.splitlines() if "Window " in l]
+    partitioned = [l for l in windows if "_blk" in l]
+    assert len(partitioned) >= 1
+
+
+def test_table_profile_avoids_expand_blowup(spark, sf_dir):
+    """The melt + two-phase-aggregate profiler must not plan the
+    multi-COUNT(DISTINCT) Expand (the 20 s shape at sf0.1): no Expand
+    node, and both aggregates are partial→final."""
+    import videos_to_tfrecords_spark.plans.mining_queries as mq
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["table_profile_lineitem"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_grouping_sets_is_one_pass_expand(spark, sf_dir):
+    """GROUPING SETS must compute all three granularities in ONE scan +
+    one exchange via Expand — not a union of three aggregates."""
+    import videos_to_tfrecords_spark.plans.relational_queries as rq
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["grouping_sets_revenue"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_mutual_information_single_fact_scan(spark, sf_dir):
+    """Marginals roll up from the contingency cells — the fact table is
+    scanned exactly once (cells subtree is cached for its 4 consumers)."""
+    import videos_to_tfrecords_spark.plans.advanced_queries as aq
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    df = QUERIES["mutual_information_fields"](spark, sf_dir)
+    df.collect()  # materialize the cells cache (printed plans re-print
+    # cached subtrees per consumer — the triangle-test caveat)
+    plan = plan_of(QUERIES["mutual_information_fields"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
