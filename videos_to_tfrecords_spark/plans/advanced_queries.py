@@ -995,7 +995,9 @@ def q_hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 55 - length(bin(hv % {two54})) END"
         ).alias("r"),
     )
-    regs = rho.groupBy("grp", "idx").agg(F.max("r").alias("m"))
+    regs = rho.groupBy("grp", "idx").agg(F.max("r").alias("m")).localCheckpoint(
+        eager=True  # groups×64 rows; merged + per-group consumers share it
+    )
     union_regs = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
         F.lit("ALL").alias("grp"), "idx", "m"
     )
@@ -1045,12 +1047,15 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     One contingency aggregate (cells = |X|·|Y|, metadata-sized) + two
     marginal rollups OF THE CELLS (never rescanning the fact table)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # the contingency table is |X|·|Y| rows — eager-checkpoint it (the
+    # triangle_count pattern) so its four consumers read a materialized
+    # metadata-sized table instead of re-aggregating the fact scan
     c = (
         li.groupBy(
             F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
         )
         .agg(F.count("*").alias("cxy"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mx = c.groupBy("x").agg(F.sum("cxy").alias("cx"))
     my = c.groupBy("y").agg(F.sum("cxy").alias("cy"))

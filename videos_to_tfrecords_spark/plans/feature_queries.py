@@ -1435,7 +1435,7 @@ def q_value_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = half.groupBy("bin").agg(
         F.count(F.when(F.col("h") == 0, 1)).alias("o1"),
         F.count(F.when(F.col("h") == 1, 1)).alias("o2"),
-    )
+    ).localCheckpoint(eager=True)  # 10 rows; feeds both n and the output
     n = o.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
     tot = (F.col("o1") + F.col("o2")).cast("double")
     nn = (F.col("n1") + F.col("n2"))
@@ -1494,7 +1494,7 @@ def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = d.groupBy("day").agg(F.sum("cents").alias("day_cents")).select(
         "day", F.expr("CAST((day + 4) % 7 AS BIGINT)").alias("dow"), "day_cents"
-    )
+    ).localCheckpoint(eager=True)  # one row per calendar day; 2 consumers
     base = daily.groupBy("dow").agg(
         F.count("*").alias("n"),
         F.sum("day_cents").alias("s"),

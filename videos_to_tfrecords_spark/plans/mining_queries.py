@@ -831,7 +831,12 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(tok, i + 1, length(tok))"),
         ).alias("sig"),
     )
-    sigs = dels.unionAll(toks.select("tok", F.col("tok").alias("sig")))
+    # both sides of the signature self-join read this table — a lazy
+    # checkpoint (kcore_rounds pattern) stops the explode+distinct from
+    # re-executing per side
+    sigs = dels.unionAll(
+        toks.select("tok", F.col("tok").alias("sig"))
+    ).localCheckpoint(eager=False)
     a = sigs.select(F.col("tok").alias("tok_a"), "sig")
     b = sigs.select(F.col("tok").alias("tok_b"), "sig")
     cand = (
