@@ -643,3 +643,38 @@ def test_mutual_information_zero_for_independent_and_positive_for_copy(spark):
     assert abs(mi(df, "x", "y_ind")) < 100          # ~0 up to quantization
     h_x = mi(df, "x", "y_copy")
     assert abs(h_x - int(1_000_000 * math.log(4))) < 100  # = H(X) = ln 4
+
+
+def test_auc_rank_sum_matches_sklearn_style_reference(spark):
+    """Exact tie-handled AUC equals a pure-Python rank-sum computation on
+    a fixture with heavy score ties."""
+    scores = [1, 1, 2, 2, 2, 3, 5, 5, 9, 9]
+    ys =     [0, 1, 0, 0, 1, 1, 0, 1, 1, 1]
+    df = spark.createDataFrame(list(zip(scores, ys)), "score long, y long")
+    from pyspark.sql import Window
+
+    g = df.groupBy("score").agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select("cnt", "pos",
+                 F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"))
+    row = r.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum") + F.col("cnt") + 1)).alias("n2"),
+        F.sum("pos").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n"),
+    ).collect()[0]
+    auc = (row.n2 - row.p * (row.p + 1)) / (2 * row.p * row.n)
+    # reference: average ranks with ties
+    order = sorted(range(10), key=lambda i: scores[i])
+    ranks = {}
+    i = 0
+    while i < 10:
+        j = i
+        while j < 10 and scores[order[j]] == scores[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    p = sum(ys); n = len(ys) - p
+    ref = (sum(ranks[i] for i in range(10) if ys[i]) - p * (p + 1) / 2) / (p * n)
+    assert abs(auc - ref) < 1e-12

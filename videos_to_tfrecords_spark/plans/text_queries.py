@@ -11,7 +11,7 @@ removes all false positives, so LSH output == ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.functions.hashing import h15_sql
@@ -1029,4 +1029,73 @@ def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").cast("long").alias("n"),
         F.floor(F.lit(1000000.0) * num / den).cast("long").alias("zipf_slope_x1e6"),
+    )
+
+
+@query(
+    "classifier_auc_eval",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY score),
+r AS (SELECT score, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM g),
+agg AS (SELECT CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS n2,
+               CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(cnt - pos) AS BIGINT) AS n
+        FROM r)
+SELECT p AS n_pos, n AS n_neg,
+       CAST((1000000 * (n2 - p * (p + 1))) // (2 * p * n) AS BIGINT) AS auc_x1e6
+FROM agg
+""",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact ROC-AUC of the hashed quality classifier scored
+    against an independent length-based label — the eval-harness metric a
+    filter-training loop tracks. AUC via the rank-sum identity with exact
+    tie handling: group rows by DISTINCT score (the tie groups), exclusive
+    cumulative counts give each group's doubled average rank 2·cum+cnt+1,
+    and AUC = (2Σ_pos rank − P(P+1)) / (2PN) evaluates in pure integer
+    arithmetic — floats never appear, so the metric hash-matches. The only
+    unpartitioned window runs over the DISTINCT-score table
+    (metadata-sized, the two-level-scan argument of pack_concat_spans)."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_quality(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        F.col("score_x1000").alias("score"),
+        F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "cnt", "pos", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before")
+    )
+    agg = r.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("n2"),
+        F.sum("pos").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n"),
+    )
+    return agg.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((1000000 * (n2 - p * (p + 1))) div (2 * p * n) AS BIGINT)"
+        ).alias("auc_x1e6"),
     )
