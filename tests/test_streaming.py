@@ -396,3 +396,17 @@ def test_streaming_cms_merges_across_microbatches(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_drift_double_pass_stable(spark, sf_dir):
+    """Two executions in ONE session must agree row-for-row (memory-sink
+    query names are uuid-fresh per run; no temp-view/state leakage), and
+    the streamed histogram must equal the batch drift monitor exactly."""
+    import videos_to_tfrecords_spark.plans.feature_queries  # noqa: F401
+    import videos_to_tfrecords_spark.plans.pipeline_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    s1 = sorted(tuple(r) for r in QUERIES["streaming_value_drift"](spark, sf_dir).collect())
+    s2 = sorted(tuple(r) for r in QUERIES["streaming_value_drift"](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in QUERIES["value_drift_chisq"](spark, sf_dir).collect())
+    assert s1 == s2 == b
