@@ -224,7 +224,7 @@ _KCORE_ROUNDS = 4
 def _kcore_oracle_sql() -> str:
     parts = [
         """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT least(o_custkey*2, l_suppkey*2+1) AS x,
                   greatest(o_custkey*2, l_suppkey*2+1) AS y
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
@@ -233,10 +233,10 @@ WITH e0 AS (
         p = r - 1
         parts.append(
             f""",
-d{r} AS (SELECT n, count(*) AS d
+d{r} AS MATERIALIZED (SELECT n, count(*) AS d
         FROM (SELECT x AS n FROM e{p} UNION ALL SELECT y FROM e{p}) GROUP BY n),
-k{r} AS (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
-e{r} AS (SELECT x, y FROM e{p}
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+e{r} AS MATERIALIZED (SELECT x, y FROM e{p}
         WHERE x IN (SELECT n FROM k{r}) AND y IN (SELECT n FROM k{r})),
 c{r} AS (SELECT CAST({r} AS BIGINT) AS round,
                 CAST(count(DISTINCT n) AS BIGINT) AS nodes_left,
