@@ -381,7 +381,14 @@ def test_mutual_information_single_fact_scan(spark, sf_dir):
     from videos_to_tfrecords_spark.plans.registry import QUERIES
 
     df = QUERIES["mutual_information_fields"](spark, sf_dir)
-    df.collect()  # materialize the cells cache (printed plans re-print
+    df.collect()  # materialize the cells checkpoint (printed plans re-print
     # cached subtrees per consumer — the triangle-test caveat)
     plan = plan_of(QUERIES["mutual_information_fields"](spark, sf_dir))
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # cells subtree is localCheckpoint'ed (Scan ExistingRDD) or cached
+    assert (
+        "InMemoryTableScan" in plan
+        or "TableCacheQueryStage" in plan
+        or "Scan ExistingRDD" in plan
+    )
+    # either way, the parquet fact table is not re-scanned per consumer
+    assert plan.count("Scan parquet") == 0

@@ -605,3 +605,60 @@ def test_hashed_linear_quality_matches_numpy_reference(spark):
 
     plan = hashed_linear_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_jl_projection_matches_numpy_and_is_map_only(spark):
+    """jl_project equals an independent hashlib+numpy re-derivation on
+    hand-built vectors, and the plan has no exchange (narrow pass)."""
+    import hashlib
+
+    import numpy as np
+
+    from videos_to_tfrecords_spark.operators.similarity import jl_project
+
+    rows = [
+        (1, [1.0, 0.0, -0.5, 0.25]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 1.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: list(r.proj) for r in jl_project(df, n_out=3).collect()}
+
+    def sign(j, i):
+        h = int(hashlib.md5(f"jl:{j},{i}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 1 else -1
+
+    for vid, vec in rows:
+        iv = [round(np.float64(np.float32(x)) * 1_000_000) for x in vec]
+        want = [sum(iv[i] * sign(j, i) for i in range(4)) for j in range(3)]
+        assert out[vid] == want
+
+    plan = jl_project(df, n_out=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_drops_in_cluster_near_dups_only(spark):
+    """Two near-identical vectors land in one cluster — the higher id is
+    dropped; orthogonal vectors all survive. cid is consistent with the
+    kept flag (dominance only ever within a cluster)."""
+    from videos_to_tfrecords_spark.operators.similarity import semantic_dedup
+
+    # 4-dim: two copies of e0 (near-dup pair), plus e1 and e2 singletons
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, k=3, iters=1, threshold_scaled=900_000_000_000
+        ).collect()
+    }
+    assert len(out) == 4  # one row per vector, always
+    assert out[1].kept is True
+    assert out[2].kept is False  # dominated by vec 1 (dot ≈ 0.999e12)
+    assert out[2].cid == out[1].cid  # dominance implies same cluster
+    assert out[3].kept is True and out[4].kept is True

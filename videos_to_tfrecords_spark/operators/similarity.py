@@ -857,3 +857,98 @@ def kmeans_profile(
         )
         .select(F.col("cid").cast("long").alias("cid"), "n_vecs", "inertia_k")
     )
+
+
+def _jl_matrix(n_out: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher (±1) projection matrix for the database-
+    friendly Johnson–Lindenstrauss transform (Achlioptas 2001): sign for
+    (output dim j, input dim i) is the parity of the portable md5-prefix
+    hash of "jl:j,i" — the same salted-h15 family as the LSH hyperplanes,
+    so the SQL oracle reproduces it bit-for-bit."""
+    m = np.empty((n_out, dim), dtype=np.int64)
+    for j in range(n_out):
+        for i in range(dim):
+            h = int(hashlib.md5(f"jl:{j},{i}".encode()).hexdigest()[:15], 16)
+            m[j, i] = 1 if h % 2 == 1 else -1
+    return m
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_out: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection dim→n_out — the
+    dimensionality-reduction step before a cheaper ANN index or a
+    storage-diet rewrite of a 100 TB embedding column. ±1 signs make it
+    exact in int64 (proj_j = Σᵢ round(xᵢ·1e6)·sign(j,i); 64-dim inputs ⇒
+    |proj| ≤ 6.4e7·dim, far from overflow). Purely narrow: one Arrow-batch
+    int64 matmul per partition, no shuffle — a scan-shaped rewrite at any
+    corpus size."""
+
+    @F.pandas_udf("array<long>")
+    def proj(vs: pd.Series) -> pd.Series:
+        vi = _to_int_matrix(vs)
+        m = _jl_matrix(n_out, vi.shape[1])
+        return pd.Series(list(vi @ m.T))
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold_scaled: int = 400_000_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus with the deterministic integer kmeans-lite, then
+    WITHIN each cluster drop any vector whose scaled-int dot with a
+    lower-id cluster-mate reaches the threshold — keep-first dominance,
+    exactly the rule doc_line_dedup uses for text. Cross-cluster near-dups
+    are deliberately not compared (that is SemDeDup's design: k scales
+    with the corpus so cluster populations stay bounded, making the
+    within-cluster pairwise pass ~n·(n/k) total work and the shuffle an
+    equi-join on cid). Output: one row per vector — (id, cid, kept)."""
+    cents = kmeans_lite(df, id_col, vec_col, k=k, iters=iters)
+
+    @F.pandas_udf("int")
+    def assign_cid(vs: pd.Series) -> pd.Series:
+        vi = _to_int_matrix(vs)
+        return pd.Series(np.argmin(_dist2_matrix(vi, cents), axis=1).astype("int32"))
+
+    iv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1_000_000).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        assign_cid(F.col(vec_col)).alias("cid"),
+        iv.alias("iv"),
+    )
+    a = base.select("cid", F.col("vid").alias("id_a"), F.col("iv").alias("iv_a"))
+    b = base.select("cid", F.col("vid").alias("id_b"), F.col("iv").alias("iv_b"))
+    dot = F.aggregate(
+        F.zip_with("iv_a", "iv_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot >= F.lit(int(threshold_scaled)))
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        base.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

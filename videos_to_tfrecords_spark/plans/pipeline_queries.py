@@ -226,6 +226,57 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
 
 
+@query(
+    "streaming_dedup_events",
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION — the LLM-pipeline dedup primitive under
+    unbounded input: dropDuplicates((user_id, event_type)) under a
+    watermark, state bounded because expired keys age out, then a per-type
+    count. On the bounded test source this hash-matches the batch
+    count-distinct oracle exactly."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_dedup_events,
+    )
+
+    return streaming_dedup_events(spark, sf_dir)
+
+
+@query(
+    "streaming_session_windows",
+    """
+WITH e AS (SELECT event_id, user_id, (epoch_ns(ts)//1000) AS ts_us FROM events),
+s AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+x AS (SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) + 3600000000 AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id, sid
+""",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: F.session_window(1h gap) under a
+    watermark, drained on the bounded source. The oracle is the independent
+    lag/cumsum gaps-and-islands formulation (the session_window_native
+    pattern) — two definitions of "session" agreeing is the check."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_session_windows,
+    )
+
+    return streaming_session_windows(spark, sf_dir)
+
+
 @query("video_pipeline_crop_mode")  # rows-only: spans decode+inference+windows
 def q_pipeline_crop_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's --mode=crop_video E2E (preprocess.py:399-403): decode

@@ -400,10 +400,10 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def _kmeans_profile_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
-    """SQL twin of operators/similarity.kmeans_profile: the kmeans-lite
-    prefix of the IVF oracle (same init, same unrolled integer Lloyd),
-    closed with per-cluster size + inertia (dist² div 1000)."""
+def _kmeans_assign_parts(k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[str]:
+    """Shared CTE prefix: kmeans-lite init + unrolled integer Lloyd,
+    ending in ``af(vec_id, cid, d2)`` — the assignment every kmeans-based
+    oracle (profile, semantic dedup) builds on."""
     hk = h15_sql("CAST(vec_id AS VARCHAR)")
     parts = [
         f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)",
@@ -436,13 +436,46 @@ def _kmeans_profile_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
                              ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
    FROM e, {final} c) WHERE rn = 1)"""
     )
+    return parts
+
+
+def _kmeans_profile_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
+    """SQL twin of operators/similarity.kmeans_profile: the kmeans-lite
+    prefix of the IVF oracle (same init, same unrolled integer Lloyd),
+    closed with per-cluster size + inertia (dist² div 1000)."""
     return (
-        ",\n".join(parts)
+        ",\n".join(_kmeans_assign_parts(k, iters))
         + """
 SELECT CAST(cid AS BIGINT) AS cid,
        CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(d2 // 1000) AS BIGINT) AS inertia_k
 FROM af GROUP BY cid"""
+    )
+
+
+_SEMDEDUP_THR = 400_000_000_000  # scaled dot ≥ 0.4 (unit-norm ⇒ ~cosine·1e12)
+
+
+def _semantic_dedup_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
+    """SQL twin of operators/similarity.semantic_dedup: the same kmeans
+    assignment prefix, then within-cluster keep-first dominance — a vector
+    is dropped iff a lower-id cluster-mate's scaled-int dot reaches the
+    threshold."""
+    parts = _kmeans_assign_parts(k, iters)
+    parts.append(
+        """av AS (SELECT af.vec_id, af.cid, e.iv FROM af JOIN e ON e.vec_id = af.vec_id)"""
+    )
+    parts.append(
+        f"""drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_int_dot("a.iv", "b.iv")} >= {_SEMDEDUP_THR})"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT av.vec_id, CAST(av.cid AS BIGINT) AS cid,
+       (d.vec_id IS NULL) AS kept
+FROM av LEFT JOIN drp d ON av.vec_id = d.vec_id"""
     )
 
 
@@ -456,3 +489,50 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_profile(emb, k=_IVF_K, iters=_IVF_ITERS)
+
+
+@query("semantic_dedup_keep", _semantic_dedup_oracle())
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster with deterministic
+    integer k-means, drop within-cluster near-dups by keep-first
+    dominance): one row per vector with its cluster and kept flag. The
+    whole approximate pipeline — init, Lloyd updates, assignment, pairwise
+    dot — is integer-exact, so even the CLUSTERING is hash-checked."""
+    from videos_to_tfrecords_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=_IVF_K, iters=_IVF_ITERS, threshold_scaled=_SEMDEDUP_THR
+    )
+
+
+def _jl_oracle(n_out: int = 8) -> str:
+    """SQL twin of operators/similarity.jl_project: per output dim j the
+    signed sum Σᵢ round(xᵢ·1e6)·sign(j,i), sign = parity of h15("jl:j,i")."""
+    terms = []
+    for j in range(n_out):
+        sign = (
+            f"CASE WHEN {h15_sql(f'''concat('{j},', CAST(i - 1 AS VARCHAR))''', salt='jl')}"
+            f" % 2 = 1 THEN 1 ELSE -1 END"
+        )
+        terms.append(
+            f"CAST(list_sum(list_transform(v, (x, i) -> "
+            f"CAST(round(x * 1000000) AS BIGINT) * ({sign}))) AS BIGINT)"
+        )
+    arr = "[" + ", ".join(terms) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {arr} AS proj FROM e
+"""
+
+
+@query("embedding_jl_projection", _jl_oracle())
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss Rademacher projection 64→8 dims — the
+    dimensionality-diet rewrite before a cheaper ANN pass. Narrow
+    scan-shaped plan (one Arrow matmul, no shuffle); exact int64 values
+    hash-match the unrolled signed-sum SQL."""
+    from videos_to_tfrecords_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_project(emb, n_out=8)
