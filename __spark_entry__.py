@@ -53,6 +53,10 @@ try:
     import videos_to_tfrecords_spark.plans.mining_queries  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import videos_to_tfrecords_spark.plans.learning_queries  # noqa: F401,E402
+except ImportError:
+    pass
 
 from videos_to_tfrecords_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
