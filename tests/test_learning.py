@@ -37,3 +37,25 @@ def test_linreg_singular_design_yields_nulls(spark):
     out = linreg_normal_eq(df, y=F.col("y"), xs=[F.col("x1"), F.col("x2")]).collect()[0]
     assert out.n_rows == 6
     assert out.beta0_q is None and out.beta1_q is None and out.beta2_q is None
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """A doc sharing the target slice's bigrams outscores one with
+    out-of-domain bigrams, and the bucket-table join is broadcast."""
+    from videos_to_tfrecords_spark.operators.text import dsir_log_weights
+
+    rows = [
+        (1, "the cat sat down", "en"),
+        (2, "the cat sat again", "en"),
+        (3, "the cat sat quietly", "en"),
+        (4, "the cat sat down", "xx"),   # target-like, wrong label
+        (5, "zzz qqq www vvv", "xx"),    # out-of-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_log_weights(df, target=F.col("lang") == "en")
+    w = {r.doc_id: r.logw_q for r in out.collect()}
+    assert len(w) == 5
+    assert w[4] > w[5]          # target-like beats out-of-domain
+    assert w[1] == w[4]          # identical text ⇒ identical weight
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

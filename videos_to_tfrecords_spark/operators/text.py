@@ -554,3 +554,70 @@ def bpe_token_counts(
             ),
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, public): score every document by how much
+    more likely its hashed-bigram profile is under the TARGET slice's
+    feature distribution than under the whole corpus's. Docs that "read
+    like" the target get high weights; a downstream weighted sample
+    (sampling.weighted_sample_exact_k) then tilts the corpus toward the
+    target domain — the standard pretraining-data curation recipe.
+
+    log w(doc) = Σ_b c_b·[ln p̂_t(b) − ln p̂_r(b)] over add-one-smoothed
+    hashed-bigram buckets, emitted as the int64 quantization
+    Σ c_b·(lnq(ct_b+1) − lnq(cr_b+1)) + n·(lnq(N_r+B) − lnq(N_t+B)) with
+    lnq(x) = floor(1e9·ln x) of INTEGER x — the doc_unigram_entropy
+    pattern, bit-reproducible cross-engine.
+
+    Scale: the bucket table is ≤ n_buckets rows (BROADCAST join — never a
+    shuffle on the corpus side); per-(doc,bucket) multiplicities aggregate
+    map-side; totals are a 1-row broadcast. The only corpus-proportional
+    shuffle is the (doc,bucket) combine. Docs with <2 tokens have no
+    features and are dropped (same rule as bigram_lm_scores)."""
+    toks = F.split(F.col(text_col), " ")
+    bgr = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+        f"             element_at(split({text_col}, ' '), i + 1)))"
+    )
+    ex = (
+        df.filter(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            target.cast("boolean").alias("is_t"),
+            F.explode(bgr).alias("bgr"),
+        )
+        .withColumn("bkt", F.pmod(h15(F.col("bgr"), salt="dsir"), F.lit(n_buckets)))
+    )
+
+    def lnq(c: Column) -> Column:
+        return F.floor(F.lit(1_000_000_000) * F.log(c.cast("double"))).cast("long")
+
+    db = ex.groupBy(id_col, "bkt").agg(F.count("*").alias("c"))
+    g = ex.groupBy("bkt").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+    )
+    tot = g.agg(
+        (lnq(F.sum("cr") + n_buckets) - lnq(F.sum("ct") + n_buckets)).alias("norm_q")
+    )
+    contrib = F.col("c") * (lnq(F.col("ct") + 1) - lnq(F.col("cr") + 1))
+    return (
+        db.join(F.broadcast(g), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            (F.sum(contrib) + F.sum("c") * F.first("norm_q"))
+            .cast("long")
+            .alias("logw_q"),
+        )
+    )

@@ -87,3 +87,48 @@ def q_linreg_extprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         xs=[F.col("l_quantity"), F.round(F.col("l_discount") * 100)],
         quant=_LR_QUANT,
     )
+
+
+_DSIR_B = 4096
+
+
+def _dsir_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("bgr", salt="dsir")
+    lnq = "CAST(floor(1000000000 * ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH d AS (SELECT doc_id, (lang = 'en') AS is_t, string_split(text, ' ') AS toks
+           FROM documents),
+f AS (SELECT doc_id, is_t,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bgr
+      FROM d WHERE len(toks) >= 2),
+b AS (SELECT doc_id, is_t, CAST({h} % {_DSIR_B} AS BIGINT) AS bkt FROM f),
+db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+g AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM b GROUP BY 1),
+tot AS (SELECT {lnq.format(x=f"sum(cr) + {_DSIR_B}")}
+               - {lnq.format(x=f"sum(ct) + {_DSIR_B}")} AS norm_q FROM g)
+SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_feats,
+       CAST(sum(db.c * ({lnq.format(x="g.ct + 1")} - {lnq.format(x="g.cr + 1")}))
+            + sum(db.c) * (SELECT norm_q FROM tot) AS BIGINT) AS logw_q
+FROM db JOIN g USING (bkt)
+GROUP BY db.doc_id
+"""
+
+
+@query("dsir_importance_weights", _dsir_oracle())
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting toward the English slice: hashed-bigram
+    bucket distributions for target (lang='en') vs raw corpus, add-one
+    smoothed, per-doc quantized log importance weight. Bucket table
+    (≤4096 rows) broadcasts; only the (doc,bucket) combine shuffles."""
+    from videos_to_tfrecords_spark.operators.text import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, target=F.col("lang") == "en", n_buckets=_DSIR_B
+    )
