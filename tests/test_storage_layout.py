@@ -39,15 +39,17 @@ def test_partitioned_write_prunes(spark, sf_dir):
 def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     """bucketBy on the join key co-locates both sides: the join plan has no
     Exchange — the pre-shuffled layout big recurring joins want."""
+    from videos_to_tfrecords_spark.sources.layout import write_bucketed
+
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # external bucketed tables (warehouse dir is a static conf — use paths)
-    orders.write.mode("overwrite").option("path", str(tmp_path / "orders_b")).bucketBy(
-        4, "o_orderkey"
-    ).sortBy("o_orderkey").saveAsTable("orders_b")
-    li.write.mode("overwrite").option("path", str(tmp_path / "lineitem_b")).bucketBy(
-        4, "l_orderkey"
-    ).sortBy("l_orderkey").saveAsTable("lineitem_b")
+    write_bucketed(
+        orders, "orders_b", str(tmp_path / "orders_b"), "o_orderkey", n_buckets=4
+    )
+    write_bucketed(
+        li, "lineitem_b", str(tmp_path / "lineitem_b"), "l_orderkey", n_buckets=4
+    )
     # small tables would broadcast; force the sort-merge path the demo is about
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -140,3 +140,29 @@ def compact_small_files(
         "files_after": files_after,
         "target_files": n_target,
     }
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Bucketed (hash-clustered) table write — Spark's answer to the 100 TB
+    co-located join: both sides pre-hashed into the same number of buckets
+    on the join key means SortMergeJoin reads matching buckets directly and
+    the per-query shuffle DISAPPEARS (pay the Exchange once at write time,
+    never again). ``sortBy`` within buckets also removes the join's Sort.
+
+    Plain parquet files carry no bucket metadata, so this must go through
+    the session catalog (``saveAsTable`` with an explicit external
+    ``path``); readers use ``spark.table(table_name)``. The no-Exchange
+    join plan is asserted in tests/test_storage_layout.py."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
