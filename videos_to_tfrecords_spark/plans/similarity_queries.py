@@ -400,16 +400,27 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def _kmeans_assign_parts(k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[str]:
+def _kmeans_assign_parts(
+    k: int | str = _IVF_K, iters: int = _IVF_ITERS
+) -> list[str]:
     """Shared CTE prefix: kmeans-lite init + unrolled integer Lloyd,
     ending in ``af(vec_id, cid, d2)`` — the assignment every kmeans-based
-    oracle (profile, semantic dedup) builds on."""
+    oracle (profile, semantic dedup) builds on. ``k="auto"`` derives
+    k = max(8, ⌈n/256⌉) from the table itself (integer ceil — the exact
+    twin of semantic_dedup's auto-k)."""
     hk = h15_sql("CAST(vec_id AS VARCHAR)")
-    parts = [
-        f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)",
+    parts = [f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)"]
+    if k == "auto":
+        parts.append(
+            "kk AS (SELECT GREATEST(8, (count(*) + 255) // 256) AS k FROM e)"
+        )
+        k_expr = "(SELECT k FROM kk)"
+    else:
+        k_expr = str(k)
+    parts.append(
         f"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
-  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM e) WHERE rn <= {k})""",
-    ]
+  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM e) WHERE rn <= {k_expr})"""
+    )
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
         parts += [
@@ -456,7 +467,9 @@ FROM af GROUP BY cid"""
 _SEMDEDUP_THR = 400_000_000_000  # scaled dot ≥ 0.4 (unit-norm ⇒ ~cosine·1e12)
 
 
-def _semantic_dedup_oracle(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
+def _semantic_dedup_oracle(
+    k: int | str = "auto", iters: int = _IVF_ITERS
+) -> str:
     """SQL twin of operators/similarity.semantic_dedup: the same kmeans
     assignment prefix, then within-cluster keep-first dominance — a vector
     is dropped iff a lower-id cluster-mate's scaled-int dot reaches the
@@ -491,7 +504,7 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_profile(emb, k=_IVF_K, iters=_IVF_ITERS)
 
 
-@query("semantic_dedup_keep", _semantic_dedup_oracle())
+@query("semantic_dedup_keep", _semantic_dedup_oracle(k="auto"))
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster with deterministic
     integer k-means, drop within-cluster near-dups by keep-first
@@ -502,7 +515,7 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, k=_IVF_K, iters=_IVF_ITERS, threshold_scaled=_SEMDEDUP_THR
+        emb, k="auto", iters=_IVF_ITERS, threshold_scaled=_SEMDEDUP_THR
     )
 
 
