@@ -218,3 +218,27 @@ def test_nested_subsets_are_nested(spark):
     for lang, tiers in by_lang.items():
         assert tiers[100] <= tiers[500] <= tiers[2500] <= tiers[10000]
         assert tiers[10000] == totals[lang]
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    """Hand-built snapshots: one insert, one delete, one update, one
+    unchanged — and null-valued compare columns diff null-safely."""
+    from videos_to_tfrecords_spark.operators.relational import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "a"), (3, None), (4, "DD"), (5, "e")], "k long, v string"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(a, b, keys=["k"], compare_cols=["v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "delete",
+        3: "unchanged",  # null == null under null-safe compare
+        4: "update",
+        5: "insert",
+    }

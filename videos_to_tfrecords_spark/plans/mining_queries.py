@@ -850,3 +850,69 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("tok_a", "tok_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+WITH b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+d AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+              WHEN b.o_orderkey IS NULL THEN 'delete'
+              WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM d GROUP BY change_type
+""",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff (time-travel DIFF over plain tables): version B is
+    synthesized from orders — every 13th key deleted, every 7th surviving
+    key updated (status 'X', +1.00), every 11th key re-inserted under a
+    shifted key — then one null-safe full-outer join classifies every key.
+    key_sum strengthens the hash check (the exact key SET per class, not
+    just counts)."""
+    from videos_to_tfrecords_spark.operators.relational import snapshot_diff
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = a.filter(k % 13 != 0)
+    b = survivors.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        a.filter(k % 11 == 0).select(
+            (k + 100_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    d = snapshot_diff(
+        a, b, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
