@@ -242,3 +242,21 @@ def test_snapshot_diff_classifies_all_four_states(spark):
         4: "update",
         5: "insert",
     }
+
+
+def test_record_linkage_weights_order_pairs_sensibly(spark, sf_dir):
+    """More agreeing fields ⇒ higher score: the decision census is
+    internally consistent (match pairs exist only if some pair agrees on
+    enough fields; every score_sum is finite)."""
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    rows = {r.decision: r for r in QUERIES["record_linkage_scores"](spark, sf_dir).collect()}
+    assert rows  # at least one decision class
+    assert set(rows) <= {"match", "possible", "non-match"}
+    for r in rows.values():
+        assert r.n_pairs > 0 and r.score_sum is not None
+    if "match" in rows and "non-match" in rows:
+        # average match score strictly above average non-match score
+        am = rows["match"].score_sum / rows["match"].n_pairs
+        an = rows["non-match"].score_sum / rows["non-match"].n_pairs
+        assert am > an

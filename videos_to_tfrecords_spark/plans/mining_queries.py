@@ -916,3 +916,122 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+_FS_LNQ = "CAST(floor(1000000000 * ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+_FS_FIELDS = ("ty", "pb", "tok0")
+_FS_HI, _FS_LO = 0, -3_000_000_000  # ln-scale 1e9: match ≥ 0, possible ≥ −3
+
+
+def _fs_oracle() -> str:
+    lnq = _FS_LNQ.format
+    ufs = ",\n".join(
+        f"""uf_{f} AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS u_num
+  FROM (SELECT count(*) AS c FROM p GROUP BY {f}))"""
+        for f in _FS_FIELDS
+    )
+    ws = ",\n   ".join(
+        f"""{lnq(x="9 * (u_den + 1)")} - {lnq(x=f"10 * (uf_{f}.u_num + 1)")} AS wa_{f},
+   {lnq(x="u_den + 1")} - {lnq(x=f"10 * (u_den - uf_{f}.u_num + 1)")} AS wd_{f}"""
+        for f in _FS_FIELDS
+    )
+    score = " + ".join(
+        f"CASE WHEN a.{f} = b.{f} THEN w.wa_{f} ELSE w.wd_{f} END"
+        for f in _FS_FIELDS
+    )
+    return f"""
+WITH p AS (SELECT p_partkey AS pk, p_brand AS brand, p_size AS sz, p_type AS ty,
+                  CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS pb,
+                  string_split(p_name, ' ')[1] AS tok0
+           FROM part),
+ud AS (SELECT CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) AS u_den
+       FROM p),
+{ufs},
+w AS (SELECT
+   {ws}
+ FROM ud, {", ".join(f"uf_{f}" for f in _FS_FIELDS)}),
+scored AS (
+  SELECT ({score}) AS s
+  FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz AND a.pk < b.pk, w)
+SELECT CASE WHEN s >= {_FS_HI} THEN 'match'
+            WHEN s >= {_FS_LO} THEN 'possible'
+            ELSE 'non-match' END AS decision,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(s) AS BIGINT) AS score_sum
+FROM scored GROUP BY 1
+"""
+
+
+@query("record_linkage_scores", _fs_oracle())
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969, public): block
+    part pairs on (brand, size), compare type / price-band / first name
+    token; per-field agreement weights ln(m/u) with m = 9/10 fixed and u
+    estimated EXACTLY from the data as ordered-pair agreement probability
+    Σc(c−1)/n(n−1) (+1 smoothed) — all integer arguments, so the quantized
+    log weights and every pair score hash-match the SQL twin. Decisions by
+    the classic two-threshold rule.
+
+    Scale: u-stats are field-domain aggregates (broadcast 1-row); the pair
+    generation is an equi-join on the block key. Block-key cardinality
+    must SCALE with the corpus (the semantic_dedup auto-k lesson) — here
+    brand×size ≈ 1250 blocks fits the test SFs; at 100 TB block on a
+    higher-cardinality composite (brand × size × price-band)."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("sz"),
+        F.col("p_type").alias("ty"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000").alias("pb"),
+        F.element_at(F.split("p_name", " "), 1).alias("tok0"),
+    )
+
+    def lnq(c):
+        return F.floor(F.lit(1_000_000_000) * F.log(c.cast("double"))).cast("long")
+
+    ud = p.agg(
+        (F.count("*").cast("long") * (F.count("*").cast("long") - 1)).alias("u_den")
+    )
+    w = ud
+    for f in _FS_FIELDS:
+        uf = (
+            p.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("u_num"))
+        )
+        w = w.crossJoin(F.broadcast(uf.withColumnRenamed("u_num", f"un_{f}")))
+    for f in _FS_FIELDS:
+        w = w.withColumn(
+            f"wa_{f}",
+            lnq(9 * (F.col("u_den") + 1)) - lnq(10 * (F.col(f"un_{f}") + 1)),
+        ).withColumn(
+            f"wd_{f}",
+            lnq(F.col("u_den") + 1)
+            - lnq(10 * (F.col("u_den") - F.col(f"un_{f}") + 1)),
+        )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).crossJoin(F.broadcast(w))
+    score = None
+    for f in _FS_FIELDS:
+        t = F.when(F.col(f"a.{f}") == F.col(f"b.{f}"), F.col(f"wa_{f}")).otherwise(
+            F.col(f"wd_{f}")
+        )
+        score = t if score is None else score + t
+    decision = (
+        F.when(score >= _FS_HI, F.lit("match"))
+        .when(score >= _FS_LO, F.lit("possible"))
+        .otherwise(F.lit("non-match"))
+    )
+    return (
+        pairs.select(decision.alias("decision"), score.alias("s"))
+        .groupBy("decision")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("s").cast("long").alias("score_sum"),
+        )
+    )
