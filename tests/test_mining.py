@@ -260,3 +260,22 @@ def test_record_linkage_weights_order_pairs_sensibly(spark, sf_dir):
         am = rows["match"].score_sum / rows["match"].n_pairs
         an = rows["non-match"].score_sum / rows["non-match"].n_pairs
         assert am > an
+
+
+def test_audio_energy_windows_hand_computed(spark):
+    """Single-token doc: every sample equals its md5-lead−128, so every
+    window energy is 16·v² and window count is (ns−16)//8+1."""
+    import hashlib
+
+    from videos_to_tfrecords_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    df = spark.createDataFrame([(10, "hello")], "doc_id long, text string")
+    rows = audio_energy_windows(df).collect()
+    ns = 64 + 10 % 64  # 74 samples
+    assert len(rows) == (ns - 16) // 8 + 1
+    v = hashlib.md5(b"hello").digest()[0] - 128
+    for r in rows:
+        assert r.energy == 16 * v * v
+        assert r.is_silence == (r.energy < 36_864)

@@ -127,3 +127,65 @@ def phash_signatures(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "ph": phs})
 
     return df.select(id_col, text_col).mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = "doc_id long, win_idx long, energy long, is_silence boolean"
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win: int = 16,
+    hop: int = 8,
+    silence_energy: int = 36_864,  # RMS < 48 over 16 samples
+) -> DataFrame:
+    """Audio-modality framing: decode a waveform, slide overlapping
+    windows (win=16, hop=8 — the STFT frame/hop pattern), emit per-window
+    integer energy Σs² and a silence flag — the voice-activity /
+    silence-trim primitive an audio pipeline runs before feature
+    extraction. 1 asset → N windows, the same flat-map shape as the video
+    frame decoder (ml/video.py).
+
+    The "decode" is the deterministic fake (container has no codecs):
+    sample_t = md5-lead-byte(token_{t mod n_toks}) − 128, n_samples =
+    64 + id % 64 — closed-form, so energies are exact int64 and the WHOLE
+    Python boundary hash-checks against SQL. A real PCM decode drops into
+    the same mapInPandas pass (decode → frame → Σs²) with the plan shape,
+    schema, and windowing arithmetic unchanged. Vectorized: per-doc numpy
+    gather + square-sum over a (n_windows, win) index grid; md5 memoized
+    per distinct token (the phash cache argument)."""
+    import hashlib
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def lead(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = memo[t] = hashlib.md5(t.encode()).digest()[0]
+            return b
+
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "energy": []}
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(getattr(rec, id_col))
+                toks = getattr(rec, text_col).split(" ")
+                leads = (
+                    np.fromiter((lead(t) for t in toks), dtype=np.int64) - 128
+                )
+                ns = 64 + doc_id % 64
+                samples = leads[np.arange(ns) % len(leads)]
+                nwin = (ns - win) // hop + 1
+                idx = np.arange(nwin)[:, None] * hop + np.arange(win)[None, :]
+                en = (samples[idx] ** 2).sum(axis=1)
+                out["doc_id"].extend([doc_id] * nwin)
+                out["win_idx"].extend(range(nwin))
+                out["energy"].extend(int(e) for e in en)
+            pd_out = pd.DataFrame(out)
+            pd_out["is_silence"] = pd_out["energy"] < silence_energy
+            yield pd_out
+
+    return df.select(id_col, text_col).mapInPandas(gen, AUDIO_WINDOW_SCHEMA)

@@ -604,3 +604,40 @@ def q_media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_AUDIO_SILENCE = 36_864
+
+
+@query(
+    "audio_energy_windows",
+    f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+l AS (SELECT doc_id,
+             list_transform(toks,
+                 t -> CAST(concat('0x', substr(md5(t), 1, 2)) AS BIGINT) - 128)
+               AS leads,
+             64 + doc_id % 64 AS ns, len(toks) AS nt FROM d),
+w AS (SELECT doc_id, leads, nt,
+             unnest(range(0, (ns - 16) // 8 + 1)) AS win_idx FROM l),
+e AS (SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+             CAST(list_sum(list_transform(range(0, 16),
+                  j -> (leads[(win_idx * 8 + j) % nt + 1])
+                       * (leads[(win_idx * 8 + j) % nt + 1]))) AS BIGINT) AS energy
+      FROM w)
+SELECT doc_id, win_idx, energy, (energy < {_AUDIO_SILENCE}) AS is_silence FROM e
+""",
+)
+def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality framing through the Python boundary: deterministic
+    fake PCM decode → overlapping 16-sample windows (hop 8) → exact
+    integer energy + silence flag. The mapInPandas flat map IS the real
+    plumbing a PCM codec would ride; the closed-form samples make it
+    hash-checkable end to end (the media_decode_frames stance, audio
+    edition)."""
+    from videos_to_tfrecords_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(docs, silence_energy=_AUDIO_SILENCE)
