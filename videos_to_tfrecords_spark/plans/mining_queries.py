@@ -1035,3 +1035,64 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("long").alias("score_sum"),
         )
     )
+
+
+@query(
+    "tfrecord_source_roundtrip",
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY lang
+""",
+)
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship sink/source round-trip as a registered oracle query:
+    documents → SequenceExample wire bytes (pure-Python proto encoder) →
+    sharded .tfrecord files (masked-CRC32C framing) → distributed
+    binaryFile read → proto DECODE → per-lang aggregate. The oracle
+    aggregates the parquet directly, so a hash match proves every byte of
+    the encode/frame/write/read/parse chain preserved the data — the
+    S4/§2.1 path the reference exists for, now under the driver's gate."""
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        decode_sequence_example,
+        read_tfrecords_df,
+        with_sequence_example,
+        write_tfrecords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    protos = with_sequence_example(
+        docs, context_cols=["doc_id", "n_chars", "lang"], list_cols=[]
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "tfrec_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_tfrecords(protos, "proto", path, "docs")
+    back = read_tfrecords_df(spark, os.path.join(path, "data", "docs", "*"))
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_chars": [], "lang": []}
+            for rec in pdf["record"]:
+                ctx, _ = decode_sequence_example(bytes(rec))
+                out["doc_id"].append(int(ctx["doc_id"][0]))
+                out["n_chars"].append(int(ctx["n_chars"][0]))
+                out["lang"].append(
+                    ctx["lang"][0].decode()
+                    if isinstance(ctx["lang"][0], bytes)
+                    else str(ctx["lang"][0])
+                )
+            yield pd.DataFrame(out)
+
+    parsed = back.mapInPandas(parse, "doc_id long, n_chars long, lang string")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
