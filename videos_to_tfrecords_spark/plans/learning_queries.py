@@ -132,3 +132,98 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(
         docs, target=F.col("lang") == "en", n_buckets=_DSIR_B
     )
+
+
+def _curation_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.textfn import shingles_sql
+
+    sh5 = shingles_sql("toks")
+    return f"""
+WITH RECURSIVE
+t0 AS (SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS toks
+       FROM documents WHERE doc_id % 97 != 0),
+q AS (SELECT doc_id, text, lang, toks FROM t0
+      WHERE n_chars >= 50 AND len(toks) >= 10 AND lang IN ('en', 'de', 'fr')),
+k1 AS (SELECT doc_id, lang, toks FROM (
+         SELECT doc_id, lang, toks,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM q)
+       WHERE doc_id = cid),
+sh AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM k1),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+k2 AS (SELECT k1.doc_id, k1.lang, k1.toks FROM k1 LEFT JOIN comp
+         ON comp.node = k1.doc_id
+       WHERE comp.node IS NULL OR comp.component = k1.doc_id),
+ev AS (SELECT DISTINCT unnest({sh5}) AS s
+       FROM (SELECT string_split(text, ' ') AS toks FROM documents
+             WHERE doc_id % 97 = 0)),
+k2s AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM k2),
+cont AS (SELECT DISTINCT k2s.doc_id FROM k2s JOIN ev USING (s)),
+fin AS (SELECT doc_id, lang, toks FROM k2
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(len(toks)) AS BIGINT) AS tok_sum
+FROM fin GROUP BY lang
+"""
+
+
+@query("corpus_curation_e2e", _curation_oracle())
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END LLM corpus curation — the composition a pretraining data
+    team actually runs, as ONE oracle-checked query: hold out the eval
+    slice (id%97) → quality gate (length + word count) → language gate →
+    EXACT dedup (md5 keep-first) → NEAR dedup (MinHash-LSH pairs →
+    connected components, keep the min-id representative) → benchmark
+    DECONTAMINATION (drop docs sharing any 3-shingle with the eval slice)
+    → per-language doc/token census. id_sum pins the exact surviving doc
+    SET. Every stage is the registry's individually-verified operator;
+    this proves the composition.
+
+    Scale: stages chain equi-join/agg shapes only — the dedup candidate
+    generation is banded, CC is edge-proportional, decontamination
+    broadcasts eval shingles. Nothing quadratic, nothing driver-sided
+    beyond CC's bounded union-find."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        decontaminate_overlap,
+        exact_dedup,
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    n_toks = F.size(F.split(F.col("text"), " "))
+    q = train.filter(
+        (F.col("n_chars") >= 50)
+        & (n_toks >= 10)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    ex = exact_dedup(q).filter(~F.col("is_duplicate")).select("doc_id")
+    kept1 = q.join(ex, "doc_id")
+    pairs = minhash_lsh_dedup_pairs(kept1).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept1.join(dropped, "doc_id", "left_anti")
+    contaminated = decontaminate_overlap(
+        kept2, docs.filter(F.col("doc_id") % 97 == 0)
+    ).select("doc_id")
+    fin = kept2.join(contaminated, "doc_id", "left_anti")
+    return fin.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tok_sum"),
+    )
