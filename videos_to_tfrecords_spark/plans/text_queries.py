@@ -1099,3 +1099,57 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (n2 - p * (p + 1))) div (2 * p * n) AS BIGINT)"
         ).alias("auc_x1e6"),
     )
+
+
+@query(
+    "classifier_calibration_bins",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+mm AS (SELECT CAST(min(score) AS BIGINT) AS mn, CAST(max(score) AS BIGINT) AS mx
+       FROM s)
+SELECT CAST(((s.score - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s.y) AS BIGINT) AS n_pos,
+       CAST(sum(s.score) AS BIGINT) AS score_sum
+FROM s, mm GROUP BY 1
+""",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins) for the hashed quality
+    classifier vs the independent length label — the eval a filter team
+    reads next to AUC: 10 equi-width score bins, per-bin count, positive
+    count, and exact score mass. Bin edges derive from the global
+    min/max (1-row broadcast), so binning is a narrow map — no global sort
+    at any corpus size."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_quality(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            F.col("score_x1000").alias("score"),
+            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+    )
+    mm = scored.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.expr("((score - mn) * 10) div (mx - mn + 1)").cast("long").alias("bin"),
+        "y",
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("score").cast("long").alias("score_sum"),
+    )
