@@ -227,3 +227,93 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tok_sum"),
     )
+
+
+@query(
+    "mahalanobis_event_outliers",
+    """
+WITH e AS (SELECT event_id,
+                  CAST(round(value) AS BIGINT) AS x,
+                  ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS h
+           FROM events),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(h) AS BIGINT) AS sh,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * h) AS BIGINT) AS sxh,
+             CAST(sum(h * h) AS BIGINT) AS shh
+      FROM e),
+c AS (SELECT n, sx, sh,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS c11,
+             CAST(n * sxh - sx * sh AS DOUBLE) AS c12,
+             CAST(n * shh - sh * sh AS DOUBLE) AS c22
+      FROM s),
+d AS (SELECT e.event_id,
+             CAST(e.x * c.n - c.sx AS DOUBLE) AS r1,
+             CAST(e.h * c.n - c.sh AS DOUBLE) AS r2,
+             c.c11, c.c12, c.c22
+      FROM e, c),
+m AS (SELECT event_id,
+             CAST(floor(1000000.0 * ((c22 * r1 * r1) - (2.0 * c12 * r1 * r2)
+                        + (c11 * r2 * r2)) / ((c11 * c22) - (c12 * c12)))
+                  AS BIGINT) AS d2_x1e6
+      FROM d)
+SELECT event_id, d2_x1e6 FROM m ORDER BY d2_x1e6 DESC, event_id LIMIT 20
+""",
+)
+def q_mahalanobis_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (Mahalanobis) outlier detection over (value,
+    hour-of-day): one integer sufficient-statistics pass builds the exact
+    co-moment matrix C = n·Sxx − SxSxᵀ, each row's d² = rᵀ adj(C) r /
+    det(C) with r = n·x − Sx evaluates in ONE fixed double expression
+    tree on exact integer inputs (bit-identical cross-engine, the
+    bigram-LM libm argument), top-20 by quantized d². Complements the
+    1-D median/MAD census with correlation-aware distance. Scale: one agg
+    pass + one broadcast + TakeOrderedAndProject — no shuffle beyond the
+    1-row stats."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.round("value").cast("long").alias("x"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("h"),
+    )
+    s = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("h").cast("long").alias("sh"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("h")).cast("long").alias("sxh"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("shh"),
+    )
+    c = s.select(
+        "n",
+        "sx",
+        "sh",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("c11"),
+        (F.col("n") * F.col("sxh") - F.col("sx") * F.col("sh"))
+        .cast("double")
+        .alias("c12"),
+        (F.col("n") * F.col("shh") - F.col("sh") * F.col("sh"))
+        .cast("double")
+        .alias("c22"),
+    )
+    d = e.crossJoin(F.broadcast(c)).select(
+        "event_id",
+        (F.col("x") * F.col("n") - F.col("sx")).cast("double").alias("r1"),
+        (F.col("h") * F.col("n") - F.col("sh")).cast("double").alias("r2"),
+        "c11",
+        "c12",
+        "c22",
+    )
+    num = (
+        (F.col("c22") * F.col("r1") * F.col("r1"))
+        - (F.lit(2.0) * F.col("c12") * F.col("r1") * F.col("r2"))
+        + (F.col("c11") * F.col("r2") * F.col("r2"))
+    )
+    den = (F.col("c11") * F.col("c22")) - (F.col("c12") * F.col("c12"))
+    m = d.select(
+        "event_id",
+        F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("d2_x1e6"),
+    )
+    return m.orderBy(F.col("d2_x1e6").desc(), "event_id").limit(20)
