@@ -1153,3 +1153,87 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("n_pos"),
         F.sum("score").cast("long").alias("score_sum"),
     )
+
+
+@query(
+    "classifier_auc_by_group",
+    f"""
+WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+           FROM documents),
+f AS (SELECT doc_id, lang, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, lang, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+g AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY lang, score),
+r AS (SELECT lang, score, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM g),
+agg AS (SELECT lang,
+               CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS n2,
+               CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(cnt - pos) AS BIGINT) AS n
+        FROM r GROUP BY lang)
+SELECT lang, p AS n_pos, n AS n_neg,
+       CASE WHEN p = 0 OR n = 0 THEN NULL
+            ELSE CAST((1000000 * (n2 - p * (p + 1))) // (2 * p * n) AS BIGINT)
+       END AS auc_x1e6
+FROM agg
+""",
+)
+def q_classifier_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subgroup ROC-AUC (the fairness/slice eval a filter team runs
+    before deploying a corpus classifier): the exact rank-sum AUC of
+    classifier_auc_eval, partitioned by language — one extra key in every
+    aggregate and window, so the whole eval still runs in integer
+    arithmetic with the distinct-score window partitioned per group (no
+    global sort grows with the corpus). Degenerate slices (no positives or
+    no negatives) yield NULL rather than a fabricated number."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_quality(docs)
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select(
+            "lang",
+            F.col("score_x1000").alias("score"),
+            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+    )
+    g = scored.groupBy("lang", "score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = r.groupBy("lang").agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("n2"),
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n"),
+    )
+    auc = F.when(
+        (F.col("p") == 0) | (F.col("n") == 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.expr("(1000000 * (n2 - p * (p + 1))) div (2 * p * n)").cast("long")
+    )
+    return agg.select(
+        "lang",
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        auc.alias("auc_x1e6"),
+    )
