@@ -392,3 +392,36 @@ def test_mutual_information_single_fact_scan(spark, sf_dir):
     )
     # either way, the parquet fact table is not re-scanned per consumer
     assert plan.count("Scan parquet") == 0
+
+
+def test_mahalanobis_plan_is_topk_no_global_sort(spark, sf_dir):
+    """Top-20 outliers run as TakeOrderedAndProject (no full Sort) and the
+    stats side reaches the row via a broadcast, not a shuffle join."""
+    import videos_to_tfrecords_spark.plans.learning_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["mahalanobis_event_outliers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_e2e_no_cartesian_and_bounded_scans(spark, sf_dir):
+    """The 6-stage curation pipeline stays equi-join shaped end to end."""
+    import videos_to_tfrecords_spark.plans.learning_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["corpus_curation_e2e"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_linreg_single_aggregate_pass(spark, sf_dir):
+    """OLS sufficient statistics: exactly one scan of lineitem feeds one
+    partial→final aggregate; the returned frame is a local 1-row relation."""
+    import videos_to_tfrecords_spark.plans.learning_queries  # noqa: F401
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    df = QUERIES["linreg_extprice_normal_eq"](spark, sf_dir)
+    plan = plan_of(df)
+    # the result itself is driver-materialized (metadata-sized)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
