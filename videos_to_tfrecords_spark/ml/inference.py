@@ -191,10 +191,12 @@ def batch_inference_by_shape(
     return df.groupBy(*shape_keys).applyInPandas(infer_group, schema)
 
 
-def int_hash_linear_model(out_dim: int = 8) -> ModelFactory:
+def int_hash_linear_model(out_dim: int = 8, salt: str = "w") -> ModelFactory:
     """Linear+relu stub whose weights are EXACT integers derived from the
     engine's portable md5 hash — w[i][j] = (md5_60bit("w:i:j") % 201) − 100
-    — and whose inputs are quantized to rint(1000·x). Every logit is then
+    (``salt`` swaps the hash family — an independent model "version"
+    for shadow/A-B comparisons) — and whose inputs are quantized to
+    rint(1000·x). Every logit is then
     an exact small integer (|logit| ≤ dims·1000·100 < 2²⁴, so even the
     float32 Arrow column holds it exactly), which makes the whole
     inference pass — the same iterator-pandas-UDF path as the float
@@ -213,7 +215,7 @@ def int_hash_linear_model(out_dim: int = 8) -> ModelFactory:
                 for i in range(d):
                     for j in range(out_dim):
                         h = int(
-                            hashlib.md5(f"w:{i}:{j}".encode()).hexdigest()[:15], 16
+                            hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:15], 16
                         )
                         w[i, j] = h % 201 - 100
                 cache[d] = w

@@ -641,3 +641,62 @@ def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_energy_windows(docs, silence_energy=_AUDIO_SILENCE)
+
+
+def _shadow_oracle() -> str:
+    def matmul(salt: str, alias: str) -> str:
+        return f"""
+{alias}w AS (SELECT i, j,
+       CAST(concat('0x', substr(md5('{salt}:' || i || ':' || j), 1, 15)) AS BIGINT)
+         % 201 - 100 AS w
+     FROM dims, outs),
+{alias}l AS (SELECT vec_id, j, greatest(CAST(sum(xq[i + 1] * w) AS BIGINT), 0) AS logit
+     FROM x, {alias}w GROUP BY 1, 2),
+{alias}a AS (SELECT vec_id, j AS am FROM (
+       SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+              ORDER BY logit DESC, j) AS rnk FROM {alias}l) WHERE rnk = 1)"""
+
+    return f"""
+WITH x AS (SELECT vec_id, label,
+                  list_transform(embedding::DOUBLE[],
+                                 v -> CAST(round(v * 1000) AS BIGINT)) AS xq
+           FROM embeddings),
+dims AS (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)))
+           AS i),
+outs AS (SELECT unnest(range(0, 8)) AS j),
+{matmul("w", "p")},
+{matmul("w2", "s")}
+SELECT x.label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pa.am = sa.am THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM x JOIN pa ON pa.vec_id = x.vec_id JOIN sa ON sa.vec_id = x.vec_id
+GROUP BY x.label
+"""
+
+
+@query("shadow_inference_agreement", _shadow_oracle())
+def q_shadow_inference_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shadow-deployment model comparison (the MLOps gate before swapping
+    a corpus-filter model): run the production and candidate model
+    versions over the same embeddings in one pass each, census per-label
+    argmax agreement. Both versions are integer hash-weight models
+    (independent salt families), so the ENTIRE double-inference pipeline
+    — two iterator-pandas-UDF passes included — hash-matches the SQL twin
+    matmuls."""
+    from videos_to_tfrecords_spark.ml.inference import int_hash_linear_model
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prod = batch_inference(
+        emb, "embedding", int_hash_linear_model(8, salt="w"), drop_input=False
+    ).withColumnRenamed("logits", "logits_prod")
+    both = batch_inference(
+        prod, "embedding", int_hash_linear_model(8, salt="w2"), drop_input=True
+    ).withColumnRenamed("logits", "logits_cand")
+    am = lambda c: (F.array_position(c, F.array_max(c)) - 1).cast("long")  # noqa: E731
+    agree = (
+        am(F.col("logits_prod")) == am(F.col("logits_cand"))
+    ).cast("long")
+    return both.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(agree).alias("n_agree"),
+    )
