@@ -1082,6 +1082,11 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark-warehouse",
         "tfrec_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
     )
+    # clean first: a stale run with a different shard count would leave
+    # extra .tfrecord files in the glob and double-count on read-back
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     write_tfrecords(protos, "proto", path, "docs")
     back = read_tfrecords_df(spark, os.path.join(path, "data", "docs", "*"))
 
