@@ -317,3 +317,116 @@ def q_mahalanobis_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1_000_000.0) * num / den).cast("long").alias("d2_x1e6"),
     )
     return m.orderBy(F.col("d2_x1e6").desc(), "event_id").limit(20)
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+WITH o AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         epoch_us(o_orderdate) // 1000 AS ts_ms, o_orderkey
+  FROM orders),
+flagged AS (
+  SELECT *, CASE WHEN lag(priority) OVER w IS DISTINCT FROM priority
+                 THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY custkey ORDER BY ts_ms, o_orderkey)),
+seg AS (
+  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY ts_ms, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged),
+hist0 AS (
+  SELECT custkey, seg_id, priority,
+         CAST(min(ts_ms) AS BIGINT) AS valid_from_ms
+  FROM seg GROUP BY 1, 2, 3),
+hist AS (
+  SELECT custkey, priority, valid_from_ms,
+         CAST(coalesce(lead(valid_from_ms) OVER (PARTITION BY custkey
+                                                 ORDER BY seg_id),
+                       32503680000000) AS BIGINT) AS valid_to_ms
+  FROM hist0),
+fact AS (
+  SELECT o_custkey AS custkey,
+         epoch_us(l_shipdate) // 1000 AS ship_ms,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+pit AS (
+  SELECT coalesce(h.priority, 'NONE') AS priority_at_ship, f.cents
+  FROM fact f LEFT JOIN hist h
+    ON h.custkey = f.custkey
+   AND h.valid_from_ms <= f.ship_ms AND f.ship_ms < h.valid_to_ms)
+SELECT priority_at_ship,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM pit GROUP BY priority_at_ship
+""",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 dimension built from
+    the order change feed: each shipment joins the priority version VALID
+    AT ITS SHIP DATE ([valid_from, valid_to) interval containment) — the
+    lakehouse PIT-join that keeps training features leakage-free
+    (never joining a future dimension state). Shipments before a
+    customer's first version census as 'NONE'. Equi-join on custkey with
+    the interval predicate post-filtered; version counts per key are
+    bounded, so the join output is fact-proportional."""
+    from videos_to_tfrecords_spark.plans.mining_queries import q_scd2_history
+
+    hist = q_scd2_history(spark, sf_dir).select(
+        "custkey", "priority", "valid_from_ms", "valid_to_ms"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.expr("unix_micros(l_shipdate) div 1000").cast("long").alias("ship_ms"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    pit = fact.join(
+        hist,
+        (hist.custkey == fact.custkey)
+        & (hist.valid_from_ms <= fact.ship_ms)
+        & (fact.ship_ms < hist.valid_to_ms),
+        "left",
+    ).select(
+        F.coalesce(hist.priority, F.lit("NONE")).alias("priority_at_ship"),
+        "cents",
+    )
+    return pit.groupBy("priority_at_ship").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "length_bucket_batching",
+    """
+WITH d AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+b AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket FROM d)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tok_sum,
+       CAST(sum((1 << (bucket + 1)) - n) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket
+""",
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for dynamic batching (the padding-diet
+    trick every training loader uses): docs bucket by ⌊log2(tokens)⌋
+    (exact via binary-string length — no float log), per-bucket doc and
+    token counts plus the padding waste of batching each bucket at its
+    2^(b+1) ceiling. Purely narrow + one partial-final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    b = docs.select(
+        n.alias("n"),
+        (F.length(F.bin(n.cast("long"))) - 1).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("tok_sum"),
+        F.sum(F.expr("shiftleft(1L, CAST(bucket + 1 AS INT)) - n"))
+        .cast("long")
+        .alias("pad_waste"),
+    )
