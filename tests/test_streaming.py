@@ -410,3 +410,41 @@ def test_streaming_drift_double_pass_stable(spark, sf_dir):
     s2 = sorted(tuple(r) for r in QUERIES["streaming_value_drift"](spark, sf_dir).collect())
     b = sorted(tuple(r) for r in QUERIES["value_drift_chisq"](spark, sf_dir).collect())
     assert s1 == s2 == b
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop/restart recovery: drain a file stream, stop the query, add more
+    source files, restart from the SAME checkpoint — the sink holds every
+    input row exactly once (offsets resumed, first batch not reprocessed).
+    This is the exactly-once contract a 100 TB ingestion pipeline leans on
+    when executors die mid-run."""
+    import os
+
+    src, out, chk = (str(tmp_path / d) for d in ("src", "out", "chk"))
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame([(i,) for i in range(10)], "v long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def drain_once():
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain_once()
+    first = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert first == list(range(10))
+
+    spark.createDataFrame([(i,) for i in range(10, 15)], "v long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain_once()  # fresh query object, same checkpoint — resumes offsets
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))  # no duplicates of the first 10
