@@ -1237,3 +1237,45 @@ def q_classifier_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_neg"),
         auc.alias("auc_x1e6"),
     )
+
+
+# GPT-2-style pre-tokenizer (lookahead-free so RE2 and Java regex agree;
+# alternation is leftmost-first in both engines — verified empirically)
+_PRETOK = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@query(
+    "doc_pretokenize_census",
+    f"""
+WITH p AS (SELECT doc_id,
+                  regexp_extract_all(text,
+                    '{_PRETOK.replace("'", "''")}') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       CAST(list_sum(list_transform(toks,
+            x -> {h15_sql("x", salt="ptk")} % 1000000000)) AS BIGINT) AS hsum
+FROM p
+""",
+)
+def q_doc_pretokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenization (contractions, letter runs, digit
+    runs, punctuation runs, space handling — the lookahead-free subset
+    both regex engines implement identically): per-doc pre-token count
+    plus an order-insensitive multiset hash of the tokens themselves, so
+    the SPLITS are verified, not just the counts. Narrow map — regexp and
+    hash both stay JVM-side; no shuffle before the final projection."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_PRETOK), F.lit(0))
+    hsum = F.aggregate(
+        F.transform(toks, lambda x: h15(x, salt="ptk") % 1_000_000_000),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        hsum.alias("hsum"),
+    )
