@@ -430,3 +430,79 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pad_waste"),
     )
+
+
+@query(
+    "value_drift_emd",
+    """
+WITH e AS (SELECT LEAST(31, CAST(floor(value / 20) AS BIGINT)) AS b,
+                  ((epoch_ns(ts) // 1000) // 86400000000) % 2 AS side
+           FROM events),
+c AS (SELECT b, CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb
+      FROM e GROUP BY b),
+spine AS (SELECT unnest(range(0, 32)) AS b),
+f AS (SELECT spine.b, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM spine LEFT JOIN c ON c.b = spine.b),
+cum AS (SELECT b,
+               sum(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cca,
+               sum(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccb
+        FROM f),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM f)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       CAST(sum(abs(cum.cca * tot.nb - cum.ccb * tot.na)) AS BIGINT) AS emd_num
+FROM cum, tot GROUP BY tot.na, tot.nb
+""",
+)
+def q_value_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover (Wasserstein) drift between even- and odd-day
+    event-value distributions: 32 equi-width buckets, EMD = Σ_b |CDF_A −
+    CDF_B| computed CROSS-MULTIPLIED in integers (Σ|CA·n_B − CB·n_A|) so
+    no normalization float ever appears. Complements the chi-square
+    monitor: EMD sees ORDERED bucket distance (a one-bucket shift is
+    small, a far shift is large), χ² does not. The 32-row spine/cumsum is
+    metadata-sized; the only data-proportional stage is the bucket
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    e = ev.select(
+        F.least(F.lit(31), F.expr("CAST(value / 20 AS BIGINT)")).alias("b"),
+        F.expr("((unix_micros(ts)) div 86400000000) % 2").alias("side"),
+    )
+    c = e.groupBy("b").agg(
+        F.count(F.when(F.col("side") == 0, 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("long").alias("cb"),
+    )
+    spine = spark.range(32).select(F.col("id").alias("b"))
+    f = (
+        spine.join(c, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = f.select(
+        "b",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        "ca",
+        "cb",
+    )
+    tot = f.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")))
+            .cast("long")
+            .alias("emd_num")
+        )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "emd_num"
+        )
+    )
