@@ -211,13 +211,18 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("lang").isin("en", "de", "fr")
     )
     ex = exact_dedup(q).filter(~F.col("is_duplicate")).select("doc_id")
-    kept1 = q.join(ex, "doc_id")
+    # the survivor frames feed 2-3 DAG branches each (pair generation,
+    # anti-joins, final census) — materialize once per stage boundary, the
+    # 100 TB analog being an intermediate parquet table between stages
+    kept1 = q.join(ex, "doc_id").localCheckpoint(eager=True)
     pairs = minhash_lsh_dedup_pairs(kept1).select("id_a", "id_b")
     cc = connected_components(pairs)
     dropped = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    kept2 = kept1.join(dropped, "doc_id", "left_anti")
+    kept2 = kept1.join(dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     contaminated = decontaminate_overlap(
         kept2, docs.filter(F.col("doc_id") % 97 == 0)
     ).select("doc_id")
