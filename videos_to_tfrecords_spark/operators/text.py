@@ -601,10 +601,20 @@ def dsir_log_weights(
     def lnq(c: Column) -> Column:
         return F.floor(F.lit(1_000_000_000) * F.log(c.cast("double"))).cast("long")
 
-    db = ex.groupBy(id_col, "bkt").agg(F.count("*").alias("c"))
-    g = ex.groupBy("bkt").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.col("is_t").cast("long")).alias("ct"),
+    # ONE explode pass: the (doc,bucket) combine carries is_t, so the
+    # global bucket table rolls up from it instead of re-exploding the
+    # corpus (measured 2 scans -> 1). The combine is checkpointed — it
+    # feeds both the bucket rollup and the per-doc score join.
+    db = (
+        ex.groupBy(id_col, "is_t", "bkt")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    g = db.groupBy("bkt").agg(
+        F.sum("c").cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
     )
     tot = g.agg(
         (lnq(F.sum("cr") + n_buckets) - lnq(F.sum("ct") + n_buckets)).alias("norm_q")
