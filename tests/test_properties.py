@@ -148,3 +148,81 @@ def test_degenerate_inputs_no_crash(spark):
     upd = spark.createDataFrame([], "id long, v string")
     merged = sorted((r.id, r.v) for r in merge_upsert(tgt, upd, ["id"]).collect())
     assert merged == [(1, "a"), (2, "b")]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=4,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_linreg_matches_independent_cramer(spark, rows):
+    """linreg_normal_eq (Gaussian elimination over Fractions) equals an
+    INDEPENDENT exact Cramer's-rule solve on random integer designs —
+    singular designs must agree on returning NULLs."""
+    from fractions import Fraction
+    from math import floor
+
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.regression import linreg_normal_eq
+
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = linreg_normal_eq(df, y=F.col("y"), xs=[F.col("x1"), F.col("x2")]).collect()[0]
+
+    n = len(rows)
+    sx1 = sum(r[0] for r in rows); sx2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows); s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows); s2y = sum(r[1] * r[2] for r in rows)
+    det = (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s12 - s11 * sx2))
+    if det == 0:
+        assert got.beta0_q is None and got.beta1_q is None and got.beta2_q is None
+        return
+    n0 = (sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y))
+    n1 = (n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2))
+    n2 = (n * (s11 * s2y - s12 * s1y) - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2))
+    want = [floor(Fraction(num, det) * 10_000) for num in (n0, n1, n2)]
+    assert [got.beta0_q, got.beta1_q, got.beta2_q] == want
+
+
+@given(
+    a=st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=15),
+    b=st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=15),
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_diff_matches_dict_reference(spark, a, b):
+    """snapshot_diff classification equals the obvious dict-based reference
+    on random key→value states."""
+    from videos_to_tfrecords_spark.operators.relational import snapshot_diff
+
+    da = spark.createDataFrame([(k, v) for k, v in a.items()] or [(None, None)],
+                               "k long, v long").filter("k IS NOT NULL")
+    db_ = spark.createDataFrame([(k, v) for k, v in b.items()] or [(None, None)],
+                                "k long, v long").filter("k IS NOT NULL")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(da, db_, keys=["k"], compare_cols=["v"]).collect()
+    }
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = "insert"
+        elif k not in b:
+            want[k] = "delete"
+        elif a[k] != b[k]:
+            want[k] = "update"
+        else:
+            want[k] = "unchanged"
+    assert got == want
