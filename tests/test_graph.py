@@ -198,3 +198,21 @@ def test_common_neighbors_cap_binds_deterministically(spark):
     rows = [(r.pa, r.pb, r.n_common)
             for r in common_neighbor_pairs(df, cap=3, topk=10).collect()]
     assert rows == [(2, 3, 1), (2, 4, 1), (3, 4, 1)]
+
+
+def test_feature_propagation_hand_computed_path(spark):
+    """Path graph 1–2–3 (undirected), scalar feature = node id, 1 round:
+    f'(1)=1+2, f'(2)=2+1+3, f'(3)=3+2."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.operators.graph import feature_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    feats = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "node long, f long")
+    got = {
+        r.node: r.f
+        for r in feature_propagation(edges, feats, n_rounds=1).collect()
+    }
+    assert got == {1: 3, 2: 6, 3: 5}

@@ -451,3 +451,38 @@ def common_neighbor_pairs(
     out = res.localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     return out
+
+
+def feature_propagation(
+    edges: DataFrame, feats: DataFrame, n_rounds: int = 2
+) -> DataFrame:
+    """GNN-style synchronous message passing (sum aggregator + self loop):
+    per round, f'(v) = f(v) + Σ_{(u,v)∈E} f(u) for every integer feature
+    column — the 1-layer GraphSAGE/GCN aggregation a feature-engineering
+    pass precomputes for node embeddings. ``feats`` is (node, f...) with
+    int64 features; exact integer arithmetic so the propagated features
+    hash-check. One equi-join shuffle per round (the PageRank shape), each
+    round's frame checkpointed so round k+1 never re-derives round k."""
+    fcols = [c for c in feats.columns if c != "node"]
+    cur = feats.localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        msgs = (
+            edges.join(cur, edges.src == cur.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(*[F.sum(c).alias(c) for c in fcols])
+        )
+        nxt = (
+            cur.alias("c")
+            .join(msgs.alias("m"), "node", "left")
+            .select(
+                "node",
+                *[
+                    (F.col(f"c.{c}") + F.coalesce(F.col(f"m.{c}"), F.lit(0)))
+                    .cast("long")
+                    .alias(c)
+                    for c in fcols
+                ],
+            )
+        )
+        cur = nxt.localCheckpoint(eager=True)
+    return cur

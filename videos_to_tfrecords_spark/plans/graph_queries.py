@@ -332,3 +332,64 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
 
     return common_neighbor_pairs(_copurchase_und(spark, sf_dir), cap=_CN_CAP, topk=100)
+
+
+def _feature_prop_oracle(n_rounds: int = 2) -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(node AS VARCHAR)", salt="gf")
+    parts = [
+        """WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges)""",
+        f"""f0 AS (SELECT node, CAST({h} % 1000 AS BIGINT) AS fa,
+               CAST(node % 97 AS BIGINT) AS fb FROM nodes)""",
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"f{i - 1}"
+        parts.append(
+            f"""m{i} AS (SELECT e.dst AS node, CAST(sum(p.fa) AS BIGINT) AS fa,
+               CAST(sum(p.fb) AS BIGINT) AS fb
+  FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst),
+f{i} AS (SELECT c.node, c.fa + coalesce(m.fa, 0) AS fa,
+                c.fb + coalesce(m.fb, 0) AS fb
+  FROM {prev} c LEFT JOIN m{i} m ON m.node = c.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(fa AS BIGINT) AS fa, CAST(fb AS BIGINT) AS fb
+FROM f{n_rounds}"""
+    )
+
+
+@query("graph_feature_propagation", _feature_prop_oracle())
+def q_graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style 2-round feature propagation over the customer–supplier
+    trade graph (sum aggregator + self loop, exact int64 features from the
+    portable hash): the precompute a graph-ML pipeline runs to give every
+    node a neighborhood-aggregated embedding. One shuffle per round; the
+    unrolled-CTE oracle hash-checks BOTH rounds of message passing."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+    from videos_to_tfrecords_spark.operators.graph import feature_propagation
+
+    edges = _trade_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    feats = nodes.select(
+        "node",
+        (h15(F.col("node").cast("string"), salt="gf") % 1000).alias("fa"),
+        (F.col("node") % 97).cast("long").alias("fb"),
+    )
+    out = feature_propagation(edges, feats, n_rounds=2)
+    return out.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("key"),
+        F.col("fa").cast("long").alias("fa"),
+        F.col("fb").cast("long").alias("fb"),
+    )
