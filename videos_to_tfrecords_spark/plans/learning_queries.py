@@ -511,3 +511,52 @@ def q_value_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "emd_num"
         )
     )
+
+
+@query(
+    "join_key_skew_report",
+    """
+WITH c AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50,
+             CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+      FROM c)
+SELECT n_keys, n_rows, max_n, p50, p99,
+       CAST((max_n * 1000000) // nullif(p50, 0) AS BIGINT) AS skew_x1e6
+FROM s
+""",
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight a 100 TB join plan reads
+    before choosing salting/AQE settings: per-key cardinality profile of
+    lineitem.l_orderkey (key count, row count, max, exact p50/p99 via
+    percentile_disc on the KEY-COUNT table — distinct-key-sized, not
+    corpus-sized) and the max/median skew ratio in exact integer parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    s = c.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p99"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "p50",
+        "p99",
+        F.expr("(max_n * 1000000) div nullif(p50, 0)").cast("long").alias(
+            "skew_x1e6"
+        ),
+    )
