@@ -560,3 +560,106 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_x1e6"
         ),
     )
+
+
+def _funnel_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.textfn import shingles_sql
+
+    sh5 = shingles_sql("toks")
+    return f"""
+WITH RECURSIVE
+s1 AS (SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS toks
+       FROM documents WHERE doc_id % 97 != 0),
+s2 AS (SELECT * FROM s1 WHERE n_chars >= 50 AND len(toks) >= 10),
+s3 AS (SELECT * FROM s2 WHERE lang IN ('en', 'de', 'fr')),
+s4 AS (SELECT doc_id, lang, toks FROM (
+         SELECT doc_id, lang, toks,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM s3)
+       WHERE doc_id = cid),
+sh AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s4),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+s5 AS (SELECT s4.doc_id, s4.lang, s4.toks FROM s4 LEFT JOIN comp
+         ON comp.node = s4.doc_id
+       WHERE comp.node IS NULL OR comp.component = s4.doc_id),
+ev AS (SELECT DISTINCT unnest({sh5}) AS s
+       FROM (SELECT string_split(text, ' ') AS toks FROM documents
+             WHERE doc_id % 97 = 0)),
+s5s AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s5),
+cont AS (SELECT DISTINCT s5s.doc_id FROM s5s JOIN ev USING (s)),
+s6 AS (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'holdout' AS stage,
+         CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM s1
+  UNION ALL SELECT 2, 'quality', count(*), sum(doc_id) FROM s2
+  UNION ALL SELECT 3, 'language', count(*), sum(doc_id) FROM s3
+  UNION ALL SELECT 4, 'exact_dedup', count(*), sum(doc_id) FROM s4
+  UNION ALL SELECT 5, 'near_dedup', count(*), sum(doc_id) FROM s5
+  UNION ALL SELECT 6, 'decontaminated', count(*), sum(doc_id) FROM s6)
+"""
+
+
+@query("curation_funnel_census", _funnel_oracle())
+def q_curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition census of the curation pipeline — the funnel
+    chart a data team watches per corpus version (each filter's survivor
+    count + exact surviving-id sum). Stage frames are the E2E query's
+    stages with the same checkpoints; six 1-row aggregates union at the
+    end, so the observability costs one extra pass over each (already
+    materialized) stage boundary."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        decontaminate_overlap,
+        exact_dedup,
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    s1 = docs.filter(F.col("doc_id") % 97 != 0)
+    s2 = s1.filter((F.col("n_chars") >= 50) & (n_toks >= 10))
+    s3 = s2.filter(F.col("lang").isin("en", "de", "fr"))
+    ex = exact_dedup(s3).filter(~F.col("is_duplicate")).select("doc_id")
+    s4 = s3.join(ex, "doc_id").localCheckpoint(eager=True)
+    pairs = minhash_lsh_dedup_pairs(s4).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    s5 = s4.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+    contaminated = decontaminate_overlap(
+        s5, docs.filter(F.col("doc_id") % 97 == 0)
+    ).select("doc_id")
+    s6 = s5.join(contaminated, "doc_id", "left_anti")
+
+    def census(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+
+    stages = [
+        census(1, "holdout", s1),
+        census(2, "quality", s2),
+        census(3, "language", s3),
+        census(4, "exact_dedup", s4),
+        census(5, "near_dedup", s5),
+        census(6, "decontaminated", s6),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
