@@ -393,3 +393,87 @@ def q_graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fa").cast("long").alias("fa"),
         F.col("fb").cast("long").alias("fb"),
     )
+
+
+_NEG_TRIALS, _NEG_K = 8, 3
+
+
+def _neg_edge_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(src AS VARCHAR) || ':' || CAST(t AS VARCHAR)", salt="neg")
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+rk AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rn FROM nodes),
+cand AS (
+  SELECT s.node AS src, t,
+         CAST({h} % (SELECT n FROM nn) AS BIGINT) AS pick_rn
+  FROM (SELECT node FROM nodes) s(node),
+       (SELECT unnest(range(0, {_NEG_TRIALS})) AS t)
+),
+withdst AS (SELECT c.src, c.t, r.node AS dst
+            FROM cand c JOIN rk r ON r.rn = c.pick_rn
+            WHERE r.node != c.src),
+nonedge AS (SELECT w.src, w.t, w.dst FROM withdst w
+            LEFT JOIN edges e ON e.src = w.src AND e.dst = w.dst
+            WHERE e.src IS NULL),
+ranked AS (SELECT src, dst, t,
+                  row_number() OVER (PARTITION BY src ORDER BY t, dst) AS k
+           FROM nonedge)
+SELECT src, dst, CAST(k AS BIGINT) AS k FROM ranked WHERE k <= {_NEG_K}
+"""
+
+
+@query("graph_negative_edge_samples", _neg_edge_oracle())
+def q_graph_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction / GNN
+    training: each node draws {_NEG_TRIALS} hash-indexed candidate
+    partners (h15(src:trial) mod |V| against a dense rank of the node
+    set), self/existing edges are rejected (anti-join), first {_NEG_K}
+    survivors kept by trial order. Every draw is the portable hash, so the
+    sampled negative SET hash-matches the SQL twin. Shapes: one |V|-sized
+    rank table join (broadcastable), candidate volume |V|·trials, one
+    anti-join on the edge table."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+    from pyspark.sql import Window
+
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    rk = nodes.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("rn")
+    )
+    trials = spark.range(_NEG_TRIALS).select(F.col("id").alias("t"))
+    cand = (
+        nodes.crossJoin(F.broadcast(trials))
+        .select(
+            F.col("node").alias("src"),
+            "t",
+            (
+                h15(
+                    F.concat_ws(
+                        ":", F.col("node").cast("string"), F.col("t").cast("string")
+                    ),
+                    salt="neg",
+                )
+                % n
+            ).alias("pick_rn"),
+        )
+    )
+    withdst = (
+        cand.join(rk, cand.pick_rn == rk.rn)
+        .filter(F.col("node") != F.col("src"))
+        .select("src", "t", F.col("node").alias("dst"))
+    )
+    nonedge = withdst.join(edges, ["src", "dst"], "left_anti")
+    w = Window.partitionBy("src").orderBy("t", "dst")
+    return (
+        nonedge.withColumn("k", F.row_number().over(w).cast("long"))
+        .filter(F.col("k") <= _NEG_K)
+        .select("src", "dst", "k")
+    )

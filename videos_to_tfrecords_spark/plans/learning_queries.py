@@ -663,3 +663,34 @@ def q_curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out
+
+
+@query(
+    "dataset_fingerprint",
+    """
+WITH h AS (SELECT CAST(concat('0x', substr(md5('fp:' || CAST(doc_id AS VARCHAR)
+                  || ':' || md5(text)), 1, 15)) AS BIGINT) AS hv
+           FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv % 1000000000000) AS BIGINT) AS content_sum,
+       CAST(bit_xor(hv) AS BIGINT) AS content_xor
+FROM h
+""",
+)
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset content fingerprint — the integrity stamp
+    a corpus registry stores per version (any row added, dropped, or
+    edited changes it; row order and partitioning cannot): per-row
+    portable hash of (id, content-md5), combined by + and XOR. One narrow
+    scan + one 1-row aggregate at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('fp:', CAST(doc_id AS STRING), ':',"
+        " md5(text))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = docs.select(hv.alias("hv"))
+    return h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("hv") % 1_000_000_000_000).cast("long").alias("content_sum"),
+        F.expr("bit_xor(hv)").cast("long").alias("content_xor"),
+    )
