@@ -1279,3 +1279,104 @@ def q_doc_pretokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_pretokens"),
         hsum.alias("hsum"),
     )
+
+
+@query(
+    "doc_trigram_interp_nll",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS g
+        FROM t WHERE len(toks) >= 3),
+inst AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                CAST(count(*) AS BIGINT) AS m
+         FROM tri GROUP BY 1, 2, 3, 4),
+c3 AS (SELECT w1, w2, w3, CAST(sum(m) AS BIGINT) AS c3 FROM inst GROUP BY 1, 2, 3),
+cc2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS cc2 FROM inst GROUP BY 1, 2),
+p23 AS (SELECT w2, w3, CAST(sum(m) AS BIGINT) AS c23 FROM inst GROUP BY 1, 2),
+u2 AS (SELECT w2, CAST(sum(m) AS BIGINT) AS cu2 FROM inst GROUP BY 1),
+u3 AS (SELECT w3, CAST(sum(m) AS BIGINT) AS cu3 FROM inst GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+lp AS (SELECT c3.w1, c3.w2, c3.w3,
+              -ln((7.0 * (c3.c3 + 1) / (cc2.cc2 + vocab.v)
+                   + 2.0 * (p23.c23 + 1) / (u2.cu2 + vocab.v)
+                   + 1.0 * (u3.cu3 + 1) / (vocab.n + vocab.v)) / 10.0) AS nll
+       FROM c3
+       JOIN cc2 ON cc2.w1 = c3.w1 AND cc2.w2 = c3.w2
+       JOIN p23 ON p23.w2 = c3.w2 AND p23.w3 = c3.w3
+       JOIN u2 ON u2.w2 = c3.w2
+       JOIN u3 ON u3.w3 = c3.w3, vocab)
+SELECT inst.doc_id,
+       CAST(sum(inst.m) AS BIGINT) AS n_trigrams,
+       round(sum(inst.m * lp.nll) / sum(inst.m), 6) AS avg_nll
+FROM inst JOIN lp ON lp.w1 = inst.w1 AND lp.w2 = inst.w2 AND lp.w3 = inst.w3
+GROUP BY inst.doc_id
+""",
+)
+def q_doc_trigram_interp_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM language-model perplexity (KenLM-style quality
+    signal, one order above doc_bigram_lm_nll): p = (7·p₃ + 2·p₂ + p₁)/10
+    with add-one smoothing at each order, trained on the corpus itself.
+    Same determinism contract as the bigram query: exact integer counts,
+    one libm ln per DISTINCT trigram on identical integer inputs, per-doc
+    sum-order drift absorbed by the 6-decimal rounding. Every join is an
+    equi-join on n-gram keys (counts-table sized, not corpus-sized); the
+    instance⋈logp join carries one double per distinct (doc, trigram)."""
+    toks = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> struct(element_at(split(text, ' '), i) AS w1,"
+        "             element_at(split(text, ' '), i + 1) AS w2,"
+        "             element_at(split(text, ' '), i + 2) AS w3))"
+    )
+    inst = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(tri).alias("g"))
+        .groupBy("doc_id", "g.w1", "g.w2", "g.w3")
+        .agg(F.count("*").cast("long").alias("m"))
+        .localCheckpoint(eager=True)  # feeds c3/cc2/p23/u2/u3 + final join
+    )
+    c3 = inst.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
+    cc2 = inst.groupBy("w1", "w2").agg(F.sum("m").alias("cc2"))
+    p23 = inst.groupBy("w2", "w3").agg(F.sum("m").alias("c23"))
+    u2 = inst.groupBy("w2").agg(F.sum("m").alias("cu2"))
+    u3 = inst.groupBy("w3").agg(F.sum("m").alias("cu3"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v"), F.count("*").alias("n")
+    )
+    lp = (
+        c3.join(cc2, ["w1", "w2"])
+        .join(p23, ["w2", "w3"])
+        .join(u2, "w2")
+        .join(u3, "w3")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            (
+                -F.log(
+                    (
+                        F.lit(7.0) * (F.col("c3") + 1) / (F.col("cc2") + F.col("v"))
+                        + F.lit(2.0) * (F.col("c23") + 1) / (F.col("cu2") + F.col("v"))
+                        + F.lit(1.0) * (F.col("cu3") + 1) / (F.col("n") + F.col("v"))
+                    )
+                    / F.lit(10.0)
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        inst.join(lp, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_trigrams"),
+            F.round(F.sum(F.col("m") * F.col("nll")) / F.sum("m"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
