@@ -59,3 +59,45 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert w[1] == w[4]          # identical text ⇒ identical weight
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sliding_distinct_users_gap_and_rejoin(spark):
+    """Hand-built case with a gap and a re-appearing user: day windows
+    count each user once per window, empty windows emit 0."""
+    from videos_to_tfrecords_spark.plans.registry import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F2
+    import datetime
+
+    rows = []
+    # user 1 active day 0 and day 9 (re-appears); user 2 active day 0 only
+    for uid, day in [(1, 0), (1, 9), (2, 0)]:
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        rows.append((uid, ts))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    # reimplement the engine path on the tiny frame via the same module fn
+    import videos_to_tfrecords_spark.plans.learning_queries as lq
+
+    # monkey-free: exercise the algorithm through a temp parquet dir
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    # reuse other tables from nothing — the query only reads events
+    out = {r.win_start_day: r.n_users
+           for r in lq.q_sliding_distinct_users(spark, d).collect()}
+    base = min(out)
+    rel = {k - base: v for k, v in out.items()}
+    # windows [s, s+7): day0 visible for s in 0..0 (clipped at dmin)...
+    # full spine 0..9; users in window: s<=0<s+7 or s<=9<s+7
+    want = {s: 0 for s in range(10)}
+    for s in range(10):
+        n = 0
+        if s <= 0 < s + 7:
+            n += 2  # users 1 and 2 active day 0
+        elif s <= 9 < s + 7:
+            n = n
+        # user 1 also counts for windows covering day 9 but not day 0
+        u1 = (s <= 0 < s + 7) or (s <= 9 < s + 7)
+        u2 = s <= 0 < s + 7
+        want[s] = int(u1) + int(u2)
+    assert rel == want

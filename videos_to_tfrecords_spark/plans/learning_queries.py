@@ -694,3 +694,71 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("hv") % 1_000_000_000_000).cast("long").alias("content_sum"),
         F.expr("bit_xor(hv)").cast("long").alias("content_xor"),
     )
+
+
+@query(
+    "sliding_distinct_users",
+    """
+WITH ud AS (SELECT DISTINCT user_id,
+                   (epoch_ns(ts) // 1000) // 86400000000 AS d
+            FROM events),
+mm AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+spine AS (SELECT unnest(range((SELECT dmin FROM mm), (SELECT dmax FROM mm) + 1))
+            AS s)
+SELECT CAST(s AS BIGINT) AS win_start_day,
+       CAST((SELECT count(DISTINCT user_id) FROM ud
+             WHERE ud.d >= spine.s AND ud.d < spine.s + 7) AS BIGINT)
+         AS n_users
+FROM spine
+""",
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct count (7-day windows, 1-day stride) —
+    the rolling-MAU metric COUNT(DISTINCT) windows can't do directly at
+    scale. Engine algorithm: each (user, active-day) with previous active
+    day p contributes exactly to window starts s ∈ [max(day−6, p+1, dmin),
+    day] (first in-window occurrence ⇔ p < s), a ≤7-row fan-out — so the
+    distinct count per window is a plain COUNT, no per-window set union,
+    shuffle ∝ user-days·7. The oracle brute-forces COUNT(DISTINCT) per
+    spine day — two entirely different algorithms agreeing is the check."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    mm = ud.agg(F.min("d").alias("dmin"))
+    marked = (
+        ud.withColumn("p", F.lag("d").over(w))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "user_id",
+            "d",
+            F.greatest(
+                F.col("d") - 6,
+                F.coalesce(F.col("p") + 1, F.col("dmin")),
+                F.col("dmin"),
+            ).alias("s_lo"),
+        )
+    )
+    contrib = marked.select(
+        F.explode(F.sequence(F.col("s_lo"), F.col("d"))).alias("win_start_day")
+    )
+    counts = contrib.groupBy("win_start_day").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    # zero-fill the day spine so windows with no active users still emit
+    # (sparse corpora; the oracle's spine always does)
+    spine = (
+        ud.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .select(
+            F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias(
+                "win_start_day"
+            )
+        )
+    )
+    return spine.join(counts, "win_start_day", "left").select(
+        "win_start_day",
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+    )
