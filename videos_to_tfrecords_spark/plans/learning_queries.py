@@ -762,3 +762,60 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_start_day",
         F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
     )
+
+
+@query(
+    "purchase_attribution_last_touch",
+    """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  (epoch_ns(ts) // 1000) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+lt AS (SELECT p.event_id,
+              (SELECT t.event_type FROM tch t
+               WHERE t.user_id = p.user_id
+                 AND (t.ts_us < p.ts_us
+                      OR (t.ts_us = p.ts_us AND t.event_id < p.event_id))
+               ORDER BY t.ts_us DESC, t.event_id DESC LIMIT 1) AS channel,
+              p.cents
+       FROM p)
+SELECT coalesce(channel, 'organic') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM lt GROUP BY 1
+""",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the user's
+    most recent preceding view/click (µs + event-id tie-break), purchases
+    with no prior touch are 'organic'. Engine: union + ONE per-user window
+    pass (the asof_join shape — no join operator at all); oracle states
+    the same thing as a correlated LIMIT 1 lookup. The classic marketing
+    rollup, exact in integer cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("event_type").isin("purchase", "view", "click"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    touch_type = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    lt = e.withColumn(
+        "channel", F.last(touch_type, ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        lt.select(F.coalesce("channel", F.lit("organic")).alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
