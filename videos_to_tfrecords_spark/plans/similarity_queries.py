@@ -549,3 +549,53 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return jl_project(emb, n_out=8)
+
+
+def _ann_recall_oracle(k: int = 3) -> str:
+    return f"""
+WITH {_AUTO_PLANES_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, CAST({_auto_bucket_sql()} AS BIGINT) AS bucket FROM e),
+ls AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
+       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+       WHERE a.vec_id % 25 = 0),
+lr AS (SELECT query_id, cand_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_scaled DESC, cand_id) AS rnk FROM ls) WHERE rnk <= {k}),
+bs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
+       FROM e a, e b WHERE a.vec_id % 25 = 0 AND b.vec_id != a.vec_id),
+br AS (SELECT query_id, cand_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_scaled DESC, cand_id) AS rnk FROM bs) WHERE rnk <= {k})
+SELECT CAST((SELECT count(DISTINCT query_id) FROM br) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM br JOIN lr USING (query_id, cand_id)) AS BIGINT)
+         AS n_hits,
+       CAST((SELECT count(*) FROM br) AS BIGINT) AS n_possible,
+       CAST((1000000 * (SELECT count(*) FROM br JOIN lr USING (query_id, cand_id)))
+            // (SELECT count(*) FROM br) AS BIGINT) AS recall_x1e6
+"""
+
+
+@query("ann_recall_at_k", _ann_recall_oracle())
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY as a first-class metric: recall@3 of the auto-plane
+    sign-LSH index against exact brute force on the query subset — the
+    eval an index rollout gates on, now itself hash-checked (both
+    rankings are deterministic integer-dot top-k, so the recall fraction
+    is exact). Engine runs the production blocked-grid LSH path and the
+    broadcast brute-force path and intersects."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    br = brute_force_topk(queries_df, emb, k=3).select("query_id", "cand_id")
+    lr = (
+        lsh_topk(emb, k=3, n_planes="auto")
+        .filter(F.col("query_id") % 25 == 0)
+        .select("query_id", "cand_id")
+    )
+    hits = br.join(lr, ["query_id", "cand_id"]).count()
+    possible = br.count()
+    nq = br.select("query_id").distinct().count()
+    return spark.createDataFrame(
+        [(nq, hits, possible, (1_000_000 * hits) // possible)],
+        "n_queries long, n_hits long, n_possible long, recall_x1e6 long",
+    )
