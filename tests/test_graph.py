@@ -216,3 +216,25 @@ def test_feature_propagation_hand_computed_path(spark):
         for r in feature_propagation(edges, feats, n_rounds=1).collect()
     }
     assert got == {1: 3, 2: 6, 3: 5}
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    """Star with one heavy edge: the heavy neighbor outranks the light one
+    (uniform PageRank would tie them)."""
+    from videos_to_tfrecords_spark.operators.graph import (
+        pagerank_integer,
+        weighted_pagerank_integer,
+    )
+
+    # hub 0 — heavy edge to 1 (w=9), light to 2 (w=1); symmetric back-edges
+    edges = spark.createDataFrame(
+        [(0, 1, 9), (1, 0, 9), (0, 2, 1), (2, 0, 1)],
+        "src long, dst long, w long",
+    )
+    wr = {r.node: r.rank for r in weighted_pagerank_integer(edges, n_iter=3).collect()}
+    assert wr[1] > wr[2]
+    ur = {
+        r.node: r.rank
+        for r in pagerank_integer(edges.select("src", "dst"), n_iter=3).collect()
+    }
+    assert ur[1] == ur[2]  # uniform variant ties them

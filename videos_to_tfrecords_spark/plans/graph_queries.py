@@ -477,3 +477,71 @@ def q_graph_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("k") <= _NEG_K)
         .select("src", "dst", "k")
     )
+
+
+def _weighted_pr_oracle() -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+edges AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+wdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY src),
+c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+             CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
+      FROM wdeg),
+r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM wdeg)"""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i-1}"
+        iters.append(
+            f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         (SELECT tel FROM c) + (85 * sum((r.rank * e.w) // dg.wd)) // 100 AS rank
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN wdeg dg ON e.src = dg.node
+  GROUP BY e.dst)"""
+        )
+    tail = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(rank AS BIGINT) AS rank
+FROM r{_PR_ITERS}"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_weighted_pagerank", _weighted_pr_oracle())
+def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED integer PageRank over the trade graph — edge weight =
+    distinct orders between the customer/supplier pair, so centrality
+    follows trade VOLUME, not mere adjacency. Same one-shuffle-per-
+    iteration shape and exact floor arithmetic as the uniform variant;
+    the unrolled-CTE oracle reproduces all 5 weighted iterations."""
+    from videos_to_tfrecords_spark.operators.graph import (
+        weighted_pagerank_integer,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("w"))
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = weighted_pagerank_integer(edges, n_iter=_PR_ITERS, total=_PR_TOTAL)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("key"),
+        F.col("rank").cast("long").alias("rank"),
+    )
