@@ -552,18 +552,22 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_oracle(k: int = 3) -> str:
+    hq = h15_sql("CAST(vec_id AS VARCHAR)", salt="annq")
     return f"""
 WITH {_AUTO_PLANES_CTE},
+kq AS (SELECT GREATEST(1, count(*) // 64) AS kq FROM embeddings),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bkt AS (SELECT vec_id, v, CAST({_auto_bucket_sql()} AS BIGINT) AS bucket FROM e),
+bq AS (SELECT vec_id FROM e WHERE {hq} % (SELECT kq FROM kq) = 0),
 ls AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-       WHERE a.vec_id % 25 = 0),
+       WHERE a.vec_id IN (SELECT vec_id FROM bq)),
 lr AS (SELECT query_id, cand_id FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY dot_scaled DESC, cand_id) AS rnk FROM ls) WHERE rnk <= {k}),
 bs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_DOT} AS dot_scaled
-       FROM e a, e b WHERE a.vec_id % 25 = 0 AND b.vec_id != a.vec_id),
+       FROM e a, e b WHERE a.vec_id IN (SELECT vec_id FROM bq)
+         AND b.vec_id != a.vec_id),
 br AS (SELECT query_id, cand_id FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY dot_scaled DESC, cand_id) AS rnk FROM bs) WHERE rnk <= {k})
@@ -584,12 +588,23 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings are deterministic integer-dot top-k, so the recall fraction
     is exact). Engine runs the production blocked-grid LSH path and the
     broadcast brute-force path and intersects."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    # BOUNDED eval sample (~64 queries regardless of corpus size): the sf1
+    # probe measured the corpus-proportional %25 sample quadratic
+    # (exponent 1.67) — recall evals run on a fixed-size probe set, the
+    # brute-force leg is then O(64·n), linear.
+    n = emb.count()
+    kq = max(1, int(n) // 64)
+    is_q = h15(F.col("vec_id").cast("string"), salt="annq") % kq == 0
+    queries_df = emb.filter(is_q)
     br = brute_force_topk(queries_df, emb, k=3).select("query_id", "cand_id")
     lr = (
         lsh_topk(emb, k=3, n_planes="auto")
-        .filter(F.col("query_id") % 25 == 0)
+        .join(
+            queries_df.select(F.col("vec_id").alias("query_id")), "query_id"
+        )
         .select("query_id", "cand_id")
     )
     hits = br.join(lr, ["query_id", "cand_id"]).count()
