@@ -819,3 +819,62 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "purchase_attribution_first_touch",
+    """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  (epoch_ns(ts) // 1000) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+ft AS (SELECT p.event_id,
+              (SELECT t.event_type FROM tch t
+               WHERE t.user_id = p.user_id
+                 AND (t.ts_us < p.ts_us
+                      OR (t.ts_us = p.ts_us AND t.event_id < p.event_id))
+               ORDER BY t.ts_us ASC, t.event_id ASC LIMIT 1) AS channel,
+              p.cents
+       FROM p)
+SELECT coalesce(channel, 'organic') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM ft GROUP BY 1
+""",
+)
+def q_purchase_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution twin of the last-touch rollup: each purchase
+    credits the user's EARLIEST preceding view/click (the acquisition-
+    channel view of the same funnel). Engine: the same single per-user
+    window pass, with ``first(…, ignorenulls)`` over the ordered frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("event_type").isin("purchase", "view", "click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    ft = e.withColumn(
+        "channel", F.first(touch_type, ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        ft.select(F.coalesce("channel", F.lit("organic")).alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
