@@ -143,16 +143,84 @@ _JUDGE_ONLY_R3 = (
     "order_cohort_retention",
 )
 
+# Names with a green (or rows-only-by-design) row in CORRECTNESS_r04.json.
+# embedding_quantize_int8 is deliberately EXCLUDED: its r04 row was the
+# driver-canonicalization error, so it stays in the front tier until the
+# reshaped (vec_id, dim, q) output gets a green driver row.
+_DRIVER_VERIFIED_R4 = (
+    "doc_bpe_token_estimate", "doc_oov_rate", "uniform_sample_exact_k",
+    "dedup_keep_best", "ann_topk_lsh_multiprobe", "media_decode_frames",
+    "inference_logits", "video_pipeline_e2e", "streaming_tumbling_counts",
+    "video_pipeline_crop_mode", "user_value_trend", "event_value_fill_forward",
+    "doc_negative_samples", "grouped_split_assignment", "geometric_mean_value",
+    "lang_id_confusion", "doc_duplicate_spans", "bpe_train_merges",
+    "bpe_token_counts", "doc_unigram_entropy", "nation_supplier_hhi",
+    "referential_integrity_audit", "customer_rfm_segments",
+    "order_cohort_retention", "asof_last_purchase", "user_sessions",
+    "salted_revenue_by_supplier", "quantity_percentiles", "shipment_gaps",
+    "above_nation_average", "string_functions", "date_functions",
+    "cube_quantity", "sql_frontend_q5", "array_functions", "regexp_functions",
+    "conditional_functions", "bag_set_ops", "session_window_native",
+    "salted_join_revenue", "merge_upsert_orders", "price_quartiles_ntile",
+    "vocab_token_ids", "outer_join_profile", "interval_range_join",
+    "event_funnel", "zorder_values", "hll_sketch_union_distinct",
+    "grouping_sets_revenue",
+)
+
+# The 63 round-4 additions whose only hash check is the judge's r4
+# out-of-band run (plus embedding_quantize_int8, red in r04 on the
+# canonicalization error and since reshaped to scalar rows). FRONT of the
+# r05 snapshot prefix so the driver union r01-r05 covers ≥206/219
+# (VERDICT r04, next-round items #1 and #3).
+_JUDGE_ONLY_R4 = (
+    "embedding_quantize_int8",
+    "acf_user_value", "ann_recall_at_k", "audio_energy_windows",
+    "bootstrap_mean_ci", "classifier_auc_by_group", "classifier_auc_eval",
+    "classifier_calibration_bins", "corpus_curation_e2e",
+    "curation_funnel_census", "data_quality_checks", "dataset_fingerprint",
+    "doc_pretokenize_census", "doc_token_fertility", "doc_trigram_interp_nll",
+    "dsir_importance_weights", "embedding_jl_projection",
+    "event_markov_transitions", "fuzzy_name_pairs",
+    "graph_feature_propagation", "graph_kcore_trade", "graph_link_prediction",
+    "graph_local_clustering", "graph_lpa_communities",
+    "graph_negative_edge_samples", "graph_weighted_pagerank",
+    "hard_negative_mining", "hll_portable_union_distinct",
+    "incremental_agg_maintenance", "join_key_skew_report",
+    "kmeans_cluster_profile", "length_bucket_batching",
+    "linreg_extprice_normal_eq", "mahalanobis_event_outliers",
+    "market_basket_rules", "media_phash_dup_pairs", "mixture_alpha_weights",
+    "mutual_information_fields", "nested_subset_curve",
+    "orc_source_roundtrip", "packed_concat_spans",
+    "purchase_attribution_first_touch", "purchase_attribution_last_touch",
+    "record_linkage_scores", "rolling_median_value",
+    "scd2_point_in_time_join", "scd2_priority_history",
+    "seasonal_dow_anomaly", "semantic_dedup_keep",
+    "shadow_inference_agreement", "sliding_distinct_users",
+    "snapshot_diff_orders", "source_quota_sample", "streaming_dedup_events",
+    "streaming_session_windows", "streaming_value_drift",
+    "table_profile_lineitem", "tfrecord_source_roundtrip", "token_pmi_pairs",
+    "unpivot_part_metrics", "value_drift_chisq", "value_drift_emd",
+    "vocab_coverage_curve", "vocab_zipf_slope",
+)
+
 
 def _rotated(mapping: dict) -> dict:
     """Three-tier ordering so the driver's fixed-size snapshot prefix always
-    covers the least-driver-verified queries first: (1) the 49 queries whose
-    only hash check is the judge's round-3 out-of-band run, (2) brand-new
-    round-4 additions (judge verifies these out-of-band; they rotate to the
-    front next round), (3) queries already in CORRECTNESS_r01/r02/r03."""
-    driver_done = set(_DRIVER_VERIFIED_R1_R2) | set(_DRIVER_VERIFIED_R3)
-    judge_only = set(_JUDGE_ONLY_R3)
-    order = [k for k in mapping if k in judge_only]
+    covers the least-driver-verified queries first: (1) the 64 queries whose
+    only hash check is the judge's round-4 out-of-band run (incl. the
+    reshaped embedding_quantize_int8), (2) brand-new round-5 additions
+    (judge verifies these out-of-band; they rotate to the front next
+    round), (3) queries already green in CORRECTNESS_r01..r04."""
+    driver_done = (
+        set(_DRIVER_VERIFIED_R1_R2)
+        | set(_DRIVER_VERIFIED_R3)
+        | set(_DRIVER_VERIFIED_R4)
+        | set(_JUDGE_ONLY_R3)
+    )
+    judge_only = set(_JUDGE_ONLY_R4)
+    # tier 1 in tuple order: the driver snapshot is a ~50-entry prefix and
+    # _JUDGE_ONLY_R4 leads with the must-verify reshaped query
+    order = [k for k in _JUDGE_ONLY_R4 if k in mapping]
     order += [k for k in mapping if k not in judge_only and k not in driver_done]
     order += [k for k in mapping if k in driver_done and k not in judge_only]
     return {k: mapping[k] for k in order}

@@ -62,9 +62,18 @@ def main() -> None:
     # disagree by >1.5× (a GC pause / noisy-neighbor spike hit one of
     # them), a third run breaks the tie — round-2 driver runs showed 3×
     # single-query outliers that a min-of-3 removes.
+    # optional solo-measurement filter (comma-separated query names) so a
+    # drift flagged in the full 219-query suite can be re-timed in
+    # isolation, free of suite contention — tools/bench_compare.py's
+    # adjudication loop. Unset (the driver's invocation) = full suite.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         runs: list[float] = []
         try:
             for _ in range(2):
@@ -94,6 +103,8 @@ def main() -> None:
     print(json.dumps(payload))
     # the driver snapshot keeps only the tail of stdout, which truncated
     # round 1's totals — persist the complete per-query JSON alongside it
+    if only is not None:
+        return  # solo re-measurement: don't clobber the full-suite snapshot
     round_no = os.environ.get("SPARK_GRAFT_ROUND", "")
     suffix = f"_r{round_no}" if round_no else ""
     full_path = os.path.join(

@@ -352,3 +352,38 @@ def test_vendored_golden_tfrecord():
     for p in payloads:
         write_record(buf, p)
     assert buf.getvalue() == open(path, "rb").read()
+
+
+def test_binary_context_column_passthrough(spark):
+    """A BinaryType (raw bytes, NOT str→utf8) context column declared BYTES
+    round-trips bit-exact through with_sequence_example — the
+    encode_feature bytes-passthrough branch (reference features.py:48-54)
+    driven from a real Spark column, as the registry E2E now does with
+    content_md5 = unhex(md5(filename))."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.schema import FeatureKind
+
+    df = (
+        spark.createDataFrame([("a.mp4",), ("b.avi",)], ["filename"])
+        .withColumn("content_md5", F.unhex(F.md5("filename")))
+        .withColumn("vals", F.array(F.lit(1.0)))
+    )
+    protos = with_sequence_example(
+        df,
+        context_cols=["filename", "content_md5"],
+        list_cols=["vals"],
+        context_kinds={
+            "filename": FeatureKind.BYTES,
+            "content_md5": FeatureKind.BYTES,
+        },
+        list_kinds={"vals": FeatureKind.FLOAT},
+    )
+    import hashlib
+
+    got = {}
+    for r in protos.collect():
+        ctx, _ = decode_sequence_example(bytes(r.proto))
+        got[ctx["filename"][0].decode()] = ctx["content_md5"][0]
+    for name in ("a.mp4", "b.avi"):
+        assert got[name] == hashlib.md5(name.encode()).digest()

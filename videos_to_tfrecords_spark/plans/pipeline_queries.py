@@ -22,7 +22,11 @@ from videos_to_tfrecords_spark.operators.sequence import format_features, to_ful
 from videos_to_tfrecords_spark.operators.split import hash_bucket_split
 from videos_to_tfrecords_spark.plans.reference_queries import _files_df
 from videos_to_tfrecords_spark.plans.registry import query
-from videos_to_tfrecords_spark.schema import CONTEXT_COLUMNS, LIST_COLUMNS
+from videos_to_tfrecords_spark.schema import (
+    CONTEXT_COLUMNS,
+    LIST_COLUMNS,
+    FeatureKind,
+)
 from videos_to_tfrecords_spark.sources.tables import load_table
 from videos_to_tfrecords_spark.sources.tfrecord import with_sequence_example
 from videos_to_tfrecords_spark.streaming.pipeline import streaming_tumbling_counts
@@ -174,13 +178,21 @@ def run_pipeline_e2e(
         context_cols=["label", "dataset", "frame_per_sec", "frame_total"],
         list_cols=["logits", "timestamp_ms"],
     )
+    # a RAW-binary context column (BinaryType, not str→utf8): exercises the
+    # encode_feature bytes-passthrough branch of the BYTES-declared leg
+    # (reference features.py:30-36, 48-54) through the registry path —
+    # real pipelines carry content digests / thumbnail bytes in context
+    seqs = seqs.withColumn("content_md5", F.unhex(F.md5("filename")))
     protos = with_sequence_example(
         seqs,
-        context_cols=["filename", "label", "dataset", "frame_per_sec", "frame_total"],
+        context_cols=[
+            "filename", "label", "dataset", "frame_per_sec", "frame_total",
+            "content_md5",
+        ],
         list_cols=["logits", "timestamp_ms"],
         # serialize by DECLARED dtype (reference features.py:25-36), not
         # runtime inference — an int-valued FLOAT column stays FloatList
-        context_kinds=CONTEXT_COLUMNS,
+        context_kinds={**CONTEXT_COLUMNS, "content_md5": FeatureKind.BYTES},
         list_kinds=LIST_COLUMNS,
     )
     return (

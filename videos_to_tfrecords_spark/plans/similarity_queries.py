@@ -332,9 +332,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
 SELECT vec_id,
-       CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-            ELSE list_transform(v, x -> CAST(round(127.0 * x / maxabs) AS BIGINT))
-       END AS q
+       CAST(unnest(range(len(v))) AS BIGINT) AS dim,
+       unnest(CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(round(127.0 * x / maxabs) AS BIGINT))
+              END) AS q
 FROM m
 """,
 )
@@ -342,8 +343,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector max-abs int8 quantization — the storage-diet step before
     shipping embeddings to an ANN index (4× smaller than f32). Exact
     cross-engine: one IEEE division + half-away-from-zero round per
-    element on identical doubles; zero vectors quantize to zeros. Purely
-    narrow (no shuffle) — at 100 TB it's a scan-shaped rewrite."""
+    element on identical doubles; zero vectors quantize to zeros. Output
+    is exploded to ``(vec_id, dim, q)`` rows: scalar-only columns so any
+    row canonicalizer (pandas sort included) can order it — the r4 driver
+    threw ``unhashable type: 'list'`` sorting the array-typed draft.
+    Purely narrow (no shuffle) — at 100 TB it's a scan-shaped rewrite;
+    the explode is a flat-map, still shuffle-free."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -352,7 +357,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.transform(v, lambda x: F.round(F.lit(127.0) * x / maxabs).cast("long"))
     )
-    return emb.select("vec_id", q.alias("q"))
+    return (
+        emb.select("vec_id", F.posexplode(q).alias("dim", "q"))
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "q")
+    )
 
 
 @query(
@@ -535,7 +543,10 @@ def _jl_oracle(n_out: int = 8) -> str:
     arr = "[" + ", ".join(terms) + "]"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, {arr} AS proj FROM e
+SELECT vec_id,
+       CAST(unnest(range({n_out})) AS BIGINT) AS dim,
+       unnest({arr}) AS p
+FROM e
 """
 
 
@@ -544,11 +555,19 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss Rademacher projection 64→8 dims — the
     dimensionality-diet rewrite before a cheaper ANN pass. Narrow
     scan-shaped plan (one Arrow matmul, no shuffle); exact int64 values
-    hash-match the unrolled signed-sum SQL."""
+    hash-match the unrolled signed-sum SQL. Registry output is exploded
+    to ``(vec_id, dim, p)`` scalar rows so the driver's pandas-sort
+    canonicalizer never sees a list-typed cell (the r4
+    embedding_quantize_int8 lesson); the ``jl_project`` operator itself
+    keeps the array<long> API for downstream ANN use."""
     from videos_to_tfrecords_spark.operators.similarity import jl_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return jl_project(emb, n_out=8)
+    return (
+        jl_project(emb, n_out=8)
+        .select("vec_id", F.posexplode("proj").alias("dim", "p"))
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "p")
+    )
 
 
 def _ann_recall_oracle(k: int = 3) -> str:
