@@ -7,6 +7,13 @@ row count, schema (column names), and an order-insensitive value hash
 iterating so the driver's CORRECTNESS_r{N}.json holds no surprises.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Flags:
+  --cache      persist each table scan once per session (SPARK_GRAFT_CACHE_TABLES)
+  --changed    only run queries whose defining plans/ module appears in
+               `git diff HEAD --name-only`; any diff OUTSIDE plans/ (operators,
+               sources, functions, ...) falls back to the full suite because a
+               shared helper can affect any query
+  --tz=ZONE    non-UTC driver-session probe (see below)
 """
 
 from __future__ import annotations
@@ -67,9 +74,42 @@ def main() -> int:
     )
     sf_dir = args[0] if args else SF_DIR_DEFAULT
     only = set(args[1:])
+    if "--cache" in sys.argv[1:]:
+        import os
+
+        os.environ["SPARK_GRAFT_CACHE_TABLES"] = "1"
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
+
+    if "--changed" in sys.argv[1:] and not only:
+        import subprocess
+
+        from videos_to_tfrecords_spark.plans.registry import MODULES
+
+        diff = subprocess.run(
+            ["git", "-C", "/root/repo", "diff", "HEAD", "--name-only"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+        touched = {f for f in diff if f.endswith(".py")}
+        non_plan = {f for f in touched if "/plans/" not in f}
+        if non_plan:
+            print(f"--changed: non-plans diff {sorted(non_plan)} -> full suite")
+        elif touched:
+            mods = {
+                f.removeprefix("videos_to_tfrecords_spark/plans/")
+                .removesuffix(".py")
+                for f in touched
+            }
+            only = {
+                n for n, m in MODULES.items() if m.rsplit(".", 1)[-1] in mods
+            }
+            print(f"--changed: {sorted(mods)} -> {len(only)} queries")
+        else:
+            print("--changed: no python diff -> nothing to run")
+            return 0
 
     if tz:
         from pyspark.sql import SparkSession

@@ -11,8 +11,10 @@ with an order-sensitive XOR — associative, so it map-side combines).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -310,6 +312,7 @@ def hashed_linear_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-style hashed linear classifier INFERENCE — the shape of
     every learned quality/toxicity filter an LLM corpus pipeline runs at
@@ -333,28 +336,61 @@ def hashed_linear_quality(
     Weights stay integer so the sum is order-independent and exact in any
     engine; the 60-bit portable hash (functions/hashing.h15) makes the
     bucket assignment oracle-checkable cross-engine.
-    """
-    from videos_to_tfrecords_spark.functions.textfn import shingles, tokens
 
-    feats = F.concat(tokens(text_col), shingles(F.col(text_col), 2))
-    staged = df.select(F.col(id_col), feats.alias("feats"))
-    weights = F.transform(
-        F.col("feats"),
-        lambda ft: (
-            F.pmod(h15(ft, salt="ftq"), F.lit(n_buckets)) * F.lit(2654435761)
-        )
-        % F.lit(2001)
-        - F.lit(1000),
-    )
-    staged2 = staged.select(
+    ``keep_cols`` carries label/slice columns (n_chars, lang, ...) through
+    the map — eval queries that need them alongside the score must NOT
+    join back to the source table (a corpus-sized self-join just to
+    re-attach a scanned column; the sf1 probe measured exponent 1.22 on
+    the calibration query built that way).
+
+    Implementation note: scoring runs as ONE Arrow-batched pandas UDF with
+    a per-batch weight memo keyed on the feature string. The previous
+    Catalyst-HOF form paid one md5 per feature INSTANCE (5.4M at sf1 ≈
+    30 s); natural-language token frequency is Zipfian, so distinct
+    features per batch are orders of magnitude fewer than instances
+    (1 250 vs 5.4M on the probe corpus) and the memo collapses the hash
+    cost to the distinct count. Worst case (all-unique features) it
+    degrades to exactly the old cost. Values are bit-identical: Python
+    ints are exact, and the md5-derived h15 weight matches the SQL twin.
+    """
+
+    @F.pandas_udf("struct<n_features: long, score_sum: long>")
+    def score_batch(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def weight(ft: str) -> int:
+            w = memo.get(ft)
+            if w is None:
+                h = int(hashlib.md5(("ftq:" + ft).encode()).hexdigest()[:15], 16)
+                w = ((h % n_buckets) * 2654435761) % 2001 - 1000
+                memo[ft] = w
+            return w
+
+        n_out, s_out = [], []
+        for text in texts:
+            if text is None:
+                n_out.append(0)
+                s_out.append(0)
+                continue
+            toks = text.split(" ")
+            feats = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            n_out.append(len(feats))
+            s_out.append(sum(weight(ft) for ft in feats))
+        return pd.DataFrame({"n_features": n_out, "score_sum": s_out})
+
+    staged2 = df.select(
+        F.col(id_col), *keep_cols, score_batch(F.col(text_col)).alias("sc")
+    ).select(
         id_col,
-        F.size("feats").cast("long").alias("n_features"),
-        F.aggregate(
-            weights, F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("score_sum"),
+        *keep_cols,
+        F.col("sc.n_features").alias("n_features"),
+        F.col("sc.score_sum").alias("score_sum"),
     )
     return staged2.select(
         id_col,
+        *keep_cols,
         "n_features",
         "score_sum",
         F.coalesce(
@@ -588,6 +624,25 @@ def dsir_log_weights(
         f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
         f"             element_at(split({text_col}, ' '), i + 1)))"
     )
+    # memoized bucket hash (the hashed_linear_quality lesson): one md5 per
+    # DISTINCT bigram per Arrow batch instead of per instance — Zipfian
+    # token frequency makes that orders of magnitude fewer
+    @F.pandas_udf("long")
+    def bkt_of(bgrs: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def bucket(s: str) -> int:
+            b = memo.get(s)
+            if b is None:
+                b = (
+                    int(hashlib.md5(("dsir:" + s).encode()).hexdigest()[:15], 16)
+                    % n_buckets
+                )
+                memo[s] = b
+            return b
+
+        return bgrs.map(bucket)
+
     ex = (
         df.filter(F.size(toks) >= 2)
         .select(
@@ -595,7 +650,7 @@ def dsir_log_weights(
             target.cast("boolean").alias("is_t"),
             F.explode(bgr).alias("bgr"),
         )
-        .withColumn("bkt", F.pmod(h15(F.col("bgr"), salt="dsir"), F.lit(n_buckets)))
+        .withColumn("bkt", bkt_of(F.col("bgr")))
     )
 
     def lnq(c: Column) -> Column:

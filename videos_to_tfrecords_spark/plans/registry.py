@@ -26,6 +26,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+#: defining module per query (e.g. "videos_to_tfrecords_spark.plans.
+#: text_queries") — lets tools/check_oracle.py --changed map a git diff to
+#: the queries it can affect
+MODULES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -33,6 +37,7 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        MODULES[name] = fn.__module__
         return fn
 
     return deco

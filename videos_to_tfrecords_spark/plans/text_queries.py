@@ -1072,9 +1072,10 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = hashed_linear_quality(docs).join(
-        docs.select("doc_id", "n_chars"), "doc_id"
-    ).select(
+    # n_chars rides THROUGH the map-only scorer (keep_cols) — no
+    # corpus-sized self-join to re-attach it (sf1 probe: the join form
+    # was the suite's one superlinear plan)
+    scored = hashed_linear_quality(docs, keep_cols=("n_chars",)).select(
         F.col("score_x1000").alias("score"),
         F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
@@ -1131,13 +1132,17 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
 
     docs = load_table(spark, sf_dir, "documents")
+    # keep_cols instead of a self-join (see classifier_auc_eval), and
+    # checkpoint the 2-int-per-doc scored table: it feeds BOTH the min/max
+    # aggregate and the binning pass — without it the feature-hash map
+    # executes twice
     scored = (
-        hashed_linear_quality(docs)
-        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        hashed_linear_quality(docs, keep_cols=("n_chars",))
         .select(
             F.col("score_x1000").alias("score"),
             F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
         )
+        .localCheckpoint(eager=True)
     )
     mm = scored.agg(
         F.min("score").cast("long").alias("mn"),
@@ -1198,14 +1203,10 @@ def q_classifier_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = (
-        hashed_linear_quality(docs)
-        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
-        .select(
-            "lang",
-            F.col("score_x1000").alias("score"),
-            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        )
+    scored = hashed_linear_quality(docs, keep_cols=("lang", "n_chars")).select(
+        "lang",
+        F.col("score_x1000").alias("score"),
+        F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
     g = scored.groupBy("lang", "score").agg(
         F.count("*").cast("long").alias("cnt"),
