@@ -91,6 +91,14 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
             raw_runs[name] = [round(r, 3) for r in runs]
+        # release this query's localCheckpoint/persist blocks before the
+        # next one: the Py4J finalizer -> ContextCleaner chain only fires
+        # on GC, and checkpointed blocks are lineage-truncated (NOT
+        # re-computable if evicted) — 219 queries' worth accumulating in
+        # one session is what broke the first sf1 suite run
+        import gc
+
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

@@ -37,11 +37,14 @@ SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def timed(fn, spark, sf_dir, n=2):
+    import gc
+
     runs = []
     for _ in range(n):
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.time() - t0)
+        gc.collect()  # release checkpoint blocks between runs (bench.py note)
     return min(runs)
 
 

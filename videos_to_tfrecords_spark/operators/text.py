@@ -277,8 +277,14 @@ def bigram_lm_scores(
         .select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    lc = bg.groupBy(F.col("w1").alias("lw1")).agg(F.count("*").alias("cu"))
+    # ONE explode pass: the (doc, bigram) combine is checkpointed and the
+    # count cascade rolls up from it (di ≥ bc ≥ lc, identical totals by
+    # associativity) — previously bc/lc/di each re-ran the explode subtree
+    di = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")).localCheckpoint(
+        eager=True
+    )
+    bc = di.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    lc = bc.groupBy(F.col("w1").alias("lw1")).agg(F.sum("cb").alias("cu"))
     vocab = (
         df.select(F.explode(toks).alias("tok"))
         .agg(F.countDistinct("tok").alias("vsz"))
@@ -294,7 +300,6 @@ def bigram_lm_scores(
             ),
         )
     )
-    di = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
     return (
         di.join(logp, ["w1", "w2"])
         .groupBy(id_col)

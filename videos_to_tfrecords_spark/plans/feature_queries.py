@@ -1322,12 +1322,17 @@ st AS (
          CAST(sum(CASE WHEN (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) IS NOT NULL THEN y * y END) AS BIGINT) AS sxx,
          CAST(sum((CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) * (CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END)) AS BIGINT) AS syy
   FROM s CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) k
-  GROUP BY k.lag)
+  GROUP BY k.lag),
+w128 AS (
+  SELECT lag, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+  FROM st)
 SELECT CAST(lag AS BIGINT) AS lag, n,
-       CAST(floor(1000000.0 * (n * sxy - sx * sy) /
-            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
-         AS BIGINT) AS acf_x1e6
-FROM st WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       CAST(floor(1000000.0 * CAST(num AS DOUBLE) /
+            sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT) AS acf_x1e6
+FROM w128 WHERE dx > 0 AND dy > 0
 """,
 )
 def q_acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,16 +1371,23 @@ def q_acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("yl").isNotNull(), F.col("y") * F.col("y"))).alias("sxx"),
         F.sum(F.col("yl") * F.col("yl")).alias("syy"),
     )
-    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # the closing Pearson products square corpus-sized sums — sx² passed
+    # int64 range at sf1 (ANSI overflow, the first full-suite sf1 run's
+    # only arithmetic casualty). DECIMAL(38,0) keeps them EXACT to 1e38
+    # (room for ~1e12 rows of cent-scale values); DuckDB mirrors with
+    # HUGEINT. Both cast the exact integer to double at the same point,
+    # so the quotient stays bit-identical cross-engine.
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dx = d38(F.col("n")) * d38(F.col("sxx")) - d38(F.col("sx")) * d38(F.col("sx"))
+    dy = d38(F.col("n")) * d38(F.col("syy")) - d38(F.col("sy")) * d38(F.col("sy"))
+    num = d38(F.col("n")) * d38(F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))
     return (
         st.filter((dx > 0) & (dy > 0))
         .select(
             F.col("lag").cast("long").alias("lag"),
             F.col("n").cast("long").alias("n"),
             F.floor(
-                F.lit(1000000.0) * num
+                F.lit(1000000.0) * num.cast("double")
                 / F.sqrt(dx.cast("double") * dy.cast("double"))
             ).cast("long").alias("acf_x1e6"),
         )

@@ -1341,11 +1341,20 @@ def q_doc_trigram_interp_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("m"))
         .localCheckpoint(eager=True)  # feeds c3/cc2/p23/u2/u3 + final join
     )
-    c3 = inst.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
-    cc2 = inst.groupBy("w1", "w2").agg(F.sum("m").alias("cc2"))
-    p23 = inst.groupBy("w2", "w3").agg(F.sum("m").alias("c23"))
-    u2 = inst.groupBy("w2").agg(F.sum("m").alias("cu2"))
-    u3 = inst.groupBy("w3").agg(F.sum("m").alias("cu3"))
+    # roll lower orders up from the DISTINCT-trigram table, not from the
+    # (doc, trigram) instance table: c3 is the smallest superset with the
+    # same marginal sums, so each cascade step re-aggregates a strictly
+    # smaller input (inst ≥ c3 ≥ cc2 ≥ u2); identical totals by
+    # associativity of sum
+    c3 = (
+        inst.groupBy("w1", "w2", "w3")
+        .agg(F.sum("m").alias("c3"))
+        .localCheckpoint(eager=True)  # feeds cc2/p23 + the lp join
+    )
+    cc2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("cc2"))
+    p23 = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("c23"))
+    u2 = cc2.groupBy("w2").agg(F.sum("cc2").alias("cu2"))
+    u3 = p23.groupBy("w3").agg(F.sum("c23").alias("cu3"))
     vocab = docs.select(F.explode(toks).alias("tok")).agg(
         F.countDistinct("tok").alias("v"), F.count("*").alias("n")
     )

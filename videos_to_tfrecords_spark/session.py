@@ -53,7 +53,11 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — size its heap for 32
+        # concurrent tasks (the box has 128 GiB; 8g let accumulated
+        # localCheckpoint blocks + a big sort evict each other at sf1,
+        # killing every query after the pressure point in one session)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Parquet scans: pushdown + pruning are on by default; keep splits
         # bounded so a 100 TB table yields sane task counts.
