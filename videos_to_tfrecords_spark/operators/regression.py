@@ -60,12 +60,19 @@ def linreg_normal_eq(
     feats = [F.lit(1).cast("long")] + [x.cast("long") for x in xs]
     d = len(feats)
     yl = y.cast("long")
+    # per-row products fit int64 (cent-scale² ≈ 1e14); the SUMS do not at
+    # corpus scale (1e14 × 1e12 rows) — accumulate in DECIMAL(38,0),
+    # exact to 1e38, matching the oracle's HUGEINT sums. The driver-side
+    # Fraction solve is arbitrary-precision either way.
+    d38 = "decimal(38,0)"
     aggs = []
     for i in range(d):
         for j in range(i, d):
-            aggs.append(F.sum(feats[i] * feats[j]).alias(f"s_{i}_{j}"))
-        aggs.append(F.sum(feats[i] * yl).alias(f"b_{i}"))
-    row = df.agg(*aggs).collect()[0]  # one row of int64 sums — metadata
+            aggs.append(
+                F.sum((feats[i] * feats[j]).cast(d38)).alias(f"s_{i}_{j}")
+            )
+        aggs.append(F.sum((feats[i] * yl).cast(d38)).alias(f"b_{i}"))
+    row = df.agg(*aggs).collect()[0]  # one row of exact sums — metadata
 
     a = [
         [int(row[f"s_{min(i, j)}_{max(i, j)}"]) for j in range(d)] for i in range(d)

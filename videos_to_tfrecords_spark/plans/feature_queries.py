@@ -1479,13 +1479,14 @@ daily AS (
          CAST(sum(cents) AS BIGINT) AS day_cents
   FROM d GROUP BY day),
 base AS (
-  SELECT dow, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(day_cents) AS BIGINT) AS s,
-         CAST(sum(day_cents * day_cents) AS BIGINT) AS ss
+  SELECT dow, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(day_cents) AS HUGEINT) AS s,
+         sum(CAST(day_cents AS HUGEINT) * day_cents) AS ss
   FROM daily GROUP BY dow)
 SELECT CAST(daily.day AS BIGINT) AS day, daily.dow, day_cents,
-       CAST(floor(1000.0 * (n * day_cents - s) /
-            sqrt(CAST(n AS DOUBLE) * (n * ss - s * s))) AS BIGINT) AS z_x1000
+       CAST(floor(1000.0 * CAST(n * day_cents - s AS DOUBLE) /
+            sqrt(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)))
+         AS BIGINT) AS z_x1000
 FROM daily JOIN base ON base.dow = daily.dow
 WHERE n * ss - s * s > 0
 """,
@@ -1507,13 +1508,18 @@ def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = d.groupBy("day").agg(F.sum("cents").alias("day_cents")).select(
         "day", F.expr("CAST((day + 4) % 7 AS BIGINT)").alias("dow"), "day_cents"
     ).localCheckpoint(eager=True)  # one row per calendar day; 2 consumers
+    # day_cents is a whole calendar day's spend — its square and the
+    # closing n·ss − s² products pass int64 well before 100 TB (the acf
+    # lesson): keep them exact in DECIMAL(38,0), oracle in HUGEINT, with
+    # the double cast at the identical point
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     base = daily.groupBy("dow").agg(
         F.count("*").alias("n"),
         F.sum("day_cents").alias("s"),
-        F.sum(F.col("day_cents") * F.col("day_cents")).alias("ss"),
+        F.sum(d38(F.col("day_cents")) * d38(F.col("day_cents"))).alias("ss"),
     )
-    num = F.col("n") * F.col("day_cents") - F.col("s")
-    var = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    num = d38(F.col("n")) * d38(F.col("day_cents")) - d38(F.col("s"))
+    var = d38(F.col("n")) * F.col("ss") - d38(F.col("s")) * d38(F.col("s"))
     return (
         daily.join(F.broadcast(base), "dow")
         .filter(var > 0)
@@ -1522,7 +1528,9 @@ def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "day_cents",
             F.floor(
-                F.lit(1000.0) * num / F.sqrt(F.col("n").cast("double") * var)
+                F.lit(1000.0)
+                * num.cast("double")
+                / F.sqrt(F.col("n").cast("double") * var.cast("double"))
             ).cast("long").alias("z_x1000"),
         )
     )

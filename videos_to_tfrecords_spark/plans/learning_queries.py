@@ -241,11 +241,11 @@ WITH e AS (SELECT event_id,
                   CAST(round(value) AS BIGINT) AS x,
                   ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS h
            FROM events),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(h) AS BIGINT) AS sh,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * h) AS BIGINT) AS sxh,
-             CAST(sum(h * h) AS BIGINT) AS shh
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(h) AS HUGEINT) AS sh,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * h) AS sxh,
+             sum(CAST(h AS HUGEINT) * h) AS shh
       FROM e),
 c AS (SELECT n, sx, sh,
              CAST(n * sxx - sx * sx AS DOUBLE) AS c11,
@@ -281,25 +281,30 @@ def q_mahalanobis_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value").cast("long").alias("x"),
         F.expr("(unix_micros(ts) div 3600000000) % 24").alias("h"),
     )
+    # corpus-level sums and their closing co-moment products in
+    # DECIMAL(38,0) — n·sxx was within 4x of int64 max at sf1 (the acf
+    # overflow class); oracle mirrors with HUGEINT, double cast at the
+    # identical point
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     s = e.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("h").cast("long").alias("sh"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("h")).cast("long").alias("sxh"),
-        F.sum(F.col("h") * F.col("h")).cast("long").alias("shh"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("h"))).alias("sxh"),
+        F.sum(d38(F.col("h")) * d38(F.col("h"))).alias("shh"),
     )
     c = s.select(
         "n",
         "sx",
         "sh",
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        (d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * d38(F.col("sx")))
         .cast("double")
         .alias("c11"),
-        (F.col("n") * F.col("sxh") - F.col("sx") * F.col("sh"))
+        (d38(F.col("n")) * F.col("sxh") - d38(F.col("sx")) * d38(F.col("sh")))
         .cast("double")
         .alias("c12"),
-        (F.col("n") * F.col("shh") - F.col("sh") * F.col("sh"))
+        (d38(F.col("n")) * F.col("shh") - d38(F.col("sh")) * d38(F.col("sh")))
         .cast("double")
         .alias("c22"),
     )
