@@ -679,12 +679,18 @@ def ivf_topk(
     )
 
 
+#: bounded evaluation/mining probe-set size for the brute-force kernels —
+#: query_mod="auto" derives mod = max(1, n // target) so work stays
+#: O(target · corpus), linear, at any scale
+_EVAL_QUERY_TARGET = 400
+
+
 def knn_loo_accuracy(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    query_mod: int | None = None,
+    query_mod: int | str | None = None,
 ) -> DataFrame:
     """Leave-one-out 1-NN label agreement per class — the embedding-quality
     probe an LLM pipeline runs on a new encoder before trusting its
@@ -700,7 +706,15 @@ def knn_loo_accuracy(
     the candidate side is always the full corpus.
 
     Output: (label, n, n_correct, acc_x1000) — integers only.
+
+    ``query_mod="auto"`` derives the modulus from the corpus count so the
+    evaluation set stays ~:data:`_EVAL_QUERY_TARGET` queries at ANY scale
+    — a FIXED modulus makes |queries| ∝ corpus and the pair volume
+    quadratic (the ann_recall_at_k lesson; the sf1 suite measured 78×
+    at 10× rows on the fixed-mod form).
     """
+    if query_mod == "auto":
+        query_mod = max(1, int(df.count()) // _EVAL_QUERY_TARGET)
     q = df if query_mod is None else df.filter(F.col(id_col) % query_mod == 0)
     nn = brute_force_topk(q, df, id_col=id_col, vec_col=vec_col, k=1)
     labels = df.select(F.col(id_col), F.col(label_col))
@@ -744,7 +758,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    query_mod: int | None = 10,
+    query_mod: int | str | None = 10,
     k: int = 3,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each sampled
@@ -763,7 +777,16 @@ def hard_negatives(
 
     Output: (query_id, query_label, cand_id, neg_label, dot_scaled, rnk)
     — integers only (vectors are ×1e6 int-quantized inside the dot).
+
+    ``query_mod="auto"`` bounds the mined-query set at
+    ~:data:`_EVAL_QUERY_TARGET` via a corpus-derived modulus (the
+    knn_loo_accuracy note — fixed mod ⇒ quadratic pair volume).
+    Production mining over EVERY query replaces this brute-force kernel
+    with the banded LSH candidate generator (cosine_threshold_pairs_banded
+    / lsh_topk) and keeps per-query work index-bounded.
     """
+    if query_mod == "auto":
+        query_mod = max(1, int(df.count()) // _EVAL_QUERY_TARGET)
     q = df if query_mod is None else df.filter(F.col(id_col) % query_mod == 0)
     q = q.select(
         F.col(id_col).alias("query_id"),

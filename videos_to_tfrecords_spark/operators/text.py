@@ -267,15 +267,22 @@ def bigram_lm_scores(
     half-up == DuckDB half-away-from-zero.
     """
     toks = F.split(F.col(text_col), " ")
-    pairs = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f" i -> struct(element_at(split({text_col}, ' '), i) AS w1,"
-        f"             element_at(split({text_col}, ' '), i + 1) AS w2))"
-    )
+    # positions-first explode + element_at projections (the
+    # exploded_shingles shape): a `transform` HOF lambda re-evaluates
+    # split() per element INTERPRETED — O(tokens²) string work per doc
     bg = (
         df.filter(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+        )
+        .select(
+            id_col,
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+        )
     )
     # ONE explode pass: the (doc, bigram) combine is checkpointed and the
     # count cascade rolls up from it (di ≥ bc ≥ lc, identical totals by
@@ -624,11 +631,6 @@ def dsir_log_weights(
     shuffle is the (doc,bucket) combine. Docs with <2 tokens have no
     features and are dropped (same rule as bigram_lm_scores)."""
     toks = F.split(F.col(text_col), " ")
-    bgr = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-        f"             element_at(split({text_col}, ' '), i + 1)))"
-    )
     # memoized bucket hash (the hashed_linear_quality lesson): one md5 per
     # DISTINCT bigram per Arrow batch instead of per instance — Zipfian
     # token frequency makes that orders of magnitude fewer
@@ -648,12 +650,30 @@ def dsir_log_weights(
 
         return bgrs.map(bucket)
 
+    # positions-first explode (the exploded_shingles/bigram_lm shape):
+    # codegen projections instead of an interpreted transform-HOF that
+    # re-split the text per element
     ex = (
         df.filter(F.size(toks) >= 2)
         .select(
             F.col(id_col),
             target.cast("boolean").alias("is_t"),
-            F.explode(bgr).alias("bgr"),
+            toks.alias("_toks"),
+        )
+        .select(
+            id_col,
+            "is_t",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+        )
+        .select(
+            id_col,
+            "is_t",
+            F.concat_ws(
+                " ",
+                F.element_at("_toks", F.col("_i")),
+                F.element_at("_toks", F.col("_i") + 1),
+            ).alias("bgr"),
         )
         .withColumn("bkt", bkt_of(F.col("bgr")))
     )

@@ -45,10 +45,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_loo_accuracy",
     f"""
-WITH e AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+WITH kq AS (SELECT GREATEST(1, count(*) // 400) AS m FROM embeddings),
+e AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
 s AS (SELECT a.vec_id AS qid, a.label AS true_label, b.label AS pred_label,
              b.vec_id AS cid, {_DOT} AS dot
-      FROM e a, e b WHERE a.vec_id % 10 = 0 AND b.vec_id != a.vec_id),
+      FROM e a, e b WHERE a.vec_id % (SELECT m FROM kq) = 0
+        AND b.vec_id != a.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
       FROM s)
 SELECT true_label AS label,
@@ -62,11 +64,12 @@ FROM r WHERE rnk = 1 GROUP BY 1
 )
 def q_knn_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 1-NN label agreement per class — embedding-space
-    quality probe; exact neighbors via the broadcast brute-force kernel,
-    query side hash-sampled 1-in-10 so the pair volume stays linear in the
-    corpus."""
+    quality probe; exact neighbors via the broadcast brute-force kernel.
+    Query side bounded at ~400 via a corpus-derived modulus — the fixed
+    1-in-10 sample made |queries| ∝ corpus and the sf1 suite measured 78×
+    at 10× rows (the ann_recall_at_k probe-set lesson, eval edition)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_loo_accuracy(emb, query_mod=10)
+    return knn_loo_accuracy(emb, query_mod="auto")
 
 
 @query(
@@ -1036,15 +1039,13 @@ revd AS (SELECT nationkey, rev_cents, rev_cents // 10000 AS rev_d FROM rev),
 agg AS (SELECT nationkey,
                CAST(count(*) AS BIGINT) AS n_suppliers,
                CAST(sum(rev_cents) AS BIGINT) AS total_cents,
-               CAST(sum(rev_d) AS BIGINT) AS total_d,
-               CAST(sum(rev_d * rev_d) AS BIGINT) AS sumsq
+               CAST(sum(rev_d) AS HUGEINT) AS total_d,
+               sum(CAST(rev_d AS HUGEINT) * rev_d) AS sumsq
         FROM revd GROUP BY 1)
 SELECT n.n_name,
        n_suppliers,
        total_cents,
-       CAST(1000 * ((1000 * sumsq) // (total_d * total_d))
-            + (1000 * ((1000 * sumsq) % (total_d * total_d)))
-              // (total_d * total_d) AS BIGINT) AS hhi_x1e6
+       CAST((1000000 * sumsq) // (total_d * total_d) AS BIGINT) AS hhi_x1e6
 FROM agg JOIN nation n ON n.n_nationkey = agg.nationkey
 """,
 )
@@ -1076,11 +1077,17 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rev_d", F.expr("rev_cents div 10000"))
     )
+    # DECIMAL(38,0) for sumsq and the closing ratio: total_d² passed int64
+    # at sf1 (the acf overflow class). Spark's `div` on decimals is exact
+    # integral division returning LONG, so the old 1000-split remainder
+    # dance collapses to one step; DuckDB mirrors in HUGEINT.
     agg = rev.groupBy("nationkey").agg(
         F.count("*").alias("n_suppliers"),
         F.sum("rev_cents").alias("total_cents"),
-        F.sum("rev_d").alias("total_d"),
-        F.sum(F.col("rev_d") * F.col("rev_d")).alias("sumsq"),
+        F.sum("rev_d").cast("decimal(38,0)").alias("total_d"),
+        F.sum(
+            F.col("rev_d").cast("decimal(38,0)") * F.col("rev_d").cast("decimal(38,0)")
+        ).alias("sumsq"),
     )
     return agg.join(
         F.broadcast(nat), nat.n_nationkey == agg.nationkey
@@ -1089,9 +1096,7 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         "total_cents",
         F.expr(
-            "1000 * ((1000 * sumsq) div (total_d * total_d))"
-            " + (1000 * pmod(1000 * sumsq, total_d * total_d))"
-            "   div (total_d * total_d)"
+            "(CAST(1000000 AS DECIMAL(38,0)) * sumsq) div (total_d * total_d)"
         ).alias("hhi_x1e6"),
     )
 

@@ -352,12 +352,13 @@ _DOT = (
 @query(
     "hard_negative_mining",
     f"""
-WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {_IV} AS v
+WITH kq AS (SELECT GREATEST(1, count(*) // 400) AS m FROM embeddings),
+e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {_IV} AS v
            FROM embeddings),
 s AS (SELECT a.vec_id AS query_id, a.label AS query_label,
              b.vec_id AS cand_id, b.label AS neg_label, {_DOT} AS dot_scaled
       FROM e a, e b
-      WHERE a.vec_id % 10 = 0 AND a.label != b.label),
+      WHERE a.vec_id % (SELECT m FROM kq) = 0 AND a.label != b.label),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY dot_scaled DESC, cand_id) AS rnk
       FROM s)
@@ -370,11 +371,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negatives): top-3
     nearest OTHER-label vectors per sampled query — the contrastive-
     training pair miner. Exact broadcast kernel, label filter before the
-    rank, 1-in-10 query sample bounds the Arrow volume."""
+    rank; the mined-query set is bounded at ~400 via a corpus-derived
+    modulus (fixed 1-in-10 measured 60× at 10× rows in the sf1 suite —
+    the probe-set lesson)."""
     from videos_to_tfrecords_spark.operators.similarity import hard_negatives
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, query_mod=10, k=3)
+    return hard_negatives(emb, query_mod="auto", k=3)
 
 
 @query(

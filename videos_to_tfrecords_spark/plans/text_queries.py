@@ -1328,18 +1328,26 @@ def q_doc_trigram_interp_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance⋈logp join carries one double per distinct (doc, trigram)."""
     toks = F.split(F.col("text"), " ")
     docs = load_table(spark, sf_dir, "documents")
-    tri = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> struct(element_at(split(text, ' '), i) AS w1,"
-        "             element_at(split(text, ' '), i + 1) AS w2,"
-        "             element_at(split(text, ' '), i + 2) AS w3))"
-    )
+    # positions-first explode + element_at projections (exploded_shingles
+    # shape, codegen) — the transform-HOF form re-split the text per
+    # element interpreted, O(tokens²) per doc
     inst = (
         docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(tri).alias("g"))
-        .groupBy("doc_id", "g.w1", "g.w2", "g.w3")
+        .select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 2)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+            F.element_at("_toks", F.col("_i") + 2).alias("w3"),
+        )
+        .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count("*").cast("long").alias("m"))
-        .localCheckpoint(eager=True)  # feeds c3/cc2/p23/u2/u3 + final join
+        .localCheckpoint(eager=True)  # feeds c3 + final join
     )
     # roll lower orders up from the DISTINCT-trigram table, not from the
     # (doc, trigram) instance table: c3 is the smallest superset with the
