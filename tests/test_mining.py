@@ -128,14 +128,17 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
 
 
 def test_hard_negatives_query_matches_operator(spark, sf_dir):
-    """The registered query is exactly the operator at (mod 10, k=3)."""
+    """The registered query is exactly the operator at (auto mod, k=3) —
+    the corpus-derived probe-set bound (round-5 quadratic fix)."""
     a = sorted(
         tuple(r) for r in q_hard_negatives(spark, sf_dir).collect()
     )
     from videos_to_tfrecords_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    b = sorted(tuple(r) for r in hard_negatives(emb, query_mod=10, k=3).collect())
+    b = sorted(
+        tuple(r) for r in hard_negatives(emb, query_mod="auto", k=3).collect()
+    )
     assert a == b
 
 
