@@ -69,6 +69,26 @@ def _pair_dot():
     return pair_dot
 
 
+def _collect_query_matrix(
+    queries: DataFrame, cols: list[str], vec_col: str
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Materialize a BOUNDED query side as driver-side numpy: per-column
+    id/label arrays plus the int64-quantized vector matrix. The collect is
+    metadata-sized by contract — every caller bounds the query set (a fixed
+    probe sample or a corpus-derived-modulus sample), so this is the
+    classic broadcast-variable shape, not a data-sized collect."""
+    rows = queries.select(*cols, vec_col).collect()
+    meta = [
+        np.array([r[i] for r in rows], dtype=np.int64) for i in range(len(cols))
+    ]
+    vecs = (
+        _to_int_matrix(pd.Series([list(r[-1]) for r in rows]))
+        if rows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    return meta, vecs
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -76,16 +96,51 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self): broadcast the query
-    set against the corpus, vectorized exact dots, rank with id tie-break.
-    One shuffle total (the rank's partitionBy on query_id)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    """Exact top-k neighbors per query (excluding self), with id tie-break.
+
+    The bounded query side (every caller samples it to O(100) rows — fixed
+    probe sets or corpus-derived-modulus samples) is collected once into an
+    int64 matrix and closed over a ``mapInPandas`` scan of the corpus: each
+    Arrow batch computes one |q|×batch BLAS matmul and emits only its
+    per-query partial top-k under the total order (-dot, cand_id). Exact:
+    every globally-top-k candidate is within its own batch's top-k under
+    the same total order, so the final window rank over batches·|q|·k
+    partial rows reproduces the full rank. vs the previous
+    crossJoin+pandas-UDF form this ships |corpus| vectors through Arrow
+    once instead of |q|·|corpus| pair copies, and the only shuffle carries
+    batches·|q|·k rows instead of |q|·|corpus|. The corpus side never
+    shuffles."""
+    (qids,), qmat = _collect_query_matrix(queries, [id_col], vec_col)
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            ci = _to_int_matrix(pdf["cv"])
+            cids = pdf["cand_id"].to_numpy()
+            dots = qmat @ ci.T  # |q| × batch, exact int64
+            out_q, out_c, out_d = [], [], []
+            for r in range(len(qids)):
+                order = np.lexsort((cids, -dots[r]))
+                taken = 0
+                for idx in order:
+                    if cids[idx] == qids[r]:
+                        continue
+                    out_q.append(qids[r])
+                    out_c.append(cids[idx])
+                    out_d.append(dots[r, idx])
+                    taken += 1
+                    if taken >= k:
+                        break
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "dot_scaled": out_d}
+            ).astype(
+                {"query_id": "int64", "cand_id": "int64", "dot_scaled": "int64"}
+            )
+
+    scored = c.mapInPandas(
+        partial, "query_id long, cand_id long, dot_scaled long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
     return (
@@ -767,13 +822,15 @@ def hard_negatives(
     (easy negatives are already far away; hard ones sit near the
     decision boundary).
 
-    Composition over the exact broadcast kernel shape (brute_force_topk):
-    the sampled query side (id, label, vector) broadcasts against the
-    full corpus, the cross-label filter drops same-class candidates
-    BEFORE the rank (so k survivors are guaranteed hard), and the per-
-    query row_number is tie-broken on candidate id. ``query_mod`` bounds
-    the broadcast side exactly as in knn_loo_accuracy — the Arrow volume
-    is |queries|·|corpus|, linear in the corpus for a fixed sample.
+    Same exact kernel shape as :func:`brute_force_topk`: the sampled query
+    side (id, label, vector) is collected to a driver-side int64 matrix
+    and closed over a ``mapInPandas`` corpus scan — one BLAS matmul per
+    Arrow batch, cross-label mask applied BEFORE the per-batch partial
+    top-k (so k survivors per batch are guaranteed hard), final window
+    rank over batches·|q|·k partials, tie-broken on candidate id.
+    ``query_mod`` bounds the collected side exactly as in
+    knn_loo_accuracy — per-batch work is |queries|·batch, linear in the
+    corpus for a bounded sample, and the corpus vectors cross Arrow once.
 
     Output: (query_id, query_label, cand_id, neg_label, dot_scaled, rnk)
     — integers only (vectors are ×1e6 int-quantized inside the dot).
@@ -788,21 +845,62 @@ def hard_negatives(
     if query_mod == "auto":
         query_mod = max(1, int(df.count()) // _EVAL_QUERY_TARGET)
     q = df if query_mod is None else df.filter(F.col(id_col) % query_mod == 0)
-    q = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).cast("long").alias("query_label"),
-        F.col(vec_col).alias("qv"),
+    (qids, qlabels), qmat = _collect_query_matrix(
+        q.withColumn(label_col, F.col(label_col).cast("long")),
+        [id_col, label_col],
+        vec_col,
     )
     c = df.select(
         F.col(id_col).alias("cand_id"),
         F.col(label_col).cast("long").alias("neg_label"),
         F.col(vec_col).alias("cv"),
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_label") != F.col("neg_label"))
-        .withColumn("dot_scaled", _pair_dot()("qv", "cv"))
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            ci = _to_int_matrix(pdf["cv"])
+            cids = pdf["cand_id"].to_numpy()
+            clabels = pdf["neg_label"].to_numpy()
+            dots = qmat @ ci.T  # |q| × batch, exact int64
+            out = {n: [] for n in ("qid", "qlab", "cid", "clab", "dot")}
+            for r in range(len(qids)):
+                order = np.lexsort((cids, -dots[r]))
+                taken = 0
+                for idx in order:
+                    if clabels[idx] == qlabels[r]:
+                        continue
+                    out["qid"].append(qids[r])
+                    out["qlab"].append(qlabels[r])
+                    out["cid"].append(cids[idx])
+                    out["clab"].append(clabels[idx])
+                    out["dot"].append(dots[r, idx])
+                    taken += 1
+                    if taken >= k:
+                        break
+            yield pd.DataFrame(
+                {
+                    "query_id": out["qid"],
+                    "query_label": out["qlab"],
+                    "cand_id": out["cid"],
+                    "neg_label": out["clab"],
+                    "dot_scaled": out["dot"],
+                }
+            ).astype(
+                {
+                    "query_id": "int64",
+                    "query_label": "int64",
+                    "cand_id": "int64",
+                    "neg_label": "int64",
+                    "dot_scaled": "int64",
+                }
+            )
+
+    scored = c.mapInPandas(
+        partial,
+        "query_id long, query_label long, cand_id long, "
+        "neg_label long, dot_scaled long",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_scaled"), F.asc("cand_id"))
     return (
