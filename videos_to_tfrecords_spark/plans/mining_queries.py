@@ -945,6 +945,7 @@ def _fs_oracle() -> str:
     return f"""
 WITH p AS (SELECT p_partkey AS pk, p_brand AS brand, p_size AS sz, p_type AS ty,
                   CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS pb,
+                  CAST(round(p_retailprice * 10) AS BIGINT) AS pd,
                   string_split(p_name, ' ')[1] AS tok0
            FROM part),
 ud AS (SELECT CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) AS u_den
@@ -957,7 +958,7 @@ w AS (SELECT
 scored AS (
   SELECT ({score}) AS s
   FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz
-    AND a.pb % (SELECT w FROM ww) = b.pb % (SELECT w FROM ww)
+    AND a.pd % (SELECT w FROM ww) = b.pd % (SELECT w FROM ww)
     AND a.pk < b.pk, w)
 SELECT CASE WHEN s >= {_FS_HI} THEN 'match'
             WHEN s >= {_FS_LO} THEN 'possible'
@@ -989,6 +990,7 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("sz"),
         F.col("p_type").alias("ty"),
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000").alias("pb"),
+        F.expr("CAST(round(p_retailprice * 10) AS BIGINT)").alias("pd"),
         F.element_at(F.split("p_name", " "), 1).alias("tok0"),
     )
 
@@ -1017,11 +1019,16 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # corpus-derived block widening (the semantic_dedup auto-k lesson,
     # measured here too: fixed 1250 blocks went exponent 1.17 at sf1):
-    # W = max(1, ceil(n/20000)) extra price-band blocking keeps expected
-    # block population flat as the corpus grows. W=1 at the test SFs.
+    # W = max(1, ceil(n/20000)) extra price blocking keeps expected block
+    # population flat as the corpus grows. The widening unit is price
+    # DIMES (round(price*10)) — the generator's prices span [900, 999.9]
+    # in 0.1 steps, so the earlier price-band (div 100) unit was the
+    # single value 9 and pb % W never split anything (re-measured
+    # exponent 1.16); dimes give 1000 consecutive values, uniform under
+    # % W for W ≤ ~100. W=1 at the test SFs.
     n_rows = p.count()
     wmod = max(1, (int(n_rows) + 19_999) // 20_000)
-    pw = p.withColumn("pbw", F.col("pb") % wmod)
+    pw = p.withColumn("pbw", F.col("pd") % wmod)
     a, b = pw.alias("a"), pw.alias("b")
     pairs = a.join(
         b,
