@@ -315,3 +315,44 @@ def test_fused_decode_infer_matches_unfused_chain(spark):
         assert (ra.timestamp_ms, ra.frame_per_sec, ra.frame_total) == (
             rb.timestamp_ms, rb.frame_per_sec, rb.frame_total)
         assert ra.logits == rb.logits
+
+
+def test_text_pipeline_e2e_digest_matches_independent_stage_math(spark):
+    """text_pipeline_e2e's corpus digest must agree with an INDEPENDENT
+    DuckDB computation of every pre-encoder stage (quality gate, exact
+    dedup, token counts, concat-and-chunk bin arithmetic) — the rows-only
+    registry entry is then only trusting the proto encoder, which the
+    golden/round-trip tfrecord tests pin separately. Also asserts
+    determinism across two runs."""
+    import duckdb
+
+    from videos_to_tfrecords_spark.operators.text import STOPWORDS
+    from videos_to_tfrecords_spark.plans.pipeline_queries import (
+        q_text_pipeline_e2e,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = q_text_pipeline_e2e(spark, sf).collect()[0]
+    again = q_text_pipeline_e2e(spark, sf).collect()[0]
+    assert tuple(row) == tuple(again)
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens, n_docs = duckdb.connect().execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS m, len(string_split(text, ' ')) AS nt,
+                 CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
+                       x -> x IN ({stop}))) / len(string_split(text, ' ')))
+                      AS BIGINT) AS sr
+          FROM '{sf}/documents.parquet'),
+        kept AS (SELECT * FROM t WHERE nt >= 8 AND sr >= 50),
+        dedup AS (SELECT min_by(nt, doc_id) AS nt FROM kept GROUP BY m)
+        SELECT CAST(sum(nt) AS BIGINT), CAST(count(*) AS BIGINT) FROM dedup
+        """
+    ).fetchone()
+    assert row.n_tokens_packed == n_tokens
+    assert row.n_bins == -(-n_tokens // 256)  # ceil: concat-and-chunk layout
+    # every doc contributes >= 1 span; docs spanning a bin boundary add more
+    assert n_docs <= row.n_spans <= n_docs + row.n_bins
+    assert row.min_proto_bytes > 0
+    assert row.total_proto_bytes >= row.n_bins * row.min_proto_bytes

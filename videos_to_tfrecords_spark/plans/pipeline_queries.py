@@ -221,6 +221,113 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline_e2e(spark, sf_dir, by_shape=by_shape)
 
 
+@query("text_pipeline_e2e")  # rows-only: proto wire bytes have no SQL analog
+def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pretraining data mainline, end to end over ``documents`` —
+    the text twin of ``video_pipeline_e2e``, driving the same declared-
+    dtype SequenceExample encoder the reference's sink uses
+    (features.py:25-54) from the curation operators instead of the video
+    decoder: quality gate (stopword ratio ≥ 0.05, ≥ 8 tokens) → exact
+    dedup (md5 keep-lowest-id) → whitespace token counts → GPT-style
+    concatenate-and-chunk packing (capacity 256) → one SequenceExample
+    per bin (context: bin id / span count / token fill / raw-binary span
+    digest; feature lists: per-span doc ids, bin offsets, span lengths)
+    → one corpus-digest row.
+
+    Rows-only, like the video mainline: every stage BEFORE the encoder is
+    hash-checked by its own registered query (doc_quality_*,
+    doc_exact_dedup, the packing span layout); the proto framing itself
+    has no SQL analog and is pinned by the golden + round-trip pytests of
+    sources/tfrecord.py. Deterministic end to end — the packing layout is
+    bit-reproducible, per-bin lists are sorted by bin offset, and the
+    digest is md5 over that canonical order.
+
+    Scale: token counts and the quality gate are narrow scan-side
+    expressions; the dedup shuffle carries (md5, id, n_tokens) only —
+    never text; packing is the two-level prefix scan (no global window);
+    per-bin state is bounded by capacity, not corpus size; the encoder
+    runs after the last exchange (proto bytes never shuffle, SURVEY §7.3).
+    """
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.operators.packing import pack_concat_spans
+    from videos_to_tfrecords_spark.operators.text import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = with_quality_score(with_token_stats(docs))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 8) & (F.col("stop_ratio_x1000") >= 50)
+    ).select("doc_id", F.md5("text").alias("text_md5"), "n_tokens")
+    wdup = Window.partitionBy("text_md5").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    spans = pack_concat_spans(deduped, capacity=256)
+    bins = (
+        spans.groupBy("bin_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("off_in_bin", "doc_id", "len_in_bin"))
+            ).alias("sl")
+        )
+        .select(
+            "bin_id",
+            F.expr("transform(sl, s -> s.doc_id)").alias("doc_ids"),
+            F.expr("transform(sl, s -> s.off_in_bin)").alias("offs"),
+            F.expr("transform(sl, s -> s.len_in_bin)").alias("lens"),
+            F.size("sl").cast("long").alias("n_spans"),
+            F.expr(
+                "aggregate(sl, 0L, (a, s) -> a + s.len_in_bin)"
+            ).alias("n_fill"),
+        )
+        # raw-binary context digest of the canonical span layout — the
+        # BYTES-declared passthrough branch (reference features.py:48-54)
+        .withColumn(
+            "span_digest",
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col("bin_id"),
+                        F.expr("array_join(doc_ids, '|')"),
+                        F.expr("array_join(offs, '|')"),
+                        F.expr("array_join(lens, '|')"),
+                    )
+                )
+            ),
+        )
+    )
+    protos = with_sequence_example(
+        bins,
+        context_cols=["bin_id", "n_spans", "n_fill", "span_digest"],
+        list_cols=["doc_ids", "offs", "lens"],
+        context_kinds={
+            "bin_id": FeatureKind.INT,
+            "n_spans": FeatureKind.INT,
+            "n_fill": FeatureKind.INT,
+            "span_digest": FeatureKind.BYTES,
+        },
+        list_kinds={
+            "doc_ids": FeatureKind.INT,
+            "offs": FeatureKind.INT,
+            "lens": FeatureKind.INT,
+        },
+    )
+    return protos.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_fill").cast("long").alias("n_tokens_packed"),
+        F.sum(F.length("proto")).cast("long").alias("total_proto_bytes"),
+        F.min(F.length("proto")).cast("long").alias("min_proto_bytes"),
+        F.max(F.length("proto")).cast("long").alias("max_proto_bytes"),
+    )
+
+
 @query(
     "streaming_tumbling_counts",
     """
