@@ -238,3 +238,16 @@ def test_weighted_pagerank_follows_weight_mass(spark):
         for r in pagerank_integer(edges.select("src", "dst"), n_iter=3).collect()
     }
     assert ur[1] == ur[2]  # uniform variant ties them
+
+
+def test_common_neighbor_pairs_guards_ids_beyond_32_bits(spark):
+    """The packed wedge key is a bijection only for ids < 2^32; a graph
+    violating that must RAISE (never silently corrupt counts)."""
+    import pytest
+    from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 2**32 + 5), (2, 2**32 + 5)], "a long, b long"
+    )
+    with pytest.raises(Exception, match="2\\^32"):
+        common_neighbor_pairs(und, cap=8, topk=10).collect()

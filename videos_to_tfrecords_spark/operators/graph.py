@@ -429,17 +429,40 @@ def common_neighbor_pairs(
     capped = both.groupBy("x").agg(
         F.slice(F.sort_array(F.collect_list("y")), 1, cap).alias("nbrs")
     )
-    # in-task pair expansion over the capped sorted array: C(min(d,cap),2)
+    # in-task pair expansion over the capped sorted array: C(min(d,cap),2).
+    # The (pa, pb) wedge key is packed into ONE int64 (pa·2³² + pb) before
+    # the aggregate: the count shuffle is the query's dominant exchange
+    # (nodes·C(cap,2) rows), and one long key halves its width and
+    # hashes/compares once instead of twice. The pack is a bijection ONLY
+    # for ids in [0, 2³²); the per-node guard raises (not corrupts) on a
+    # graph that violates it — n-row cost, evaluated before expansion.
+    capped = capped.filter(
+        F.assert_true(
+            F.expr(
+                "x >= 0 AND x < 4294967296L AND (size(nbrs) = 0 OR"
+                " (array_min(nbrs) >= 0 AND array_max(nbrs) < 4294967296L))"
+            ),
+            F.lit("common_neighbor_pairs: packed wedge key requires node ids < 2^32"),
+        ).isNull()
+    )
     wedges = capped.select(
         F.explode(
             F.expr(
                 "flatten(transform(nbrs, (p, i) ->"
                 " transform(slice(nbrs, i + 2, size(nbrs)),"
-                " q -> struct(p AS pa, q AS pb))))"
+                " q -> p * 4294967296L + q)))"
             )
-        ).alias("w")
-    ).select("w.pa", "w.pb")
-    scored = wedges.groupBy("pa", "pb").agg(F.count("*").alias("n_common"))
+        ).alias("pk")
+    )
+    scored = (
+        wedges.groupBy("pk")
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            F.expr("pk div 4294967296L").alias("pa"),
+            F.expr("pk % 4294967296L").alias("pb"),
+            "n_common",
+        )
+    )
     cand = scored.join(
         e.select(F.col("x").alias("pa"), F.col("y").alias("pb")),
         ["pa", "pb"],
