@@ -140,27 +140,34 @@ def jaccard_verify_from_texts(
     text_col: str = "text",
     n: int = 3,
     threshold_x1000: int = 500,
-    broadcast_doc_limit: int = 200_000,
-    broadcast_byte_limit: int = 256 << 20,
+    broadcast_doc_limit: int = 20_000,
+    broadcast_byte_limit: int = 64 << 20,
     eager_release: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs. j_x1000 = floor(1000·|∩|/|∪|),
-    engine-exact.
+    engine-exact. Pairs sharing NO shingle never surface on either path —
+    with any positive ``threshold_x1000`` (the default) the two paths are
+    row-identical, pinned by pytest.
 
     Two physical strategies, picked by a cheap (count, Σ length) aggregate
-    over the candidate docs — the byte bound matters as much as the row
-    bound (200k × 100 KB docs would be ~20 GB on the driver; the byte cap
-    falls through to the join path instead):
-    - broadcast verify (common case): candidate docs ≪ corpus, so their
-      texts broadcast and each pair verifies map-side against in-memory
-      shingle sets — the pair list never joins, only (id_a, id_b) shuffles.
-      With ``eager_release`` (default) the verified output — already the
-      small filtered pair set — is materialized eagerly via
-      ``localCheckpoint`` and the broadcast is destroyed before returning,
-      so repeated invocations in one session don't accumulate executor
-      memory; pass ``eager_release=False`` to keep full laziness.
-    - join verify (adversarial case): pair list joins the doc texts twice
-      and re-shingles per pair in an Arrow batch."""
+    over the candidate docs:
+    - broadcast verify (small candidate sets): candidate texts collect to
+      driver-side shingle sets and each pair verifies map-side — the pair
+      list never joins, only (id_a, id_b) shuffles. Building the Python
+      sets costs the driver Σ shingles work, so the limits are sized for
+      "dim-table" candidate volumes; bigger falls through. With
+      ``eager_release`` (default) the verified output — already the small
+      filtered pair set — is materialized eagerly via ``localCheckpoint``
+      and the broadcast is destroyed before returning, so repeated
+      invocations in one session don't accumulate executor memory.
+    - shingle-join verify (the at-scale path): the candidate docs'
+      distinct (id, shingle) table joins the pair list — pairs ⋈ shingles
+      of a ⋈ shingles of b on (id_b, s) counts |∩| entirely JVM-side, and
+      |A|,|B| are a groupBy count. Shuffle ∝ Σ|A| over pairs (bounded by
+      LSH pairs-per-doc), no driver materialization, no Python. Replaced
+      the per-pair re-shingling Arrow UDF, which shipped both full texts
+      per pair and re-split them in Python (sf1: 22→9 s on the dedup
+      family's verify stage)."""
     # persist the PAIR LIST itself (small; its lineage — LSH banding or the
     # prefix-filtered join — is the expensive part) so the size probe, the
     # candidate-doc collect, and the verify all compute it once. With
@@ -218,29 +225,37 @@ def jaccard_verify_from_texts(
             pairs_c.unpersist(blocking=False)
         return out
 
-    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    joined = pairs_c.join(da, "id_a").join(db, "id_b")
-
-    @F.pandas_udf("long")
-    def jx(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for a, b in zip(ta, tb):
-            at = a.split(" ")
-            bt = b.split(" ")
-            sa = {" ".join(at[i : i + n]) for i in range(len(at) - n + 1)}
-            sb = {" ".join(bt[i : i + n]) for i in range(len(bt) - n + 1)}
-            union = len(sa | sb)
-            out.append((1000 * len(sa & sb)) // union if union else 0)
-        return pd.Series(out)
-
+    cand_texts = docs.join(cand_ids, id_col).select(id_col, text_col)
+    # the shingle subtree feeds THREE consumers (sizes + both join sides);
+    # persist or the mapInPandas shingling re-executes per consumer. Only
+    # under eager_release, which owns the unpersist — a lazy caller would
+    # otherwise inherit an unreleasable cache.
+    sh = shingle_table(cand_texts, id_col=id_col, text_col=text_col, n=n)
+    if eager_release:
+        sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    inter = (
+        pairs_c.join(sh.select(F.col(id_col).alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
     out = (
-        joined.withColumn("j_x1000", jx("text_a", "text_b"))
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb")),
+            "id_b",
+        )
+        .withColumn("j_x1000", F.expr("(1000 * ni) div (na + nb - ni)"))
         .filter(F.col("j_x1000") >= threshold_x1000)
         .select("id_a", "id_b", "j_x1000")
     )
     if eager_release:
         out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=False)
         pairs_c.unpersist(blocking=False)
     return out
 
