@@ -140,8 +140,8 @@ def jaccard_verify_from_texts(
     text_col: str = "text",
     n: int = 3,
     threshold_x1000: int = 500,
-    broadcast_doc_limit: int = 20_000,
-    broadcast_byte_limit: int = 64 << 20,
+    broadcast_doc_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 << 20,
     eager_release: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs. j_x1000 = floor(1000·|∩|/|∪|),
@@ -149,28 +149,33 @@ def jaccard_verify_from_texts(
     with any positive ``threshold_x1000`` (the default) the two paths are
     row-identical, pinned by pytest.
 
-    Two physical strategies, picked by a cheap (count, Σ length) aggregate
-    over the candidate docs:
-    - broadcast verify (small candidate sets): candidate texts collect to
-      driver-side shingle sets and each pair verifies map-side — the pair
-      list never joins, only (id_a, id_b) shuffles. Building the Python
-      sets costs the driver Σ shingles work, so the limits are sized for
-      "dim-table" candidate volumes; bigger falls through. With
-      ``eager_release`` (default) the verified output — already the small
-      filtered pair set — is materialized eagerly via ``localCheckpoint``
-      and the broadcast is destroyed before returning, so repeated
-      invocations in one session don't accumulate executor memory.
-    - shingle-join verify (the at-scale path): the candidate docs'
-      distinct (id, shingle) table joins the pair list — pairs ⋈ shingles
-      of a ⋈ shingles of b on (id_b, s) counts |∩| entirely JVM-side, and
-      |A|,|B| are a groupBy count. Shuffle ∝ Σ|A| over pairs (bounded by
-      LSH pairs-per-doc), no driver materialization, no Python. Replaced
-      the per-pair re-shingling Arrow UDF, which shipped both full texts
-      per pair and re-split them in Python (sf1: 22→9 s on the dedup
-      family's verify stage)."""
-    # persist the PAIR LIST itself (small; its lineage — LSH banding or the
-    # prefix-filtered join — is the expensive part) so the size probe, the
-    # candidate-doc collect, and the verify all compute it once. With
+    ONE plan shape: each candidate doc's distinct shingles become a SORTED
+    ARRAY of portable 60-bit hashes (h15); the pair list joins that array
+    table on id_a and on id_b, and |∩| is a map-side ``array_intersect`` —
+    no per-shingle explosion, no groupBy over pairs, no Python anywhere.
+    A cheap (count, Σ length) probe over the candidate docs decides ONE
+    physical knob: whether the array table gets a ``broadcast()`` hint.
+    - Small candidate sets (the common case — candidate docs ≪ corpus, or
+      the whole corpus while it is dim-table-sized): the hint makes both
+      joins broadcast-hash, so the pair list — which can dwarf the doc
+      count; the SSJoin emits 30.9M candidate pairs over 50k docs at sf1 —
+      never shuffles at all.
+    - Bigger: no hint; AQE picks shuffle joins keyed on doc id. Shuffle ∝
+      pairs × (2 arrays of ~|d| int64s) — compare the per-shingle explode
+      join this replaced, whose pairs ⋈ (id, shingle) rows blew up to
+      Σ_pairs |A| ≈ 1.6e9 rows at sf1 (325 s vs ~30 s for this query set).
+    Hash note: intersect/union sizes are computed over 60-bit shingle
+    hashes — identical to the string-set sizes unless md5-prefix collides
+    inside one candidate set (P ≈ n²/2⁶¹ ≈ 3e-6 at sf1's 2.6M distinct
+    shingles); the same h15 already underpins every other oracle-mirrored
+    signature in this module.
+    With ``eager_release`` (default) the verified output — already the
+    small filtered pair set — is materialized eagerly via
+    ``localCheckpoint`` and the caches drop before returning, so repeated
+    invocations in one session don't accumulate executor memory."""
+    # persist the PAIR LIST itself (small relative to its lineage — LSH
+    # banding or the prefix-filtered join IS the expensive part) so the
+    # cand_ids distinct and the verify joins compute it once. With
     # eager_release the cache is dropped before returning; without it the
     # caller owns the (lazy) lifetime and we skip caching.
     pairs_c = pairs.persist() if eager_release else pairs
@@ -179,83 +184,42 @@ def jaccard_verify_from_texts(
         .unionByName(pairs_c.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # persist across the two jobs (size-probe agg, then collect on the
-    # broadcast path) so the candidate-doc join runs once, not twice
-    cand_docs = docs.join(cand_ids, id_col).select(id_col, text_col).persist()
-    try:
-        stats = cand_docs.agg(
-            F.count("*").alias("n_docs"), F.sum(F.length(text_col)).alias("n_bytes")
-        ).first()
-        take_broadcast = (
-            stats["n_docs"] <= broadcast_doc_limit
-            and (stats["n_bytes"] or 0) <= broadcast_byte_limit
-        )
-        probe = cand_docs.collect() if take_broadcast else None
-    finally:
-        cand_docs.unpersist(blocking=False)
-    if take_broadcast:
-        sets = {
-            row[0]: frozenset(
-                " ".join(row[1].split(" ")[i : i + n])
-                for i in range(len(row[1].split(" ")) - n + 1)
-            )
-            for row in probe
-        }
-        bc = docs.sparkSession.sparkContext.broadcast(sets)
-
-        @F.pandas_udf("long")
-        def jx_bc(ia: pd.Series, ib: pd.Series) -> pd.Series:
-            s = bc.value
-            out = []
-            for a, b in zip(ia, ib):
-                sa, sb = s[a], s[b]
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                out.append((1000 * inter) // union if union else 0)
-            return pd.Series(out)
-
-        out = (
-            pairs_c.withColumn("j_x1000", jx_bc("id_a", "id_b"))
-            .filter(F.col("j_x1000") >= threshold_x1000)
-            .select("id_a", "id_b", "j_x1000")
-        )
-        if eager_release:
-            out = out.localCheckpoint(eager=True)
-            bc.destroy()
-            pairs_c.unpersist(blocking=False)
-        return out
-
     cand_texts = docs.join(cand_ids, id_col).select(id_col, text_col)
-    # the shingle subtree feeds THREE consumers (sizes + both join sides);
-    # persist or the mapInPandas shingling re-executes per consumer. Only
-    # under eager_release, which owns the unpersist — a lazy caller would
-    # otherwise inherit an unreleasable cache.
+    # the array table feeds the size probe + both join sides; persist so
+    # the mapInPandas shingling runs once. Only under eager_release, which
+    # owns the unpersist — a lazy caller would inherit an unreleasable
+    # cache otherwise.
     sh = shingle_table(cand_texts, id_col=id_col, text_col=text_col, n=n)
-    if eager_release:
-        sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
-    inter = (
-        pairs_c.join(sh.select(F.col(id_col).alias("id_a"), "s"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "s"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("ni"))
+    arr = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set(h15(F.col("s")))).alias("hs")
     )
+    if eager_release:
+        arr = arr.persist()
+    stats = arr.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("hs") * 8).alias("n_bytes"),
+    ).first()
+    take_broadcast = (
+        stats["n_docs"] <= broadcast_doc_limit
+        and (stats["n_bytes"] or 0) <= broadcast_byte_limit
+    )
+    aa = arr.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    ab = arr.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    if take_broadcast:
+        aa, ab = F.broadcast(aa), F.broadcast(ab)
     out = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na")),
-            "id_a",
+        pairs_c.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("ni", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "j_x1000", F.expr("(1000 * ni) div (size(ha) + size(hb) - ni)")
         )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb")),
-            "id_b",
-        )
-        .withColumn("j_x1000", F.expr("(1000 * ni) div (na + nb - ni)"))
         .filter(F.col("j_x1000") >= threshold_x1000)
         .select("id_a", "id_b", "j_x1000")
     )
     if eager_release:
         out = out.localCheckpoint(eager=True)
-        sh.unpersist(blocking=False)
+        arr.unpersist(blocking=False)
         pairs_c.unpersist(blocking=False)
     return out
 
