@@ -883,3 +883,56 @@ def q_purchase_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+def _shard_manifest_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    shard = h15_sql("doc_id", "shard")
+    fp = h15_sql("text", "fp")
+    return f"""
+WITH c AS (SELECT greatest(4, (count(*) + 255) // 256) AS ns FROM documents)
+SELECT CAST({shard} % ns AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum({fp} % 1000000) AS BIGINT) AS fingerprint
+FROM documents, c
+GROUP BY 1
+"""
+
+
+@query("shard_manifest", _shard_manifest_oracle())
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataloader shard manifest: every document hashes to one
+    of ceil(n/256) shards (corpus-derived count, so shards stay
+    size-bounded as the corpus grows — the round-3 lesson on fixed widths),
+    and the manifest row per shard carries the stats a training job needs
+    to plan epochs: doc count, char volume, source spread, and an
+    order-independent content fingerprint (sum of bounded doc hashes —
+    per-shard magnitude ≤ 256·10⁶ by construction, no overflow at any
+    scale). Portable h15 hashing keeps assignment reproducible across
+    engines and runs.
+
+    Scale shape: one broadcast of a 1-row count, then a single partial→final
+    aggregate keyed by shard_id — map-side combine collapses each partition
+    to ≤ns rows before the exchange."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy().agg(
+        F.greatest(
+            F.lit(4), F.expr("(count(*) + 255) div 256")
+        ).alias("ns")
+    )
+    d = docs.crossJoin(F.broadcast(c))
+    return d.groupBy(
+        (h15(F.col("doc_id").cast("string"), "shard") % F.col("ns"))
+        .cast("long")
+        .alias("shard_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(h15("text", "fp") % 1000000).cast("long").alias("fingerprint"),
+    )

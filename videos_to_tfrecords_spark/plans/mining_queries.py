@@ -1122,3 +1122,51 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum("n_chars").alias("chars_sum"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk
+FROM qi GROUP BY c_nationkey
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (the privacy gate a corpus
+    release runs after PII scrubbing): group customers by the QI class
+    (nation, market segment, $1000 account-balance band), then census
+    per-nation equivalence-class sizes — rows in classes with k < 5 are
+    re-identifiable and counted as at-risk. Balance bands use exact integer
+    cents shifted positive so both engines' truncating division agrees.
+
+    Scale shape: two partial→final hash aggregates (QI class, then nation)
+    — the QI rollup is the only corpus-sized shuffle, and its key
+    cardinality is the QI domain, not the row count."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    band = F.expr(
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+    ).alias("bal_band")
+    k = cust.groupBy("c_nationkey", "c_mktsegment", band).agg(
+        F.count("*").alias("k")
+    )
+    return k.groupBy("c_nationkey").agg(
+        F.sum("k").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).withColumnRenamed("c_nationkey", "nationkey").withColumn(
+        "nationkey", F.col("nationkey").cast("long")
+    )

@@ -819,3 +819,57 @@ def q_shadow_inference_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(agree).alias("n_agree"),
     )
+
+
+_SCENE_ORACLE = """
+WITH frames AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+         CAST(t.i AS DOUBLE) * 500.0 AS timestamp_ms,
+         ((doc_id * 31 + t.i) % 1000) * 2654435761 % 4096 AS feat
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS i) t),
+cuts AS (
+  SELECT doc_id, frame_idx, timestamp_ms,
+         CASE WHEN lag(feat) OVER w IS NULL THEN 1
+              WHEN abs(feat - lag(feat) OVER w) > 2048 THEN 1 ELSE 0 END AS cut
+  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+segs AS (
+  SELECT doc_id, timestamp_ms,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg_id
+  FROM cuts)
+SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       min(timestamp_ms) AS start_ms, max(timestamp_ms) AS end_ms
+FROM segs GROUP BY doc_id, seg_id
+"""
+
+
+@query("video_scene_segments", _SCENE_ORACLE)
+def q_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut segmentation over decoded frames (the shot-boundary pass a
+    video-training pipeline runs before sampling clips): per-frame feature
+    delta vs the previous frame, cut where the jump exceeds the threshold,
+    contiguous frames roll up into segments via a running cut-count. The
+    decode is the closed-form fake (operators/multimodal.decode_media_frames
+    — reference preprocess.py:162-187 territory), so the whole
+    decode → lag-delta → segment rollup chain is hash-checked.
+
+    Scale shape: decode is map-only; ONE shuffle partitions by doc_id and
+    both windows plus the (doc_id, seg_id) rollup reuse it (per-group state
+    bounded by frames-per-video, never corpus size). A real codec swaps into
+    the same mapInPandas pass without touching the plan."""
+    from pyspark.sql import Window
+
+    frames = decode_media_frames(load_table(spark, sf_dir, "documents"))
+    feat = (F.col("checksum") * F.lit(2654435761)) % F.lit(4096)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagf = F.lag(feat).over(w)
+    cut = F.when(lagf.isNull(), F.lit(1)).otherwise(
+        (F.abs(feat - lagf) > 2048).cast("int")
+    )
+    seg = frames.withColumn("seg_id", F.sum(cut).over(w))
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.min("timestamp_ms").alias("start_ms"),
+        F.max("timestamp_ms").alias("end_ms"),
+    )
