@@ -49,7 +49,10 @@ def pagerank_integer(
     join+agg layer per iteration — fine for the typical 5-20; checkpoint
     every ~10 iterations if you run more.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # persist the raw edge list: deg derives from it AND joins back to it,
+    # and n_nodes forces a third evaluation — without the cache the
+    # (usually expensive) upstream edge derivation runs 3×
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     e_deg = e.join(deg, "src").persist()
     n_nodes = deg.count()  # 1 driver scalar (metadata-scale, like AQE stats)
@@ -72,6 +75,7 @@ def pagerank_integer(
     # then drop the cached edge table so nothing leaks across queries
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
+    e.unpersist(blocking=False)
     return out
 
 
@@ -99,7 +103,8 @@ def personalized_pagerank_integer(
     the plan stays hash-partitioned on the node key throughout. Nodes
     that never receive mass never materialize a row.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # same 3×-evaluation guard as pagerank_integer: cache the edge list
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     e_deg = e.join(deg, "src").persist()
     n_seeds = seeds.count()  # driver scalar, like n_nodes in pagerank
@@ -127,6 +132,7 @@ def personalized_pagerank_integer(
         )
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
+    e.unpersist(blocking=False)
     seed_tel.unpersist(blocking=False)
     return out
 
@@ -530,9 +536,10 @@ def weighted_pagerank_integer(
     citation graph actually wants. Magnitude guard: rank ≤ total = 1e12
     and per-edge rank·w must stay < 2^63 — keep weights ≤ ~1e6 (here:
     order counts)."""
+    # same 3×-evaluation guard as pagerank_integer: cache the edge list
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
+    ).persist()
     wdeg = e.groupBy("src").agg(F.sum("w").alias("wd"))
     e_deg = e.join(wdeg, "src").persist()
     n_nodes = wdeg.count()
@@ -553,4 +560,5 @@ def weighted_pagerank_integer(
         )
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
+    e.unpersist(blocking=False)
     return out

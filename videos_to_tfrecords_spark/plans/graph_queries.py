@@ -40,7 +40,18 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # symmetrize by exploding both directions per row instead of
+    # fwd.unionAll(fwd.reversed): a union references the distinct subtree
+    # twice and Catalyst executes it twice per job — explode doubles the
+    # rows in ONE pass of the (expensive) join+distinct subtree
+    return fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pagerank_oracle_sql() -> str:
@@ -534,9 +545,18 @@ def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_orderkey").cast("long").alias("w"))
     )
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    # explode-both-directions symmetrize (see _trade_edges): one pass of the
+    # join+agg subtree instead of union's two
+    edges = fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     ranks = weighted_pagerank_integer(edges, n_iter=_PR_ITERS, total=_PR_TOTAL)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
