@@ -817,39 +817,53 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself); any two strings within edit distance 1 MUST share a
     signature, so the equi-join on signature finds ALL candidates with
     zero recall loss and no quadratic cross-join — then Levenshtein
-    verifies candidates only. Signature volume is O(n·len), join fan-out
-    is bounded by signature-bucket sizes (each bucket holds strings one
-    edit apart, not the whole table) — the 100 TB-safe shape for dedup of
-    near-identical IDs/URLs/titles. Both engines share identical
+    verifies candidates only. The engine adds the POSITION refinement:
+    a substitution pair (equal length, differ at exactly one position j)
+    must share the deletion signature AT THE SAME j, so the self-join
+    keys on (sig, i) — buckets shrink from "every string one edit away
+    in any alignment" to "strings equal outside position i" (≤ alphabet
+    size), each pair surfaces on exactly one key (no dedup pass), and
+    candidates are dist≤1 BY CONSTRUCTION. Indel pairs (length ± 1) come
+    from the full-string-equals-deletion join. Same exact output, ~2× —
+    the 100 TB-safe shape for dedup of near-identical IDs/URLs/titles.
+    The oracle keeps the textbook position-free formulation (different
+    candidate set, same verified output). Both engines share identical
     Levenshtein and substring semantics."""
     cust = load_table(spark, sf_dir, "customer")
     toks = cust.select(F.col("c_name").alias("tok")).distinct()
-    dels = toks.select(
-        "tok",
-        F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"),
-    ).select(
-        "tok",
-        F.concat(
-            F.expr("substring(tok, 1, i - 1)"),
-            F.expr("substring(tok, i + 1, length(tok))"),
-        ).alias("sig"),
+    # three branches read dels — lazy checkpoint (kcore_rounds pattern)
+    # stops the explode from re-executing per branch
+    dels = (
+        toks.select(
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"),
+        )
+        .select(
+            "tok",
+            "i",
+            F.concat(
+                F.expr("substring(tok, 1, i - 1)"),
+                F.expr("substring(tok, i + 1, length(tok))"),
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
     )
-    # both sides of the signature self-join read this table — a lazy
-    # checkpoint (kcore_rounds pattern) stops the explode+distinct from
-    # re-executing per side
-    sigs = dels.unionAll(
-        toks.select("tok", F.col("tok").alias("sig"))
-    ).localCheckpoint(eager=False)
-    a = sigs.select(F.col("tok").alias("tok_a"), "sig")
-    b = sigs.select(F.col("tok").alias("tok_b"), "sig")
-    cand = (
-        a.join(b, "sig")
+    a = dels.select(F.col("tok").alias("tok_a"), "i", "sig")
+    b = dels.select(F.col("tok").alias("tok_b"), "i", "sig")
+    cand_sub = (
+        a.join(b, ["sig", "i"])
         .filter(F.col("tok_a") < F.col("tok_b"))
         .select("tok_a", "tok_b")
+    )
+    short = toks.select(F.col("tok").alias("s"))
+    cand_ind = (
+        short.join(dels.select(F.col("tok").alias("l"), "sig"), short.s == F.col("sig"))
+        .select(F.least("s", "l").alias("tok_a"), F.greatest("s", "l").alias("tok_b"))
         .distinct()
     )
     return (
-        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        cand_sub.unionAll(cand_ind)
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
         .filter(F.col("dist") <= 1)
         .select("tok_a", "tok_b", F.col("dist").cast("long").alias("dist"))
     )
