@@ -1184,3 +1184,66 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("c_nationkey", "nationkey").withColumn(
         "nationkey", F.col("nationkey").cast("long")
     )
+
+
+@query(
+    "deletion_cascade_audit",
+    """
+WITH cohort AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0),
+o AS (SELECT o_orderkey, c_nationkey FROM orders JOIN cohort ON o_custkey = c_custkey),
+l AS (SELECT o.c_nationkey,
+             count(*) AS n_lineitems,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      GROUP BY o.c_nationkey)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(coalesce(max(oc.n_orders), 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(max(l.n_lineitems), 0) AS BIGINT) AS n_lineitems,
+       CAST(coalesce(max(l.cents), 0) AS BIGINT) AS revenue_cents
+FROM cohort c
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_orders FROM o GROUP BY 1) oc
+       ON oc.c_nationkey = c.c_nationkey
+LEFT JOIN l ON l.c_nationkey = c.c_nationkey
+GROUP BY c.c_nationkey
+""",
+)
+def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort (every
+    97th customer), census the cascade BEFORE executing it — per nation,
+    how many orders, lineitems, and how much revenue history would be
+    erased. The pre-flight every GDPR deletion pipeline runs; pairs with
+    k_anonymity_audit as the privacy-release gate family.
+
+    Scale shape: cohort is a pushed-down scan filter (no customer
+    materialization), orders/lineitem attach via keyed equi-joins that
+    AQE can skew-handle, and all three counts aggregate partial→final on
+    the small nation key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cohort = cust.filter(F.col("c_custkey") % 97 == 0)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = orders.join(cohort, orders.o_custkey == cohort.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    l_agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+    o_agg = o.groupBy("c_nationkey").agg(F.count("*").alias("n_orders"))
+    c_agg = cohort.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    return (
+        c_agg.join(o_agg, "c_nationkey", "left")
+        .join(l_agg, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("revenue_cents"),
+        )
+    )
