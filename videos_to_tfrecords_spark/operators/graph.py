@@ -244,8 +244,11 @@ def triangle_count(
         F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
     ).persist()
     # sorted out-adjacency per node (max size ≤ O(√m) by orientation, so
-    # no array blows up a task even on power-law graphs)
-    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # no array blows up a task even on power-law graphs); persisted because
+    # both sides of the per-edge probe consume it — one agg pass, not two
+    adj = o.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    ).persist()
     tri_per_edge = (
         o.join(adj, "u")
         .join(
@@ -265,7 +268,7 @@ def triangle_count(
     if not eager:
         return res
     out = res.localCheckpoint(eager=True)
-    for cached in (ea, deg, o):
+    for cached in (ea, deg, o, adj):
         cached.unpersist(blocking=False)
     return out
 
@@ -364,26 +367,50 @@ def local_clustering_topk(
     lower = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
+    # o feeds the adjacency build AND the per-edge probe; adj feeds both
+    # probe sides — persist both or the orientation joins / collect_list
+    # agg re-execute per consumer (the triangle_count cache discipline)
     o = keyed.select(
         F.when(lower, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(lower, F.col("y")).otherwise(F.col("x")).alias("v"),
-    )
-    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    ).persist()
+    adj = o.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    ).persist()
     common = (
         o.join(adj, "u")
         .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vnbrs")), "v")
         .select("u", "v", F.array_intersect("nbrs", "vnbrs").alias("ws"))
         .filter(F.array_size("ws") > 0)
-        .persist()
     )
+    # one-pass corner credits: per probed edge, u and v each earn |ws| and
+    # every w ∈ ws earns 1 — emitted as a single in-task struct array and
+    # exploded, instead of a 3-branch union that scans `common` three times
     credits = (
-        common.select(F.col("u").alias("n"), F.array_size("ws").alias("c"))
-        .unionAll(common.select(F.col("v").alias("n"), F.array_size("ws").alias("c")))
-        .unionAll(
-            common.select(F.explode("ws").alias("n"), F.lit(1).alias("c"))
+        common.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("n"),
+                            F.array_size("ws").cast("long").alias("c"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("n"),
+                            F.array_size("ws").cast("long").alias("c"),
+                        ),
+                    ),
+                    F.transform(
+                        "ws",
+                        lambda w: F.struct(
+                            w.alias("n"), F.lit(1).cast("long").alias("c")
+                        ),
+                    ),
+                )
+            ).alias("e")
         )
-        .groupBy("n")
-        .agg(F.sum("c").alias("tri"))
+        .groupBy(F.col("e.n").alias("n"))
+        .agg(F.sum("e.c").alias("tri"))
     )
     res = (
         deg.filter(F.col("d") >= 2)
@@ -400,7 +427,7 @@ def local_clustering_topk(
         .limit(topk)
     )
     out = res.localCheckpoint(eager=True)
-    for cached in (ea, deg, common):
+    for cached in (ea, deg, o, adj):
         cached.unpersist(blocking=False)
     return out
 
