@@ -1,0 +1,100 @@
+"""Preference-data aggregation (the RLHF/data-ranking side of a training
+pipeline): Bradley-Terry strength fitting over pairwise comparisons.
+
+Exact-integer discipline (registry.py rules): the MM update runs in BIGINT
+floor arithmetic so a SQL oracle can unroll the iterations CTE-for-CTE and
+hash-match the fitted strengths bit-for-bit — the same technique as
+operators/graph.pagerank_integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point unit for strengths (s0 = 1 * SCALE)
+BT_SCALE = 10**6
+#: numerator scaling for the per-opponent denominator terms — keeps
+#: n_ij·Q div (s_i+s_j) ≈ n_ij·5e5 exact instead of flooring to 0
+BT_Q = 10**12
+
+
+def bradley_terry_integer(
+    wins: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    n: str = "n",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths with ``n_iter`` rounds of the MM
+    (minorization-maximization) update, entirely in BIGINT floor
+    arithmetic:
+
+        s0(i)   = SCALE
+        d_k(i)  = Σ_j (n_ij · Q) div (s_k(i) + s_k(j))
+        s_k+1(i) = max( (W_i · Q) div d_k(i), 1 )
+
+    with n_ij the total comparisons between i and j (either direction),
+    W_i the total wins of i. The update is homogeneous in s, so the
+    fixed-point magnitude stays ~SCALE without renormalization; the max(·,1)
+    floor keeps all-loser players out of zero divisions. Magnitudes:
+    W_i·Q ≤ 1e4·1e12 at sf0.1 — int64 with 1e2 headroom; at larger W the
+    one-line DECIMAL(38,0) swap applies (SCALE.md int64 audit).
+
+    ``wins``: aggregated (winner, loser, n) win counts. Returns
+    (player, wins, n_comparisons, strength).
+
+    Scale shape (per iteration): the comparison-graph table joins the
+    strength table on each endpoint (two keyed equi-joins) and aggregates
+    per player — one shuffle layer, identical to PageRank's
+    message-passing shape; the graph table is persisted once.
+    """
+    w = wins.select(
+        F.col(winner).alias("i"), F.col(loser).alias("j"), F.col(n).alias("nw")
+    )
+    # undirected comparison counts, materialized in BOTH orientations so
+    # each player's denominator is one groupBy over its out-rows
+    und = (
+        w.select("i", "j", "nw")
+        .unionAll(w.select(F.col("j").alias("i"), F.col("i").alias("j"), "nw"))
+        .groupBy("i", "j")
+        .agg(F.sum("nw").alias("nij"))
+        .persist()
+    )
+    w_i = und.groupBy("i").agg(F.sum("nij").alias("n_comparisons")).join(
+        w.groupBy("i").agg(F.sum("nw").alias("wins")), "i", "left"
+    ).select(
+        "i",
+        F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+        F.col("n_comparisons").cast("long").alias("n_comparisons"),
+    ).persist()
+
+    s = w_i.select("i", F.lit(BT_SCALE).cast("long").alias("s"))
+    for _ in range(n_iter):
+        d = (
+            und.join(s.withColumnRenamed("i", "j").withColumnRenamed("s", "sj"), "j")
+            .join(s.withColumnRenamed("s", "si"), "i")
+            .groupBy("i")
+            .agg(
+                F.sum(F.expr(f"(nij * {BT_Q}) div (si + sj)")).alias("d")
+            )
+        )
+        s = d.join(w_i.select("i", "wins"), "i").select(
+            "i",
+            F.greatest(F.expr(f"(wins * {BT_Q}) div d"), F.lit(1))
+            .cast("long")
+            .alias("s"),
+        )
+    out = (
+        w_i.join(s, "i")
+        .select(
+            F.col("i").alias("player"),
+            "wins",
+            "n_comparisons",
+            F.col("s").alias("strength"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist(blocking=False)
+    w_i.unpersist(blocking=False)
+    return out

@@ -936,3 +936,175 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum(h15("text", "fp") % 1000000).cast("long").alias("fingerprint"),
     )
+
+
+_BT_ITERS = 3
+
+
+def _bt_oracle() -> str:
+    head = """
+WITH bids AS (
+  SELECT l_orderkey AS ord, l_suppkey AS supp,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS bid
+  FROM lineitem GROUP BY 1, 2),
+duels AS (
+  SELECT CASE WHEN (a.bid > b.bid) OR (a.bid = b.bid AND a.supp > b.supp)
+              THEN a.supp ELSE b.supp END AS w,
+         CASE WHEN (a.bid > b.bid) OR (a.bid = b.bid AND a.supp > b.supp)
+              THEN b.supp ELSE a.supp END AS l
+  FROM bids a JOIN bids b ON a.ord = b.ord AND a.supp < b.supp),
+wl AS (SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS nw
+       FROM duels GROUP BY 1, 2),
+und AS (SELECT i, j, CAST(sum(nw) AS BIGINT) AS nij FROM (
+          SELECT i, j, nw FROM wl UNION ALL SELECT j, i, nw FROM wl)
+        GROUP BY 1, 2),
+wins AS (SELECT i, CAST(sum(nw) AS BIGINT) AS wins FROM wl GROUP BY 1),
+base AS (SELECT i, CAST(sum(nij) AS BIGINT) AS n_comparisons FROM und GROUP BY 1),
+s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM base)"""
+    iters = []
+    for k in range(1, _BT_ITERS + 1):
+        p = f"s{k-1}"
+        iters.append(
+            f""",
+d{k} AS (SELECT und.i, sum((und.nij * 1000000000000) // (si.s + sj.s)) AS d
+       FROM und JOIN {p} si ON si.i = und.i JOIN {p} sj ON sj.i = und.j
+       GROUP BY 1),
+s{k} AS (SELECT d{k}.i,
+              greatest((coalesce(w.wins, 0) * 1000000000000) // d{k}.d, 1) AS s
+       FROM d{k} LEFT JOIN wins w ON w.i = d{k}.i)"""
+        )
+    tail = f"""
+SELECT base.i AS player, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+       base.n_comparisons, CAST(s{_BT_ITERS}.s AS BIGINT) AS strength
+FROM base JOIN s{_BT_ITERS} ON s{_BT_ITERS}.i = base.i
+LEFT JOIN wins w ON w.i = base.i"""
+    return head + "".join(iters) + tail
+
+
+@query("supplier_bt_strength", _bt_oracle())
+def q_supplier_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation (the RLHF preference-data
+    fitting shape): within each order, every supplier pair is a pairwise
+    duel won by the higher order-value side, and 3 MM iterations fit
+    integer strengths (operators/preference.bradley_terry_integer). Duels
+    are exploded IN-TASK from each order's sorted (bid, supplier) array
+    (baskets bounded, no self-join shuffle — the market_basket codegen
+    trick); the oracle unrolls the identical floor-arithmetic update into
+    one CTE pair per iteration."""
+    from videos_to_tfrecords_spark.operators.preference import (
+        bradley_terry_integer,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    bids = li.groupBy(
+        F.col("l_orderkey").alias("ord"), F.col("l_suppkey").alias("supp")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("bid")
+    )
+    # ascending (bid, supp) sort ⇒ in every in-task pair (x earlier, y
+    # later) y is the duel winner; ties impossible (supp distinct per ord)
+    duels = (
+        bids.groupBy("ord")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bid", "supp"))
+            ).alias("arr")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr)),"
+                    " y -> struct(y.supp AS winner, x.supp AS loser))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.winner").alias("winner"), F.col("p.loser").alias("loser"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return bradley_terry_integer(duels).select(
+        F.col("player").cast("long").alias("player"),
+        "wins",
+        "n_comparisons",
+        "strength",
+    )
+
+
+def _kappa_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    def lab(noise_salt: str, flip_salt: str) -> str:
+        return (
+            f"CASE WHEN {h15_sql('text', flip_salt)} % 10 < 2"
+            f" THEN {h15_sql('text', noise_salt)} % 3"
+            f" ELSE {h15_sql('text', 'kap-sig')} % 3 END"
+        )
+
+    return f"""
+WITH lab AS (
+  SELECT lang, {lab('kap-na', 'kap-fa')} AS a, {lab('kap-nb', 'kap-fb')} AS b
+  FROM documents),
+agg AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS n_agree,
+         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na0,
+         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS na1,
+         CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS na2,
+         CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nb0,
+         CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb1,
+         CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS nb2
+  FROM lab GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+       CAST((1000000 * (n * n_agree - (na0*nb0 + na1*nb1 + na2*nb2)))
+            // (n * n - (na0*nb0 + na1*nb1 + na2*nb2)) AS BIGINT) AS kappa_ppm
+FROM agg
+"""
+
+
+@query("annotator_kappa", _kappa_oracle())
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement per language — the labeling
+    QA gate a supervised-data pipeline runs before trusting labels. The
+    two annotators are deterministic hash labelers sharing an 80% common
+    signal (portable h15 salt families, so the oracle reproduces the exact
+    label streams); kappa is the exact integer ppm
+    floor(1e6·(n·agree − Σ_k nAk·nBk) / (n² − Σ_k nAk·nBk)), computed in
+    DECIMAL(38,0)/HUGEINT because n² outgrows int64 on real corpora.
+
+    Scale shape: one narrow scan, labels are map-side expressions, ONE
+    partial→final aggregate keyed by lang — no joins, no windows."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    sig = h15(F.col("text"), "kap-sig") % 3
+
+    def lab(noise_salt: str, flip_salt: str):
+        return F.when(
+            h15(F.col("text"), flip_salt) % 10 < 2,
+            h15(F.col("text"), noise_salt) % 3,
+        ).otherwise(sig)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", lab("kap-na", "kap-fa").alias("a"), lab("kap-nb", "kap-fb").alias("b")
+    )
+    cnt = lambda c, k: F.sum(  # noqa: E731
+        F.when(F.col(c) == k, 1).otherwise(0)
+    ).cast("decimal(38,0)")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n_agree"),
+        *[cnt("a", k).alias(f"na{k}") for k in range(3)],
+        *[cnt("b", k).alias(f"nb{k}") for k in range(3)],
+    )
+    pe = "(na0*nb0 + na1*nb1 + na2*nb2)"
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.expr(
+            f"CAST((1000000 * (n * n_agree - {pe})) div (n * n - {pe}) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
