@@ -25,6 +25,7 @@ def bradley_terry_integer(
     loser: str = "loser",
     n: str = "n",
     n_iter: int = 3,
+    broadcast_strengths: bool = True,
 ) -> DataFrame:
     """Fit Bradley-Terry strengths with ``n_iter`` rounds of the MM
     (minorization-maximization) update, entirely in BIGINT floor
@@ -44,14 +45,22 @@ def bradley_terry_integer(
     ``wins``: aggregated (winner, loser, n) win counts. Returns
     (player, wins, n_comparisons, strength).
 
-    Scale shape (per iteration): the comparison-graph table joins the
-    strength table on each endpoint (two keyed equi-joins) and aggregates
-    per player — one shuffle layer, identical to PageRank's
-    message-passing shape; the graph table is persisted once.
+    Scale shape (per iteration): the strength table has one row per
+    PLAYER — in preference data that's the model/policy/supplier roster,
+    orders of magnitude below the comparison volume — so with
+    ``broadcast_strengths`` (default) both endpoint attachments are
+    map-side broadcast joins against the once-persisted comparison graph
+    and the only exchange is the player-keyed partial→final aggregate.
+    Set it False for corpus-sized player sets (e.g. per-document duels):
+    the joins fall back to the keyed-equi-join PageRank message-passing
+    shape.
     """
+    # the win-count input feeds three branches (both union sides of the
+    # undirected graph + the per-player win totals) — cache it or its
+    # derivation (often a groupBy over an exploded duel stream) runs 3×
     w = wins.select(
         F.col(winner).alias("i"), F.col(loser).alias("j"), F.col(n).alias("nw")
-    )
+    ).persist()
     # undirected comparison counts, materialized in BOTH orientations so
     # each player's denominator is one groupBy over its out-rows
     und = (
@@ -69,17 +78,20 @@ def bradley_terry_integer(
         F.col("n_comparisons").cast("long").alias("n_comparisons"),
     ).persist()
 
+    mark = F.broadcast if broadcast_strengths else (lambda df: df)
     s = w_i.select("i", F.lit(BT_SCALE).cast("long").alias("s"))
     for _ in range(n_iter):
         d = (
-            und.join(s.withColumnRenamed("i", "j").withColumnRenamed("s", "sj"), "j")
-            .join(s.withColumnRenamed("s", "si"), "i")
+            und.join(
+                mark(s.withColumnRenamed("i", "j").withColumnRenamed("s", "sj")), "j"
+            )
+            .join(mark(s.withColumnRenamed("s", "si")), "i")
             .groupBy("i")
             .agg(
                 F.sum(F.expr(f"(nij * {BT_Q}) div (si + sj)")).alias("d")
             )
         )
-        s = d.join(w_i.select("i", "wins"), "i").select(
+        s = d.join(mark(w_i.select("i", "wins")), "i").select(
             "i",
             F.greatest(F.expr(f"(wins * {BT_Q}) div d"), F.lit(1))
             .cast("long")
@@ -97,4 +109,5 @@ def bradley_terry_integer(
     )
     und.unpersist(blocking=False)
     w_i.unpersist(blocking=False)
+    w.unpersist(blocking=False)
     return out

@@ -998,10 +998,16 @@ def q_supplier_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
     )
-    bids = li.groupBy(
-        F.col("l_orderkey").alias("ord"), F.col("l_suppkey").alias("supp")
-    ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("bid")
+    # one explicit order-keyed exchange serves BOTH aggregations below:
+    # hash(ord) co-locates (ord, supp) and (ord) grouping alike, so the
+    # per-supplier bid combine and the per-order duel explode run
+    # exchange-free on top of it (plan-asserted 2 exchanges, not 3)
+    bids = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ord"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("bid")
+        )
     )
     # ascending (bid, supp) sort ⇒ in every in-task pair (x earlier, y
     # later) y is the duel winner; ties impossible (supp distinct per ord)
