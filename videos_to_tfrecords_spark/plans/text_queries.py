@@ -1398,3 +1398,121 @@ def q_doc_trigram_interp_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "canary_contamination_scan",
+    """
+WITH can AS (
+  SELECT DISTINCT list_extract(string_split(text, ' '), 1) || ' ' ||
+                  list_extract(string_split(text, ' '), 2) AS canary
+  FROM documents WHERE doc_id % 211 = 0 AND len(string_split(text, ' ')) >= 2)
+SELECT canary,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN can ON contains(d.text, can.canary)
+GROUP BY canary
+""",
+)
+def q_canary_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-string contamination scan (the membership-inference audit a
+    training set runs before release: did injected canaries leak into
+    other documents?): the canary set is corpus-derived (2-token prefixes
+    of every 211th doc — small by construction), broadcast against a
+    single map-side substring scan of the corpus; per canary, the count
+    and exact id-set checksum of containing documents.
+
+    Scale shape: one broadcast of a bounded canary table, one narrow
+    corpus scan with the contains() predicate evaluated in codegen, one
+    partial→final aggregate keyed by canary — no corpus-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    can = (
+        docs.filter((F.col("doc_id") % 211 == 0) & (F.size(toks) >= 2))
+        .select(
+            F.concat_ws(" ", toks[0], toks[1]).alias("canary")
+        )
+        .distinct()
+    )
+    return (
+        docs.join(F.broadcast(can), F.expr("contains(text, canary)"))
+        .groupBy("canary")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "fim_transform_census",
+    """
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(concat('0x', substr(md5(concat('fim:', doc_id)), 1, 15)) AS BIGINT)
+           AS h
+  FROM documents),
+t AS (
+  SELECT doc_id, lang, len(toks) AS n_tok,
+         CASE WHEN h % 2 = 0 AND len(toks) >= 3 THEN 1 ELSE 0 END AS is_fim,
+         (h % 2 = 0 AND len(toks) >= 3) AS f,
+         1 + (h // 2) % (len(toks) - 1) AS cut1
+  FROM d),
+s AS (
+  SELECT doc_id, lang, n_tok, is_fim,
+         CASE WHEN is_fim = 1 THEN cut1 + (doc_id % (n_tok - cut1)) ELSE 0 END AS cut2,
+         cut1
+  FROM t)
+SELECT lang,
+       CAST(sum(is_fim) AS BIGINT) AS n_fim,
+       CAST(sum(1 - is_fim) AS BIGINT) AS n_plain,
+       CAST(sum(CASE WHEN is_fim = 1 THEN cut1 ELSE 0 END) AS BIGINT) AS prefix_toks,
+       CAST(sum(CASE WHEN is_fim = 1 THEN cut2 - cut1 ELSE 0 END) AS BIGINT) AS middle_toks,
+       CAST(sum(CASE WHEN is_fim = 1 THEN n_tok - cut2 ELSE 0 END) AS BIGINT) AS suffix_toks
+FROM s GROUP BY lang
+""",
+)
+def q_fim_transform_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transformation census: half the corpus
+    (portable-hash coin, docs with ≥3 tokens) is split
+    prefix/middle/suffix at two deterministic cut points — the
+    span-corruption preprocessing an infilling-capable model trains on —
+    and the census reports per-language FIM rate and the exact token mass
+    landing in each part (what the PSM/SPM reassembly budget needs).
+    Cut points are hash/id-derived so both engines reproduce the exact
+    same splits; everything is map-side expressions into one aggregate."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    h = h15(F.col("doc_id").cast("string"), "fim")
+    n_tok = F.size(toks).cast("long")
+    is_fim = ((h % 2 == 0) & (n_tok >= 3)).cast("long")
+    # h div 2 as an exact non-negative shift (float division would lose
+    # precision on 60-bit hashes and diverge from the oracle's `//`)
+    d = docs.select(
+        "lang",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        is_fim.alias("is_fim"),
+        (F.lit(1) + F.shiftright(h, 1) % (n_tok - 1)).alias("cut1"),
+    ).withColumn(
+        "cut2",
+        F.when(
+            F.col("is_fim") == 1,
+            F.col("cut1") + F.col("doc_id") % (F.col("n_tok") - F.col("cut1")),
+        ).otherwise(F.lit(0)),
+    )
+    z = F.lit(0)
+    fim = F.col("is_fim") == 1
+    return d.groupBy("lang").agg(
+        F.sum("is_fim").cast("long").alias("n_fim"),
+        F.sum(1 - F.col("is_fim")).cast("long").alias("n_plain"),
+        F.sum(F.when(fim, F.col("cut1")).otherwise(z)).cast("long").alias("prefix_toks"),
+        F.sum(F.when(fim, F.col("cut2") - F.col("cut1")).otherwise(z))
+        .cast("long")
+        .alias("middle_toks"),
+        F.sum(F.when(fim, F.col("n_tok") - F.col("cut2")).otherwise(z))
+        .cast("long")
+        .alias("suffix_toks"),
+    )
