@@ -1114,3 +1114,96 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1000000 * (n * n_agree - {pe})) div (n * n - {pe}) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+def _pref_e2e_oracle() -> str:
+    # the Bradley-Terry CTE chain, then quartile stratification and the
+    # winner-quartile × loser-quartile duel census
+    bt = _bt_oracle()
+    head, tail = bt.split("\nSELECT base.i AS player", 1)
+    return (
+        head
+        + f""",
+qt AS (SELECT i, ntile(4) OVER (ORDER BY s, i) AS q FROM s{_BT_ITERS}),
+m AS (SELECT wq.q AS winner_q, lq.q AS loser_q,
+             CAST(sum(wl.nw) AS BIGINT) AS n_duels,
+             CAST(count(DISTINCT wl.i) AS BIGINT) AS n_winners,
+             CAST(count(DISTINCT wl.j) AS BIGINT) AS n_losers
+      FROM wl JOIN qt wq ON wq.i = wl.i JOIN qt lq ON lq.i = wl.j
+      GROUP BY 1, 2)
+SELECT CAST(winner_q AS BIGINT) AS winner_q, CAST(loser_q AS BIGINT) AS loser_q,
+       n_duels, n_winners, n_losers FROM m"""
+    )
+
+
+@query("preference_pipeline_e2e", _pref_e2e_oracle())
+def q_preference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END preference-data mainline (the RLHF counterpart of
+    corpus_curation_e2e): raw order events → pairwise duels → 3-iteration
+    integer Bradley-Terry fit → quartile stratification of the fitted
+    strengths → the winner-quartile × loser-quartile duel matrix a
+    preference-pair curator reads to pick clean (chosen, rejected)
+    training pairs (top-vs-bottom cells) and flag label noise
+    (bottom-beats-top cells). Unlike the video/text mainlines this E2E is
+    FULLY hash-checked — every stage is exact integer arithmetic.
+
+    Scale note: the ntile window is global but runs over the PLAYER table
+    (roster-sized, the AUC distinct-score precedent); the duel matrix
+    joins are broadcast-roster attachments onto the persisted duel
+    stream."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.operators.preference import (
+        bradley_terry_integer,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    bids = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ord"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("bid")
+        )
+    )
+    duels = (
+        bids.groupBy("ord")
+        .agg(F.sort_array(F.collect_list(F.struct("bid", "supp"))).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr)),"
+                    " y -> struct(y.supp AS winner, x.supp AS loser))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.winner").alias("winner"), F.col("p.loser").alias("loser"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = bradley_terry_integer(duels)
+    qt = s.select(
+        "player",
+        F.ntile(4).over(Window.orderBy("strength", "player")).alias("q"),
+    )
+    wq = qt.select(F.col("player").alias("winner"), F.col("q").alias("winner_q"))
+    lq = qt.select(F.col("player").alias("loser"), F.col("q").alias("loser_q"))
+    return (
+        duels.join(F.broadcast(wq), "winner")
+        .join(F.broadcast(lq), "loser")
+        .groupBy("winner_q", "loser_q")
+        .agg(
+            F.sum("n").cast("long").alias("n_duels"),
+            F.countDistinct("winner").cast("long").alias("n_winners"),
+            F.countDistinct("loser").cast("long").alias("n_losers"),
+        )
+        .select(
+            F.col("winner_q").cast("long").alias("winner_q"),
+            F.col("loser_q").cast("long").alias("loser_q"),
+            "n_duels",
+            "n_winners",
+            "n_losers",
+        )
+    )
