@@ -151,9 +151,11 @@ def label_propagation(
     reproduces it bit-for-bit (the pagerank_integer technique).
 
     Scale shape (per iteration): one node-keyed equi-join (edge src →
-    current label), one (node, label) partial→final count, one per-node
-    window argmax — all hash-partitioned on the node key, so consecutive
-    iterations reuse the partitioning. Labels are lazily
+    current label), one (node, label) partial→final count, then a
+    per-node ``max_by`` argmax AGGREGATION over the unique ordering key
+    (c, −lab) — both aggregates partial-combine map-side and neither
+    sorts, where the equivalent row_number window would exchange AND
+    sort the vote table every round. Labels are lazily
     localCheckpoint'ed each round so the logical plan stays one-iteration
     deep — analysis/optimization time stays constant per round instead of
     growing with the full unrolled lineage.
@@ -172,17 +174,17 @@ def label_propagation(
     e_self = e.unionAll(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
     e_self = e_self.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(n_iter):
         votes = (
             e_self.join(labels.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("d").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
         )
+        # argmax by (count desc, label asc): the ordering key (c, -lab) is
+        # unique within a node group, so max_by is deterministic
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
+            votes.groupBy("node")
+            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
             .localCheckpoint(eager=False)
         )
     return labels
