@@ -552,42 +552,6 @@ def lsh_topk_multiprobe(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse quantization against an explicit (fixed-size) centroid
-    DataFrame: assign every vector to its nearest centroid by exact
-    scaled-integer squared distance (deterministic, tie-broken on centroid
-    id). The centroid set is broadcast — the corpus never shuffles."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(c))
-        .withColumn("dist2", _pair_dist2()(F.col(vec_col), F.col("cv")))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
-
-
-def _pair_dist2():
-    @F.pandas_udf("long")
-    def pair_dist2(a: pd.Series, b: pd.Series) -> pd.Series:
-        ai, bi = _to_int_matrix(a), _to_int_matrix(b)
-        d = ai - bi
-        return pd.Series(np.einsum("ij,ij->i", d, d))
-
-    return pair_dist2
-
-
 def _dist2_matrix(vi: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """(rows, k) int64 squared distances to each centroid via the matmul
     identity ‖v-c‖² = ‖v‖² + ‖c‖² - 2v·c — O(rows·k) memory (no

@@ -248,8 +248,6 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin state is bounded by capacity, not corpus size; the encoder
     runs after the last exchange (proto bytes never shuffle, SURVEY §7.3).
     """
-    from pyspark.sql import Window
-
     from videos_to_tfrecords_spark.operators.packing import pack_concat_spans
     from videos_to_tfrecords_spark.operators.text import (
         with_quality_score,
@@ -261,11 +259,12 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(
         (F.col("n_tokens") >= 8) & (F.col("stop_ratio_x1000") >= 50)
     ).select("doc_id", F.md5("text").alias("text_md5"), "n_tokens")
-    wdup = Window.partitionBy("text_md5").orderBy("doc_id")
+    # keep-first as a min_by aggregate: same keep-min-doc_id semantics as
+    # the row_number window, but partial-combines map-side and never sorts
     deduped = (
-        kept.withColumn("_rn", F.row_number().over(wdup))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "n_tokens")
+        kept.groupBy("text_md5")
+        .agg(F.expr("min_by(struct(doc_id, n_tokens), doc_id)").alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.n_tokens").alias("n_tokens"))
     )
     spans = pack_concat_spans(deduped, capacity=256)
     bins = (
