@@ -1064,7 +1064,8 @@ agg AS (
   FROM lab GROUP BY lang)
 SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
        CAST((1000000 * (n * n_agree - (na0*nb0 + na1*nb1 + na2*nb2)))
-            // (n * n - (na0*nb0 + na1*nb1 + na2*nb2)) AS BIGINT) AS kappa_ppm
+            // greatest(n * n - (na0*nb0 + na1*nb1 + na2*nb2), 1)
+            AS BIGINT) AS kappa_ppm
 FROM agg
 """
 
@@ -1111,7 +1112,11 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("n_agree").cast("long").alias("n_agree"),
         F.expr(
-            f"CAST((1000000 * (n * n_agree - {pe})) div (n * n - {pe}) AS BIGINT)"
+            # greatest(·, 1): a degenerate slice where chance agreement
+            # equals 1 (pe == n², e.g. a single-doc language) makes kappa
+            # 0/0 — clamp defines it as 0 instead of an ANSI div-by-zero
+            f"CAST((1000000 * (n * n_agree - {pe}))"
+            f" div greatest(n * n - {pe}, 1) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
 

@@ -1456,7 +1456,7 @@ t AS (
   SELECT doc_id, lang, len(toks) AS n_tok,
          CASE WHEN h % 2 = 0 AND len(toks) >= 3 THEN 1 ELSE 0 END AS is_fim,
          (h % 2 = 0 AND len(toks) >= 3) AS f,
-         1 + (h // 2) % (len(toks) - 1) AS cut1
+         1 + (h // 2) % greatest(len(toks) - 1, 1) AS cut1
   FROM d),
 s AS (
   SELECT doc_id, lang, n_tok, is_fim,
@@ -1495,7 +1495,12 @@ def q_fim_transform_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tok"),
         is_fim.alias("is_fim"),
-        (F.lit(1) + F.shiftright(h, 1) % (n_tok - 1)).alias("cut1"),
+        # greatest(·, 1): a 1-token doc would otherwise divide by zero,
+        # which ANSI mode turns into a query-killing exception (cut1 is
+        # discarded for non-FIM docs, so the clamp never changes output)
+        (F.lit(1) + F.shiftright(h, 1) % F.greatest(n_tok - 1, F.lit(1))).alias(
+            "cut1"
+        ),
     ).withColumn(
         "cut2",
         F.when(
