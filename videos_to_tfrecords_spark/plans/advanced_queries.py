@@ -1183,3 +1183,51 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(l[1] AS BIGINT)").alias("lo_cents"),
         F.expr(f"CAST(l[{_BOOT_B - 2}] AS BIGINT)").alias("hi_cents"),
     )
+
+
+@query(
+    "benford_first_digit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+SELECT digit, n,
+       CAST((1000000 * n) // nt AS BIGINT) AS obs_ppm,
+       CAST(floor(1000000 * log10(1.0 + 1.0 / digit)) AS BIGINT) AS benford_ppm
+FROM c, tot
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals (the fraud /
+    synthetic-data smell test a data-quality gate runs on any money or
+    count column): observed leading-digit distribution in exact ppm next
+    to the Benford expectation floor(1e6·log10(1+1/d)). Digits come from
+    the exact integer-cents decimal rendering (no float formatting
+    ambiguity); both engines share log10 IEEE semantics on the 9 constant
+    digit values.
+
+    Scale shape: one narrow scan with the digit extracted in codegen, a
+    9-key partial→final aggregate, one broadcast total."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = c.groupBy().agg(F.sum("n").cast("long").alias("nt"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("(1000000 * n) div nt").cast("long").alias("obs_ppm"),
+        F.floor(
+            F.lit(1000000) * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+        )
+        .cast("long")
+        .alias("benford_ppm"),
+    )

@@ -1212,3 +1212,46 @@ def q_preference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_losers",
         )
     )
+
+
+@query(
+    "source_loo_value",
+    """
+WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS s
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st FROM t)
+SELECT source, n AS n_docs,
+       CAST((1000000 * s) // n AS BIGINT) AS mean_chars_ppm,
+       CAST((1000000 * (st - s)) // (nt - n)
+            - (1000000 * st) // nt AS BIGINT) AS loo_delta_ppm
+FROM t, tot
+""",
+)
+def q_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation (the Shapley-style first cut a
+    data-mixing team runs): for each source, how the corpus-level metric
+    (mean chars/doc, in exact ppm) moves if that source is dropped — the
+    sign tells you which sources pull the mixture up or down. One grouped
+    aggregate plus a broadcast 1-row total; the LOO arithmetic is exact
+    integer closed form, NO per-source rescan (the naive formulation
+    re-aggregates the corpus once per source).
+
+    Assumes every source is a strict subset of the corpus (nt > n —
+    true by construction with ≥2 sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+    )
+    tot = t.groupBy().agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("long").alias("st")
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("(1000000 * s) div n").cast("long").alias("mean_chars_ppm"),
+        F.expr("(1000000 * (st - s)) div (nt - n) - (1000000 * st) div nt")
+        .cast("long")
+        .alias("loo_delta_ppm"),
+    )
