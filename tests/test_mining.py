@@ -282,3 +282,36 @@ def test_audio_energy_windows_hand_computed(spark):
     for r in rows:
         assert r.energy == 16 * v * v
         assert r.is_silence == (r.energy < 36_864)
+
+
+def test_misra_gries_candidates_cover_exact_heavy_hitters(spark):
+    # Zipf-ish skew over a domain (~1000 keys) far wider than the counter
+    # budget, spread over several partitions so the merge decrement and the
+    # per-partition union both get exercised.
+    from videos_to_tfrecords_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = [(i * i % 997,) for i in range(20_000)]
+    items = spark.createDataFrame(rows, "k long").repartition(8)
+    cand = {r[0] for r in misra_gries_candidates(items, "k", 64).collect()}
+    exact = (
+        items.groupBy("k").count().crossJoin(items.groupBy().count().withColumnRenamed("count", "n"))
+    )
+    hh_true = {
+        r["k"]
+        for r in exact.filter(F.col("count") * 50 > F.col("n")).collect()
+    }
+    assert hh_true <= cand  # MG soundness: no heavy hitter escapes
+    got = {
+        (r["k"], r["freq"])
+        for r in heavy_hitters_exact(items, "k", t_ratio=50, n_counters=64)
+        .select("k", "freq")
+        .collect()
+    }
+    want = {
+        (r["k"], r["count"])
+        for r in exact.filter(F.col("count") * 50 > F.col("n")).collect()
+    }
+    assert got == want  # two-pass result bit-equal to the naive groupBy

@@ -146,3 +146,75 @@ def power_iteration_int(gram_rows, iters: int = 4, scale: int = 1_000_000):
         dv = mx // scale + 1
         v = {i: _tdiv(x, dv) for i, x in w.items()}
     return v
+
+
+def misra_gries_candidates(
+    items: DataFrame, item_col: str, n_counters: int, item_type: str = "long"
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries: the bounded-memory candidate
+    stage of exact distributed heavy-hitter detection.
+
+    Each partition keeps ≤ ``n_counters`` counters regardless of partition
+    size (the frequent-items analog of a fixed-width CMS row). Batches are
+    folded in VECTORIZED: the Arrow batch's exact ``value_counts`` is added
+    to the running summary, then — the mergeable-summaries decrement
+    (Agarwal et al., PODS'12) — the (k+1)-th largest counter value is
+    subtracted from every counter and non-positive ones dropped, restoring
+    the width bound while keeping MG's guarantee: any item with partition
+    frequency > n_p/(k+1) survives in the summary. Hence any item with
+    GLOBAL frequency > n/T for T ≤ k is emitted by at least one partition
+    (if every partition had f_i(p) ≤ n_p/T the global sum could not exceed
+    n/T), so the union of summaries is a sound candidate set of ≤
+    k·n_partitions rows — metadata-sized, never the corpus.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: pd.Series | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > n_counters:
+                kth = counters.nlargest(n_counters + 1).iloc[-1]
+                counters = counters.sub(kth)
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({item_col: counters.index})
+
+    return items.mapInPandas(mg, f"{item_col} {item_type}").distinct()
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    item_col: str,
+    t_ratio: int = 100,
+    n_counters: int = 256,
+) -> DataFrame:
+    """EXACT heavy hitters (frequency·t_ratio > total) without a
+    corpus-sized shuffle: Misra–Gries candidates per partition, then one
+    verification scan that exact-counts ONLY the candidate keys (everything
+    else collapses into a single overflow bucket that still contributes to
+    the exact total). Requires ``t_ratio <= n_counters`` for the MG
+    soundness bound; output == the naive full groupBy, but the one shuffle
+    carries ≤ candidates+1 keys instead of the item domain.
+
+    The candidate collect is bounded by n_counters · n_partitions — the
+    broadcast-variable shape, not a data-sized collect.
+    """
+    if t_ratio > n_counters:
+        raise ValueError("MG soundness needs t_ratio <= n_counters")
+    cand = [
+        r[0]
+        for r in misra_gries_candidates(items, item_col, n_counters).collect()
+    ]
+    counts = items.groupBy(
+        F.when(F.col(item_col).isin(cand), F.col(item_col)).alias(item_col)
+    ).agg(F.count("*").cast("long").alias("freq"))
+    tot = counts.groupBy().agg(F.sum("freq").cast("long").alias("n_total"))
+    return (
+        counts.filter(F.col(item_col).isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * t_ratio > F.col("n_total"))
+    )

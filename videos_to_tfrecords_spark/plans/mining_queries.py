@@ -1247,3 +1247,37 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cents", F.lit(0)).cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "heavy_hitters_mg",
+    """
+WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bucket FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS freq FROM b GROUP BY 1)
+SELECT bucket, freq,
+       CAST((1000000 * freq) // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+FROM c, tot WHERE freq * 100 > n
+""",
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (>1% share) over the skewed event-value bucket
+    domain via the two-pass Misra–Gries pipeline — the hot-key detector
+    that feeds salting/broadcast decisions (join_key_skew_report's exact
+    census, re-done with bounded memory). The naive plan shuffles the full
+    item domain; this one shuffles ≤257 keys: per-partition ≤256-counter
+    MG summaries (operators/sketches.misra_gries_candidates, vectorized
+    batch folds with the PODS'12 merge decrement), then ONE verification
+    aggregate where non-candidates collapse into an overflow bucket that
+    still contributes to the exact total. Output is bit-equal to the
+    naive groupBy the oracle runs — MG affects cost, never the answer."""
+    from videos_to_tfrecords_spark.operators.sketches import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(F.floor("value").cast("long").alias("bucket"))
+    hh = heavy_hitters_exact(items, "bucket", t_ratio=100, n_counters=256)
+    return hh.select(
+        "bucket",
+        "freq",
+        F.expr("(1000000 * freq) div n_total").cast("long").alias("share_ppm"),
+    )

@@ -639,3 +639,102 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(nq, hits, possible, (1_000_000 * hits) // possible)],
         "n_queries long, n_hits long, n_possible long, recall_x1e6 long",
     )
+
+
+# NDCG@10 with an EXACT integer discount table: disc(r) = int(1e6/log2(r+1))
+# and its prefix sums are computed ONCE in Python and inlined literally in
+# both engines, so no cross-engine log/float divergence can exist — the
+# metric is pure int64 arithmetic end to end.
+_NDCG_K = 10
+_NDCG_DISC = [int(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = [sum(_NDCG_DISC[:m]) for m in range(1, _NDCG_K + 1)]
+
+
+def _ndcg_oracle() -> str:
+    hq = h15_sql("CAST(vec_id AS VARCHAR)", salt="ndcg")
+    disc = "list_value(" + ", ".join(map(str, _NDCG_DISC)) + ")"
+    idcg = "list_value(" + ", ".join(map(str, _NDCG_IDCG)) + ")"
+    return f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 64) AS kq FROM embeddings),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE {hq} % (SELECT kq FROM kq) = 0),
+s AS (SELECT a.vec_id AS query_id, a.label AS qlab, b.vec_id AS cand_id,
+             b.label AS clab, {_DOT} AS dot
+      FROM q a JOIN e b ON b.vec_id != a.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, cand_id) AS rnk FROM s),
+pq AS (SELECT query_id, qlab,
+              CAST(sum(CASE WHEN clab = qlab THEN {disc}[CAST(rnk AS INT)]
+                            ELSE 0 END) AS BIGINT) AS dcg,
+              min(CASE WHEN clab = qlab THEN rnk END) AS first_rel
+       FROM r WHERE rnk <= {_NDCG_K} GROUP BY 1, 2),
+lc AS (SELECT label, count(*) AS n_lab FROM e GROUP BY 1)
+SELECT query_id, dcg,
+       CAST(LEAST(n_lab - 1, {_NDCG_K}) AS BIGINT) AS n_rel,
+       CAST(CASE WHEN n_lab > 1 THEN (1000000 * dcg)
+                      // ({idcg}[CAST(LEAST(n_lab - 1, {_NDCG_K}) AS INT)])
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm,
+       CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_ppm
+FROM pq JOIN lc ON lc.label = pq.qlab
+"""
+
+
+@query("retrieval_ndcg_eval", _ndcg_oracle())
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 + reciprocal rank of exact dot-product retrieval,
+    graded against label agreement — the ranking-quality eval a retrieval
+    or embedding rollout gates on (the recall@k query grades the INDEX
+    against brute force; this grades the RANKING against ground truth).
+    Discount table and its prefix sums (IDCG for 0/1 relevance = sum of
+    the first min(n_rel, 10) discounts) are Python-precomputed integer
+    literals shared by both engines, so NDCG/MRR are exact int64 ppm.
+
+    Scale shape: bounded probe set (~64 queries via corpus-derived h15
+    modulus) collected into the mapInPandas brute-force kernel — corpus
+    scans once, never shuffles; everything after the per-batch partial
+    top-k is metadata-sized (|q|·k rows, 10-row label counts, broadcast
+    joins only)."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = int(emb.count())
+    kq = max(1, n // 64)
+    qdf = emb.filter(h15(F.col("vec_id").cast("string"), salt="ndcg") % kq == 0)
+    br = brute_force_topk(qdf, emb, k=_NDCG_K)
+    qlab = qdf.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    hits = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clab")
+    ).join(F.broadcast(br.join(F.broadcast(qlab), "query_id")), "cand_id")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rnk").cast("int")
+    )
+    rel = (F.col("clab") == F.col("qlab")).cast("long")
+    pq = hits.groupBy("query_id", "qlab").agg(
+        F.sum(rel * disc).cast("long").alias("dcg"),
+        F.min(F.when(rel == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    lc = emb.groupBy(F.col("label").alias("qlab")).agg(F.count("*").alias("n_lab"))
+    n_rel = F.least(F.col("n_lab") - 1, F.lit(_NDCG_K))
+    idcg = F.element_at(
+        F.array(*[F.lit(s) for s in _NDCG_IDCG]),
+        F.greatest(n_rel, F.lit(1)).cast("int"),
+    )
+    return (
+        pq.join(F.broadcast(lc), "qlab")
+        .withColumn("idcg", idcg)
+        .select(
+            "query_id",
+            "dcg",
+            n_rel.cast("long").alias("n_rel"),
+            F.when(F.col("n_lab") > 1, F.expr("(1000000 * dcg) div idcg"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ndcg_ppm"),
+            F.when(
+                F.col("first_rel").isNotNull(), F.expr("1000000 div first_rel")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+    )
