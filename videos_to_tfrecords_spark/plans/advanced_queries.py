@@ -1231,3 +1231,79 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_ppm"),
     )
+
+
+@query(
+    "mannwhitney_value_by_flag",
+    """
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+           FROM lineitem),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS t, CAST(sum(grp) AS BIGINT) AS ta
+      FROM v GROUP BY x),
+r AS (SELECT x, t, ta,
+             CAST(coalesce(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM c),
+s AS (SELECT CAST(sum(ta * (2 * cum + t + 1)) AS BIGINT) AS r2a,
+             CAST(sum(ta) AS BIGINT) AS na,
+             CAST(sum(t - ta) AS BIGINT) AS nb FROM r)
+SELECT na, nb,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       CAST((CAST(500000 AS HUGEINT) * (r2a - na * (na + 1)))
+            // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS effect_ppm
+FROM s
+""",
+)
+def q_mannwhitney_value_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) comparing returned ('R') vs kept line
+    items on price — the distribution-free two-sample test a data-quality
+    gate runs when means lie (heavy tails, outliers). Exact integer
+    tie-handling: for a distinct value with t ties after cum predecessors,
+    2·avg_rank = 2·cum + t + 1, so doubled rank sums stay integral;
+    U·2 = 2R_A − n_A(n_A+1) and the common-language effect size
+    U/(n_A·n_B) lands in exact ppm (the AUC identity: this IS
+    classifier_auc_eval's statistic, derived rank-wise). Closing product
+    in DECIMAL(38)/HUGEINT (the acf overflow lesson).
+
+    Scale shape: corpus collapses to a distinct-VALUE census first (cents
+    domain is price-bounded, not corpus-bounded), so the one unpartitioned
+    running-total window runs over domain-sized rows — the
+    classifier_auc_eval precedent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        (F.col("l_returnflag") == "R").cast("long").alias("grp"),
+    )
+    c = v.groupBy("x").agg(
+        F.count("*").cast("long").alias("t"), F.sum("grp").cast("long").alias("ta")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = c.select(
+        "t", "ta", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cum")
+    )
+    s = r.agg(
+        F.sum(F.col("ta") * (2 * F.col("cum") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2a"),
+        F.sum("ta").cast("long").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("nb"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    return s.select(
+        "na",
+        "nb",
+        u2.cast("long").alias("u2_a"),
+        (
+            (F.lit(500000).cast("decimal(38,0)") * u2.cast("decimal(38,0)"))
+        ).alias("_num"),
+        (F.col("na").cast("decimal(38,0)") * F.col("nb").cast("decimal(38,0)")).alias(
+            "_den"
+        ),
+    ).select(
+        "na",
+        "nb",
+        "u2_a",
+        F.expr("_num div _den").cast("long").alias("effect_ppm"),
+    )

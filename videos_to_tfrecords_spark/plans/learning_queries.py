@@ -1255,3 +1255,65 @@ def q_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("loo_delta_ppm"),
     )
+
+
+@query(
+    "mcnemar_model_compare",
+    """
+WITH p AS (SELECT (event_type = 'purchase') AS y,
+                  (value > 30.0) AS a, (value > 40.0) AS b FROM events),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = y AND b != y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a_only,
+             CAST(sum(CASE WHEN b = y AND a != y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b_only
+      FROM p)
+SELECT n, n_a_only, n_b_only,
+       CAST(CASE WHEN n_a_only + n_b_only > 0
+                 THEN (1000000 * GREATEST(abs(n_a_only - n_b_only) - 1, 0)
+                               * GREATEST(abs(n_a_only - n_b_only) - 1, 0))
+                      // (n_a_only + n_b_only)
+                 ELSE 0 END AS BIGINT) AS mcnemar_chi2_ppm
+FROM m
+""",
+)
+def q_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the SAME
+    eval rows (the statistically correct A/B for model swaps — unpaired
+    accuracy deltas waste the pairing): discordant counts b (A right, B
+    wrong) and c (B right, A wrong) plus the continuity-corrected
+    chi-square statistic (|b−c|−1)²/(b+c), exact in ppm. Models here are
+    two deterministic value thresholds against the purchase label, so
+    both engines score identical predictions.
+
+    Scale shape: one narrow scan, all three counters in a single
+    partial→final aggregate — nothing shuffles but 3 integers."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("event_type") == "purchase"
+    a = F.col("value") > 30.0
+    b = F.col("value") > 40.0
+    m = ev.select(y.alias("y"), a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("a") == F.col("y")) & (F.col("b") != F.col("y"))).cast("long"))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum(((F.col("b") == F.col("y")) & (F.col("a") != F.col("y"))).cast("long"))
+        .cast("long")
+        .alias("n_b_only"),
+    )
+    return m.select(
+        "n",
+        "n_a_only",
+        "n_b_only",
+        F.when(
+            F.col("n_a_only") + F.col("n_b_only") > 0,
+            F.expr(
+                "(1000000 * GREATEST(abs(n_a_only - n_b_only) - 1, 0)"
+                " * GREATEST(abs(n_a_only - n_b_only) - 1, 0))"
+                " div (n_a_only + n_b_only)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mcnemar_chi2_ppm"),
+    )

@@ -1281,3 +1281,46 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.expr("(1000000 * freq) div n_total").cast("long").alias("share_ppm"),
     )
+
+
+@query(
+    "l_diversity_audit",
+    """
+WITH qi AS (
+  SELECT lang, n_chars // 500 AS len_band,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT source) AS BIGINT) AS l
+  FROM documents GROUP BY 1, 2)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk
+FROM qi GROUP BY lang
+""",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k_anonymity_audit's sharper sibling: within each
+    quasi-identifier class (lang × 500-char length band) count DISTINCT
+    values of the sensitive attribute (source); a class where every row
+    shares one source leaks membership even at high k. Per lang: class
+    count, min l, and rows in classes with l < 3.
+
+    Scale shape: two-level hash aggregate; the exact distinct runs as
+    (lang, band, source) partial census first, so nothing wider than the
+    QI key ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang", (F.col("n_chars") / F.lit(500)).cast("long").alias("len_band")
+    ).agg(
+        F.count("*").cast("long").alias("k"),
+        F.count_distinct("source").cast("long").alias("l"),
+    )
+    return qi.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

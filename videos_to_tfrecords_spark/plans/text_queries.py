@@ -1521,3 +1521,65 @@ def q_fim_transform_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("suffix_toks"),
     )
+
+
+@query(
+    "incremental_dedup_delta",
+    """
+WITH d AS (SELECT doc_id, source,
+                  md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS k
+           FROM documents),
+prev AS (SELECT DISTINCT k FROM d WHERE doc_id % 2 = 0),
+newb AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+flag AS (SELECT n.source,
+                n.k IN (SELECT k FROM prev) AS dup_prev,
+                n.doc_id != min(n.doc_id) OVER (PARTITION BY n.k) AS dup_batch
+         FROM newb n)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN dup_prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_snapshot,
+       CAST(sum(CASE WHEN NOT dup_prev AND dup_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_in_batch,
+       CAST(sum(CASE WHEN NOT dup_prev AND NOT dup_batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accepted
+FROM flag GROUP BY source
+""",
+)
+def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup census: an incoming batch (odd doc_ids)
+    against an already-accepted snapshot (even doc_ids), on a leading-span
+    content key (md5 of the first 8 tokens — the cheap first-pass key a
+    C4-style pipeline dedupes on before any shingling). Per source:
+    incoming, rejected-vs-snapshot, rejected-within-batch (keep-first),
+    accepted — the numbers an ingestion ledger records per increment.
+
+    Scale shape: only (key, id) ever shuffles; the snapshot side reduces
+    to DISTINCT keys before the join (at 100 TB that side is the stored
+    content-hash index, not a re-scan) and the within-batch keep-first
+    window partitions by key. Text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+    d = docs.select("doc_id", "source", k.alias("k"))
+    prev = d.filter(F.col("doc_id") % 2 == 0).select("k").distinct()
+    newb = d.filter(F.col("doc_id") % 2 == 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    flag = newb.join(
+        prev.withColumn("in_prev", F.lit(True)), "k", "left"
+    ).select(
+        "source",
+        F.coalesce("in_prev", F.lit(False)).alias("dup_prev"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("dup_batch"),
+    )
+    return flag.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_incoming"),
+        F.sum(F.col("dup_prev").cast("long")).cast("long").alias("n_dup_vs_snapshot"),
+        F.sum((~F.col("dup_prev") & F.col("dup_batch")).cast("long"))
+        .cast("long")
+        .alias("n_dup_in_batch"),
+        F.sum((~F.col("dup_prev") & ~F.col("dup_batch")).cast("long"))
+        .cast("long")
+        .alias("n_accepted"),
+    )
