@@ -1317,3 +1317,134 @@ def q_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mcnemar_chi2_ppm"),
     )
+
+
+_COMPACT_TARGET = 20_000  # chars per compacted output file
+
+
+@query(
+    "compaction_plan",
+    f"""
+WITH f AS (SELECT source, doc_id, n_chars,
+                  CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS before
+           FROM documents),
+b AS (SELECT source, doc_id, n_chars, before // {_COMPACT_TARGET} AS bin FROM f)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_id,
+       CAST(max(doc_id) AS BIGINT) AS last_id
+FROM b GROUP BY 1, 2
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLANNER (the query-side twin of
+    sources/layout.py's compaction writer): treating each doc as one small
+    file sized by n_chars, assign id-ordered files within a source to
+    sequential ~{_COMPACT_TARGET}-byte output bins via prefix sum — bin =
+    bytes_before // target, the first-fit-in-order rule every table-format
+    compactor (Iceberg/Delta OPTIMIZE) uses. Output: one manifest row per
+    planned file with count/volume/id-range.
+
+    Scale shape: one window partitioned by source (the planner's unit of
+    work — partitions plan independently and in parallel), then a
+    partial→final aggregate on (source, bin). Nothing corpus-wide ever
+    sits in one task."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" div {_COMPACT_TARGET}"
+        ).alias("bin"),
+    )
+    return b.groupBy("source", F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+        F.min("doc_id").cast("long").alias("first_id"),
+        F.max("doc_id").cast("long").alias("last_id"),
+    )
+
+
+# shift makes every quantized coordinate non-negative so integer floor
+# division == truncating division in BOTH engines; (sv + n*K) // n =
+# sv // n + K exactly, and centroid DIFFERENCES cancel the shift.
+_CENT_SHIFT = 2_000_000
+
+
+@query(
+    "label_centroid_distances",
+    f"""
+WITH e AS (SELECT label,
+                  list_transform(embedding::DOUBLE[],
+                    x -> CAST(round(x * 1000000) AS BIGINT) + {_CENT_SHIFT}) AS v
+           FROM embeddings),
+idx AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1))
+          AS k),
+s AS (SELECT label, k, CAST(sum(v[k]) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e, idx GROUP BY 1, 2),
+c AS (SELECT label, k, sv // n AS ctr FROM s),
+p AS (SELECT a.label AS la, b.label AS lb,
+             CAST(sum((a.ctr - b.ctr) * (a.ctr - b.ctr)) AS BIGINT) AS dist2
+      FROM c a JOIN c b ON a.k = b.k AND a.label < b.label GROUP BY 1, 2)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b, dist2 FROM p
+""",
+)
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared distances between per-label embedding centroids —
+    the class-separation / domain-gap census a curation team reads before
+    trusting label-conditioned sampling (collapsed centroids = labels an
+    embedding model can't tell apart). Exact integer arithmetic: quantized
+    coords are shifted non-negative (see _CENT_SHIFT) so the floor-divided
+    centroid is engine-identical, and the shift cancels in differences.
+
+    Scale shape: posexplode → one partial→final aggregate on (label, dim)
+    (10×64 = 640 rows out of any corpus size), then a 45-pair broadcast
+    self-join of planning-metadata-sized centroids. Corpus scans once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("k0", "x")
+        )
+        .groupBy(F.col("label").cast("long").alias("label"), "k0")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * 1000000).cast("long")
+                + F.lit(_CENT_SHIFT)
+            ).alias("sv"),
+            F.count("*").alias("n"),
+        )
+    )
+    c = s.select("label", "k0", F.expr("sv div n").alias("ctr"))
+    a = c.select(
+        F.col("label").alias("label_a"), F.col("k0").alias("k"), F.col("ctr").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), F.col("k0").alias("kb"), F.col("ctr").alias("cb")
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("k") == F.col("kb")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
