@@ -872,3 +872,148 @@ def q_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("timestamp_ms").alias("start_ms"),
         F.max("timestamp_ms").alias("end_ms"),
     )
+
+
+_RAG_CAND = 32  # lexical candidates per query kept for rerank
+
+
+def _rag_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+    from videos_to_tfrecords_spark.functions.vector import scaled_int_dot_sql
+
+    hq = h15_sql("CAST(doc_id AS VARCHAR)", salt="ragq")
+    dot = scaled_int_dot_sql("qe.v", "ce.v")
+    return f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 16) AS m FROM documents),
+d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT doc_id AS query_id, source AS qsrc, tk[1:6] AS q6
+      FROM d WHERE {hq} % (SELECT m FROM kq) = 0),
+post AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM d),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+qt AS (SELECT query_id, tok,
+              row_number() OVER (PARTITION BY query_id ORDER BY df, tok) AS r
+       FROM (SELECT DISTINCT query_id, unnest(q6) AS tok FROM q) j
+       JOIN df USING (tok)),
+rare AS (SELECT query_id, tok FROM qt WHERE r <= 2),
+cand AS (SELECT DISTINCT r.query_id, p.doc_id
+         FROM rare r JOIN post p USING (tok) WHERE p.doc_id != r.query_id),
+sc AS (SELECT c.query_id, c.doc_id,
+              CAST(len(list_intersect(q.q6, dd.tk)) AS BIGINT) AS score,
+              dd.source = q.qsrc AS rel
+       FROM cand c JOIN q ON q.query_id = c.query_id
+       JOIN d dd ON dd.doc_id = c.doc_id),
+top AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS lr FROM sc)
+        WHERE lr <= {_RAG_CAND}),
+rr AS (SELECT t.query_id, t.rel,
+              row_number() OVER (PARTITION BY t.query_id
+                ORDER BY {dot} DESC, t.doc_id) AS er
+       FROM top t JOIN e qe ON qe.vec_id = t.query_id
+       JOIN e ce ON ce.vec_id = t.doc_id)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_cand,
+       CAST(coalesce(1000000 // min(CASE WHEN rel THEN er END), 0) AS BIGINT)
+         AS rr_ppm,
+       CAST(max(CASE WHEN rel AND er <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3
+FROM rr GROUP BY query_id
+"""
+
+
+@query("rag_retrieval_e2e", _rag_oracle())
+def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth E2E mainline: the RETRIEVAL pipeline a RAG training-data
+    builder runs — (1) bounded probe queries (corpus-derived modulus,
+    leading 6 tokens as the lexical query), (2) candidate generation
+    through the inverted token index pruned to each query's 2 RAREST
+    tokens by global document frequency (the df-ordered prefix-filter that
+    keeps stopword posting lists out of the join), (3) exact 6-token
+    overlap scoring of candidates only, top-32 per query, (4) embedding
+    dot-product rerank (exact scaled-int), (5) graded funnel: candidate
+    counts, same-source relevance, reciprocal rank and hit@3 after rerank
+    — per query, all exact integers, hash-checked against the SQL twin.
+
+    Scale shape: df table is vocab-sized (broadcast); the posting join
+    touches only the rare-token lists (~16 bounded queries × 2 lists);
+    candidate scoring joins the bounded pair set against the corpus by
+    doc_id ONCE (linear, no token explosion — array_intersect runs
+    in-task on the already-loaded token arrays); rerank and metrics are
+    metadata-sized windows over ≤ 16·32 rows."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+    from videos_to_tfrecords_spark.functions.vector import scaled_int_dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = int(docs.count())
+    m = max(1, n // 16)
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+    q = d.filter(h15(F.col("doc_id").cast("string"), salt="ragq") % m == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("qsrc"),
+        F.slice("tk", 1, 6).alias("q6"),
+    )
+    post = d.select("doc_id", F.explode(F.array_distinct("tk")).alias("tok"))
+    df_t = post.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    qt = (
+        q.select("query_id", F.explode(F.array_distinct("q6")).alias("tok"))
+        .join(F.broadcast(df_t), "tok")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("df", "tok")
+            ),
+        )
+    )
+    rare = qt.filter(F.col("r") <= 2).select("query_id", "tok")
+    cand = (
+        post.join(F.broadcast(rare), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    sc = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(d, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("q6", "tk")).cast("long").alias("score"),
+            (F.col("source") == F.col("qsrc")).alias("rel"),
+        )
+    )
+    top = sc.withColumn(
+        "lr",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    ).filter(F.col("lr") <= _RAG_CAND)
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ce = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"))
+    rr = (
+        qe.join(F.broadcast(top), "query_id")
+        .join(ce, "doc_id")
+        .withColumn(
+            "er",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc(scaled_int_dot("qv", "cv")), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return rr.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.col("rel").cast("long")).cast("long").alias("n_rel_cand"),
+        F.coalesce(
+            F.expr("1000000 div min(CASE WHEN rel THEN er END)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+        F.max(F.when(F.col("rel") & (F.col("er") <= 3), 1).otherwise(0))
+        .cast("long")
+        .alias("hit3"),
+    )
