@@ -101,3 +101,55 @@ def test_sliding_distinct_users_gap_and_rejoin(spark):
         u2 = s <= 0 < s + 7
         want[s] = int(u1) + int(u2)
     assert rel == want
+
+
+def test_ndcg_and_rr_bounds(spark, sf_dir):
+    # NDCG normalized by the ideal ranking can never exceed 1e6 ppm, and a
+    # nonzero reciprocal rank lies in [1e6/10, 1e6].
+    from videos_to_tfrecords_spark.plans.similarity_queries import (
+        q_retrieval_ndcg_eval,
+    )
+
+    rows = q_retrieval_ndcg_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert r["rr_ppm"] == 0 or 100_000 <= r["rr_ppm"] <= 1_000_000
+        assert 0 <= r["n_rel"] <= 10
+
+
+def test_mannwhitney_u_bounds_and_symmetry(spark, sf_dir):
+    # 0 <= U_A <= n_a*n_b, so the doubled statistic is bounded by 2*na*nb
+    # and the effect size by 1e6.
+    from videos_to_tfrecords_spark.plans.advanced_queries import (
+        q_mannwhitney_value_by_flag,
+    )
+
+    r = q_mannwhitney_value_by_flag(spark, sf_dir).collect()[0]
+    assert 0 <= r["u2_a"] <= 2 * r["na"] * r["nb"]
+    assert 0 <= r["effect_ppm"] <= 1_000_000
+
+
+def test_compaction_plan_bins_are_contiguous_and_conserving(spark, sf_dir):
+    from videos_to_tfrecords_spark.plans.learning_queries import (
+        q_compaction_plan,
+    )
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    rows = q_compaction_plan(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    total = sum(r["bytes"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy()
+        .sum("n_chars")
+        .collect()[0][0]
+    )
+    assert total == want  # every byte lands in exactly one planned file
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["bin"])
+        assert [r["bin"] for r in rs] == list(range(len(rs)))  # dense bins
+        for a, b in zip(rs, rs[1:]):
+            assert a["last_id"] < b["first_id"]  # id-ordered, non-overlapping
