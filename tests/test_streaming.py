@@ -448,3 +448,28 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     drain_once()  # fresh query object, same checkpoint — resumes offsets
     got = sorted(r.v for r in spark.read.parquet(out).collect())
     assert got == list(range(15))  # no duplicates of the first 10
+
+
+def test_streaming_heavy_hitters_matches_batch_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """Streamed per-bucket counts must merge across microbatches into
+    exactly the batch two-pass (Misra-Gries) heavy-hitter answer."""
+    from videos_to_tfrecords_spark.plans.mining_queries import q_heavy_hitters_mg
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evsrc")
+    ev.repartition(4).write.parquet(src)
+    got = {
+        (r.bucket, r.freq, r.share_ppm)
+        for r in streaming_heavy_hitters(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    expect = {
+        (r.bucket, r.freq, r.share_ppm)
+        for r in q_heavy_hitters_mg(spark, sf_dir).collect()
+    }
+    assert got == expect

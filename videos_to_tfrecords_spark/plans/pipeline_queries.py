@@ -1017,3 +1017,26 @@ def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hit3"),
     )
+
+
+@query(
+    "streaming_heavy_hitters",
+    """
+WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bucket FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS freq FROM b GROUP BY 1)
+SELECT bucket, freq,
+       CAST((1000000 * freq) // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+FROM c, tot WHERE freq * 100 > n
+""",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key monitor run THROUGH Structured Streaming (twin of the
+    batch heavy_hitters_mg query, sharing its oracle bit-for-bit): the
+    streaming state is the per-bucket count table, bounded by the value
+    DOMAIN rather than stream volume. Multi-microbatch mergeability is
+    pytest-driven; see streaming/pipeline.streaming_heavy_hitters for the
+    unbounded-domain MG porting note."""
+    from videos_to_tfrecords_spark.streaming.pipeline import streaming_heavy_hitters
+
+    return streaming_heavy_hitters(spark, sf_dir)

@@ -679,3 +679,54 @@ def streaming_drift_histogram(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select("h", "bin", "c")
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    t_ratio: int = 100,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Heavy-hitter monitor AS A STREAMING AGGREGATION over the event
+    value-bucket domain: state is the per-bucket running count — bounded by
+    the VALUE DOMAIN (a few hundred integer buckets), not stream volume, so
+    the streaming agg is the exact answer with constant state (the same
+    bounded-state argument as streaming_cms_counts, with the bound coming
+    from the key domain instead of the sketch shape; for an unbounded key
+    domain the batch engine's Misra–Gries candidate stage —
+    operators/sketches.py — is the state bound you'd port into
+    applyInPandasWithState). Drained on a bounded source, filtering the
+    final table at share > 1/t_ratio is bit-equal to the batch
+    heavy_hitters_mg query, which is how it shares that oracle."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    agg = (
+        reader.parquet(sf_dir)
+        .select(F.floor("value").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    name = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    counts = spark.table(name).select("bucket", "freq")
+    tot = counts.groupBy().agg(F.sum("freq").cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * t_ratio > F.col("n_total"))
+        .select(
+            "bucket",
+            "freq",
+            F.expr("(1000000 * freq) div n_total").cast("long").alias("share_ppm"),
+        )
+    )
