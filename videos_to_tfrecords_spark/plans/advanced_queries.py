@@ -1307,3 +1307,87 @@ def q_mannwhitney_value_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u2_a",
         F.expr("_num div _den").cast("long").alias("effect_ppm"),
     )
+
+
+@query(
+    "price_skewness_by_brand",
+    """
+WITH v AS (SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS x
+           FROM part),
+s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2,
+             sum(CAST(x AS HUGEINT) * x * x) AS s3
+      FROM v GROUP BY 1),
+m AS (SELECT p_brand, n,
+             CAST(s1 // n AS BIGINT) AS mean_cents,
+             n * s2 - s1 * s1 AS m2n,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n
+      FROM s)
+SELECT p_brand, n, mean_cents,
+       CAST(m2n // (n * n) AS BIGINT) AS var_c2,
+       CAST(CASE WHEN m2n > 0 THEN floor(
+              1000000.0 * CAST(m3n AS DOUBLE)
+              / (sqrt(CAST(m2n AS DOUBLE)) * CAST(m2n AS DOUBLE)))
+            ELSE 0 END AS BIGINT) AS skew_ppm
+FROM m
+""",
+)
+def q_price_skewness_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand third-moment profile — the tail-asymmetry census a
+    pricing/data-quality monitor reads next to mean and variance (a
+    symmetric generator should sit near skew 0; drift in skew flags a
+    changed tail, not just a shifted center). Exact integer sufficient
+    statistics Σx, Σx², Σx³ in DECIMAL(38,0)/HUGEINT (the acf closing-
+    product lesson: a corpus-sized sum squared or cubed is the first
+    thing to overflow int64); population skewness collapses to the
+    scale-free closed form g1 = M3/M2^1.5 with M2 = nΣx²−(Σx)²,
+    M3 = n²Σx³−3nΣxΣx²+2(Σx)³, the single closing float division on an
+    identical expression tree (sqrt(M2)·M2, both engines IEEE).
+
+    Scale shape: one narrow scan, one partial→final aggregate keyed by
+    brand — three extra integer columns of map-side state buy the third
+    moment. (Σx)³ fits DECIMAL(38) to ~1e10 rows of cent-scale prices;
+    past that, rescale units before summing."""
+    part = load_table(spark, sf_dir, "part")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.round(F.col("p_retailprice") * 100).cast("long")
+    s = part.select(F.col("p_brand"), x.alias("x")).groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col("x"))).alias("s1"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("s2"),
+        F.sum(d38(F.col("x")) * d38(F.col("x")) * d38(F.col("x"))).alias("s3"),
+    )
+    nD = d38(F.col("n"))
+    m2n = nD * F.col("s2") - F.col("s1") * F.col("s1")
+    m3n = (
+        nD * nD * F.col("s3")
+        - F.lit(3) * nD * F.col("s1") * F.col("s2")
+        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
+    )
+    m = s.select(
+        "p_brand",
+        "n",
+        F.expr("CAST(s1 div n AS BIGINT)").alias("mean_cents"),
+        m2n.alias("m2n"),
+        m3n.alias("m3n"),
+    )
+    return m.select(
+        "p_brand",
+        "n",
+        "mean_cents",
+        F.expr("CAST(m2n div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").alias(
+            "var_c2"
+        ),
+        F.when(
+            F.col("m2n") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("m3n").cast("double")
+                / (F.sqrt(F.col("m2n").cast("double")) * F.col("m2n").cast("double"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("skew_ppm"),
+    )
