@@ -591,3 +591,60 @@ def weighted_pagerank_integer(
     e_deg.unpersist(blocking=False)
     e.unpersist(blocking=False)
     return out
+
+
+def hits_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-round integer HITS over a directed (hub → authority) edge list:
+    authority = Σ hub over in-edges, hub = Σ authority over out-edges,
+    renormalized after every sum by the data-derived truncating divisor
+    d = max div scale + 1 (the power_iteration_int technique — keeps every
+    value ≤ scale, so sums stay ≤ deg·scale ≪ 2⁶³ and the whole
+    trajectory is bit-reproducible in any 64-bit engine).
+
+    Returns ('hub', key, score) per source node after round 1 and
+    ('authority', key, score) per destination node after round 2. One
+    shuffle per half-step (the PageRank profile); the three max() reads
+    are 1-scalar driver actions, the same metadata stance as PageRank's
+    node count."""
+    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("s")).persist()
+
+    def norm(df: DataFrame, key: str) -> DataFrame:
+        # each half-step feeds BOTH its max() read and the next round's
+        # join — persist for the two reads, checkpoint the node-sized
+        # result so later rounds don't re-execute the whole chain
+        t = df.persist()
+        mx = t.agg(F.max("v")).collect()[0][0]
+        d = mx // scale + 1
+        out = t.select(key, F.expr(f"v div {d}").alias("v")).localCheckpoint(
+            eager=True
+        )
+        t.unpersist(blocking=False)
+        return out
+
+    a1 = norm(
+        e.groupBy("s").agg((F.count("*") * scale).alias("v")), "s"
+    )  # h0 = scale for every hub
+    h1 = norm(e.join(a1, "s").groupBy("c").agg(F.sum("v").alias("v")), "c")
+    a2 = norm(e.join(h1, "c").groupBy("s").agg(F.sum("v").alias("v")), "s")
+    out = (
+        h1.select(
+            F.lit("hub").alias("node_type"),
+            F.col("c").cast("long").alias("key"),
+            F.col("v").cast("long").alias("score"),
+        )
+        .unionByName(
+            a2.select(
+                F.lit("authority").alias("node_type"),
+                F.col("s").cast("long").alias("key"),
+                F.col("v").cast("long").alias("score"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist(blocking=False)
+    return out

@@ -565,3 +565,50 @@ def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").cast("long").alias("key"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _hits_oracle_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+a1 AS (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS v FROM e GROUP BY s),
+da1 AS (SELECT (max(v) // 1000000) + 1 AS d FROM a1),
+a1n AS (SELECT s, v // (SELECT d FROM da1) AS v FROM a1),
+h1 AS (SELECT e.c, CAST(sum(a.v) AS BIGINT) AS v
+       FROM e JOIN a1n a USING (s) GROUP BY e.c),
+dh1 AS (SELECT (max(v) // 1000000) + 1 AS d FROM h1),
+h1n AS (SELECT c, v // (SELECT d FROM dh1) AS v FROM h1),
+a2 AS (SELECT e.s, CAST(sum(h.v) AS BIGINT) AS v
+       FROM e JOIN h1n h USING (c) GROUP BY e.s),
+da2 AS (SELECT (max(v) // 1000000) + 1 AS d FROM a2),
+a2n AS (SELECT s, v // (SELECT d FROM da2) AS v FROM a2)
+SELECT 'hub' AS node_type, CAST(c AS BIGINT) AS key, CAST(v AS BIGINT) AS score
+FROM h1n
+UNION ALL
+SELECT 'authority', CAST(s AS BIGINT), CAST(v AS BIGINT) FROM a2n
+"""
+
+
+@query("graph_hits_trade", _hits_oracle_sql())
+def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the DIRECTED customer→supplier trade
+    graph (PageRank's bipartite sibling: hub customers buy from the
+    well-sourced suppliers, authority suppliers are bought by the
+    well-connected customers — the mutually-recursive influence pair).
+    Two exact integer rounds with data-derived truncating renormalization
+    (operators/graph.hits_integer); the oracle is the update rule
+    unrolled CTE-per-half-step, the PageRank oracle technique.
+
+    Scale shape: one shuffle per half-step on the node key; rank tables
+    are node-sized; the edge list persists across rounds (one derivation
+    for four consumers)."""
+    from videos_to_tfrecords_spark.operators.graph import hits_integer
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return hits_integer(edges)
