@@ -1391,3 +1391,84 @@ def q_price_skewness_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("skew_ppm"),
     )
+
+
+@query(
+    "shipping_survival_curve",
+    """
+WITH t AS (SELECT date_diff('day', o_orderdate, l_shipdate) AS d,
+                  l_returnflag = 'R' AS cens
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE date_diff('day', o_orderdate, l_shipdate) >= 0),
+g AS (SELECT d, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS ev,
+             CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      FROM t GROUP BY d),
+r AS (SELECT *, CAST(sum(m) OVER (ORDER BY d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk FROM g),
+s AS (SELECT d, n_risk, ev, cn,
+             CAST(sum(CASE WHEN ev = 0 THEN 0
+                           WHEN n_risk > ev
+                             THEN CAST(floor(1000000 * ln(n_risk - ev)) AS BIGINT)
+                                  - CAST(floor(1000000 * ln(n_risk)) AS BIGINT)
+                           ELSE -999000000 END)
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS log_s_x1e6
+      FROM r)
+SELECT CAST(d AS BIGINT) AS t_days, n_risk, ev AS n_events, cn AS n_censored,
+       log_s_x1e6
+FROM s
+""",
+)
+def q_shipping_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve for order→ship latency,
+    with returned items (l_returnflag = 'R') treated as right-censored —
+    time-to-event analytics (the SLA / attrition curve), distributed. The
+    survival product Π(1 − d/n) is carried in QUANTIZED LOG space: each
+    step contributes floor(1e6·ln(n−d)) − floor(1e6·ln(n)) — ln of exact
+    INTEGERS, the doc_unigram_entropy determinism pattern — so the
+    cumulative curve is an exact integer sum in both engines. A step that
+    exhausts the risk set (S hits 0) contributes a fixed −999000000
+    sentinel.
+
+    Scale shape: corpus collapses to a per-day census first (day domain
+    is calendar-bounded, not corpus-bounded), so the two unpartitioned
+    windows (reverse cumulative risk set, forward cumulative log-S) run
+    over domain-sized rows — the classifier_auc_eval precedent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    t = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.datediff("l_shipdate", "o_orderdate").alias("d"),
+            (F.col("l_returnflag") == "R").alias("cens"),
+        )
+        .filter(F.col("d") >= 0)
+    )
+    g = t.groupBy("d").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.when(F.col("cens"), 0).otherwise(1)).cast("long").alias("ev"),
+        F.sum(F.when(F.col("cens"), 1).otherwise(0)).cast("long").alias("cn"),
+    )
+    w_rev = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("n_risk", F.sum("m").over(w_rev).cast("long"))
+    lnq = lambda c: F.floor(F.lit(1000000) * F.log(c)).cast("long")  # noqa: E731
+    term = (
+        F.when(F.col("ev") == 0, F.lit(0))
+        .when(
+            F.col("n_risk") > F.col("ev"),
+            lnq(F.col("n_risk") - F.col("ev")) - lnq(F.col("n_risk")),
+        )
+        .otherwise(F.lit(-999000000))
+    )
+    w_fwd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return r.select(
+        F.col("d").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("ev").alias("n_events"),
+        F.col("cn").alias("n_censored"),
+        F.sum(term).over(w_fwd).cast("long").alias("log_s_x1e6"),
+    )
