@@ -1472,3 +1472,61 @@ def q_shipping_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").alias("n_censored"),
         F.sum(term).over(w_fwd).cast("long").alias("log_s_x1e6"),
     )
+
+
+@query(
+    "order_volume_cusum",
+    """
+WITH dayc AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+k AS (SELECT CAST(sum(x) // count(*) AS BIGINT) AS k FROM dayc),
+c AS (SELECT day, x,
+             CAST(sum(x) OVER w - row_number() OVER w * (SELECT k FROM k)
+                  AS BIGINT) AS ct
+      FROM dayc WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT day, x,
+       CAST(ct - min(ct) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cusum_up,
+       CAST(max(ct) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - ct AS BIGINT) AS cusum_down
+FROM c
+""",
+)
+def q_order_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint monitor over daily order volume — the
+    sequential drift detector an ingestion pipeline alarms on (a level
+    shift accumulates linearly in one side while noise cancels). The
+    recursive CUSUM S_t = max(0, S_{t-1} + x_t − k) is rewritten closed
+    form as C_t − min_{u≤t} C_u (and the down side as running-max − C_t)
+    with C_t the centered prefix sum — so the whole monitor is two
+    prefix-extrema windows, no recursion, exact integers (reference level
+    k = floor of the global daily mean).
+
+    Scale shape: corpus collapses to the calendar-bounded day census
+    first; the unpartitioned windows run over days, not rows (the
+    survival-curve precedent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dayc = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    k = dayc.groupBy().agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("k")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = dayc.crossJoin(F.broadcast(k)).select(
+        "day",
+        "x",
+        (
+            F.sum("x").over(w)
+            - F.row_number().over(Window.orderBy("day")) * F.col("k")
+        )
+        .cast("long")
+        .alias("ct"),
+    )
+    return c.select(
+        "day",
+        "x",
+        (F.col("ct") - F.min("ct").over(w)).cast("long").alias("cusum_up"),
+        (F.max("ct").over(w) - F.col("ct")).cast("long").alias("cusum_down"),
+    )
