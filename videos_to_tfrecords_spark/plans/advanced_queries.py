@@ -1530,3 +1530,75 @@ def q_order_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ct") - F.min("ct").over(w)).cast("long").alias("cusum_up"),
         (F.max("ct").over(w) - F.col("ct")).cast("long").alias("cusum_down"),
     )
+
+
+@query(
+    "trimmed_mean_price_by_flag",
+    """
+WITH v AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+           FROM lineitem),
+c AS (SELECT flag, x, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1, 2),
+r AS (SELECT flag, x, t,
+             CAST(coalesce(sum(t) OVER (PARTITION BY flag ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum,
+             CAST(sum(t) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM c),
+kp AS (SELECT flag, n, x,
+              GREATEST(0, LEAST(cum + t, n - n // 10) - GREATEST(cum, n // 10))
+                AS kept
+       FROM r)
+SELECT flag, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(x * kept) // sum(kept) AS BIGINT) AS trimmed_mean_cents
+FROM kp GROUP BY flag
+""",
+)
+def q_trimmed_mean_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of line price per return flag — the robust
+    center a monitoring gate uses when a price feed can spike (the plain
+    mean moves with one bad batch; the trimmed mean doesn't). Trimming is
+    computed on the distinct-VALUE census with integral tie splitting:
+    a value covering sorted ranks [cum, cum+t) keeps
+    max(0, min(cum+t, n−n/10) − max(cum, n/10)) copies — no per-row sort,
+    no approximation.
+
+    Scale shape: corpus → (flag, cents) census (price-domain-bounded),
+    per-flag windows over the census, one final 3-row aggregate — the
+    mannwhitney/auc distinct-value precedent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+    )
+    c = v.groupBy("flag", "x").agg(F.count("*").cast("long").alias("t"))
+    wb = (
+        Window.partitionBy("flag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = Window.partitionBy("flag")
+    r = c.select(
+        "flag",
+        "x",
+        "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("cum"),
+        F.sum("t").over(wa).cast("long").alias("n"),
+    )
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum") + F.col("t"), F.col("n") - F.expr("n div 10"))
+        - F.greatest(F.col("cum"), F.expr("n div 10")),
+    )
+    return (
+        r.withColumn("kept", kept)
+        .groupBy("flag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.expr("CAST(sum(x * kept) div sum(kept) AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+        )
+    )
