@@ -153,3 +153,47 @@ def test_compaction_plan_bins_are_contiguous_and_conserving(spark, sf_dir):
         assert [r["bin"] for r in rs] == list(range(len(rs)))  # dense bins
         for a, b in zip(rs, rs[1:]):
             assert a["last_id"] < b["first_id"]  # id-ordered, non-overlapping
+
+
+def test_ndcg_handles_singleton_label(spark):
+    # a query whose label is unique in the corpus has n_rel = 0: IDCG is
+    # undefined, the query must emit ndcg_ppm = 0 / rr_ppm = 0, not throw
+    # (ANSI element_at(arr, 0) would).
+    import videos_to_tfrecords_spark.plans.similarity_queries as sq
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i % 3), 1.0], 7 if i == 0 else (i % 2)) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["query_id"]: r for r in sq.q_retrieval_ndcg_eval(spark, d).collect()}
+    # n=12 -> kq=1 -> every vec is a query, including the singleton label 7
+    assert out[0]["n_rel"] == 0 and out[0]["ndcg_ppm"] == 0 and out[0]["rr_ppm"] == 0
+    for qid, r in out.items():
+        if qid != 0:
+            assert r["n_rel"] > 0
+
+
+def test_trimmed_mean_tiny_groups(spark, tmp_path):
+    # n < 10 -> n div 10 = 0 -> nothing trimmed: trimmed mean == floor mean;
+    # heavy ties across the trim boundary must split integrally.
+    import videos_to_tfrecords_spark.plans.advanced_queries as aq
+
+    rows = [(1, 10.0, "A"), (1, 20.0, "A"), (1, 30.0, "A")] + [
+        (1, 5.0, "B")
+    ] * 20 + [(1, 100.0, "B")] * 2
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_extendedprice double, l_returnflag string"
+    )
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {
+        r["flag"]: r for r in aq.q_trimmed_mean_price_by_flag(spark, d).collect()
+    }
+    assert out["A"]["n_kept"] == 3 and out["A"]["trimmed_mean_cents"] == 2000
+    # B: n=22, trim 2 low + 2 high -> keeps 18x500 cents and 0x10000
+    assert out["B"]["n_kept"] == 18 and out["B"]["trimmed_mean_cents"] == 500
