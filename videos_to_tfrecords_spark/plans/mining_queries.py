@@ -1324,3 +1324,104 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+_BF_M = 1 << 17  # bloom bits
+_BF_K = 3  # hash functions
+_BF_PROBE_OFFSET = 1_000_000_000  # probe keys disjoint from build keys
+
+
+def _bloom_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    build = " UNION ALL ".join(
+        f"SELECT {h15_sql('CAST(p_partkey AS VARCHAR)', salt=f'bf{j}')} % {_BF_M}"
+        f" AS b FROM part"
+        for j in range(_BF_K)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT p_partkey + {_BF_PROBE_OFFSET} AS pk, {j} AS j, "
+        f"{h15_sql(f'CAST(p_partkey + {_BF_PROBE_OFFSET} AS VARCHAR)', salt=f'bf{j}')}"
+        f" % {_BF_M} AS b FROM part"
+        for j in range(_BF_K)
+    )
+    return f"""
+WITH bset AS (SELECT DISTINCT b FROM ({build})),
+pr AS ({probe}),
+hit AS (SELECT pk, count(*) AS nj FROM pr JOIN bset USING (b) GROUP BY pk),
+fp AS (SELECT CAST(count(*) AS BIGINT) AS n_fp FROM hit WHERE nj = {_BF_K}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM part),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM bset)
+SELECT n_keys, CAST({_BF_M} AS BIGINT) AS m_bits, CAST({_BF_K} AS BIGINT) AS k_hashes,
+       n_set AS n_bits_set, n_fp,
+       CAST((1000000 * n_fp) // n_keys AS BIGINT) AS fpr_ppm
+FROM n, s, fp
+"""
+
+
+@query("bloom_filter_fpr", _bloom_oracle())
+def q_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter built and MEASURED as data: insert every part
+    key (k=3 salted h15 hashes into m=2^17 bits), then probe a
+    provably-disjoint key set and count keys whose every hash lands in the
+    set — the empirical false-positive rate an engineer checks against
+    (1-e^(-kn/m))^k before shipping a Bloom-pruned join. The whole
+    construction is the portable-hash family, so even the FPR is
+    hash-checked cross-engine (the CMS/HLL discipline applied to the third
+    classic sketch; Spark's own runtime Bloom join is separately
+    plan-asserted in test_mining).
+
+    Scale shape: the filter materializes as ≤m distinct bucket rows (the
+    sketch, not the corpus), the probe joins on bucket with map-side
+    distinct; nothing corpus-sized shuffles except the two narrow hash
+    projections."""
+    part = load_table(spark, sf_dir, "part")
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    def buckets(key_col, tag):
+        return F.explode(
+            F.array(
+                *[
+                    (h15(key_col.cast("string"), salt=f"bf{j}") % _BF_M).alias("b")
+                    for j in range(_BF_K)
+                ]
+            )
+        )
+
+    bset = (
+        part.select(buckets(F.col("p_partkey"), "build").alias("b"))
+        .distinct()
+    )
+    pr = part.select(
+        (F.col("p_partkey") + _BF_PROBE_OFFSET).alias("pk"),
+        F.posexplode(
+            F.array(
+                *[
+                    h15(
+                        (F.col("p_partkey") + _BF_PROBE_OFFSET).cast("string"),
+                        salt=f"bf{j}",
+                    )
+                    % _BF_M
+                    for j in range(_BF_K)
+                ]
+            )
+        ).alias("j", "b"),
+    )
+    hit = pr.join(bset, "b").groupBy("pk").agg(F.count("*").alias("nj"))
+    n_fp = hit.filter(F.col("nj") == _BF_K).count()
+    n_keys = part.count()
+    n_set = bset.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_keys,
+                _BF_M,
+                _BF_K,
+                n_set,
+                n_fp,
+                (1_000_000 * n_fp) // n_keys,
+            )
+        ],
+        "n_keys long, m_bits long, k_hashes long, n_bits_set long, n_fp long,"
+        " fpr_ppm long",
+    )
