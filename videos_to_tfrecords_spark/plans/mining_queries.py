@@ -1378,18 +1378,18 @@ def q_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     from videos_to_tfrecords_spark.functions.hashing import h15
 
-    def buckets(key_col, tag):
-        return F.explode(
-            F.array(
-                *[
-                    (h15(key_col.cast("string"), salt=f"bf{j}") % _BF_M).alias("b")
-                    for j in range(_BF_K)
-                ]
-            )
-        )
-
     bset = (
-        part.select(buckets(F.col("p_partkey"), "build").alias("b"))
+        part.select(
+            F.explode(
+                F.array(
+                    *[
+                        h15(F.col("p_partkey").cast("string"), salt=f"bf{j}")
+                        % _BF_M
+                        for j in range(_BF_K)
+                    ]
+                )
+            ).alias("b")
+        )
         .distinct()
     )
     pr = part.select(
