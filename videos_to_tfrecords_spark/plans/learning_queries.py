@@ -1448,3 +1448,66 @@ def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2")
         )
     )
+
+
+@query(
+    "mixture_token_budget_plan",
+    """
+WITH s AS (SELECT source, CAST(sum(n_chars) // 4 AS BIGINT) AS toks
+           FROM documents GROUP BY 1),
+w AS (SELECT source, toks,
+             CAST(floor(1000000 * sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS w
+      FROM s),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(sum(toks) // 2 AS BIGINT) AS budget
+      FROM w)
+SELECT source, toks, w,
+       CAST(LEAST((budget * w) // wt, 2 * toks) AS BIGINT) AS alloc_toks,
+       CAST((1000000 * LEAST((budget * w) // wt, 2 * toks)) // toks AS BIGINT)
+         AS epochs_ppm
+FROM w, t
+""",
+)
+def q_mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture PLAN per source — the concrete table a
+    pretraining run is configured from (Pile/Dolma-style): estimated
+    tokens (chars div 4), temperature weight √tokens (α=0.5; IEEE sqrt is
+    correctly rounded, so the weight is bit-identical cross-engine),
+    allocation of a half-corpus token budget ∝ weight with a 2-epoch
+    repetition cap, and the resulting epochs-per-source in ppm (the
+    repetition statistic data-constrained scaling laws care about).
+    Single-pass plan; any capped-away remainder is visible as
+    Σalloc < budget rather than silently redistributed.
+
+    Scale shape: one source-keyed aggregate, one broadcast 1-row total —
+    the mixture_alpha_weights profile on token volume instead of doc
+    count. Money-sum-class overflow: budget·w ≤ 1e12·6e11 needs care past
+    ~1e13 tokens; switch the close to DECIMAL(38) then (the acf note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.expr("CAST(sum(n_chars) div 4 AS BIGINT)").alias("toks")
+    )
+    w = s.select(
+        "source",
+        "toks",
+        F.floor(F.lit(1_000_000) * F.sqrt(F.col("toks").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    t = w.agg(
+        F.sum("w").cast("long").alias("wt"),
+        F.expr("CAST(sum(toks) div 2 AS BIGINT)").alias("budget"),
+    )
+    alloc = F.least(
+        F.expr("(budget * w) div wt"), F.lit(2) * F.col("toks")
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "toks",
+        "w",
+        alloc.cast("long").alias("alloc_toks"),
+        F.expr(
+            "(1000000 * LEAST((budget * w) div wt, 2 * toks)) div toks"
+        )
+        .cast("long")
+        .alias("epochs_ppm"),
+    )
