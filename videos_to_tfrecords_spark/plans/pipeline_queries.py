@@ -877,7 +877,7 @@ def q_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_CAND = 32  # lexical candidates per query kept for rerank
 
 
-def _rag_oracle() -> str:
+def _rag_oracle(final: str) -> str:
     from videos_to_tfrecords_spark.functions.hashing import h15_sql
     from videos_to_tfrecords_spark.functions.vector import scaled_int_dot_sql
 
@@ -907,22 +907,35 @@ top AS (SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY score DESC, doc_id) AS lr FROM sc)
         WHERE lr <= {_RAG_CAND}),
-rr AS (SELECT t.query_id, t.rel,
+rr AS (SELECT t.query_id, t.doc_id, t.rel, t.lr,
               row_number() OVER (PARTITION BY t.query_id
                 ORDER BY {dot} DESC, t.doc_id) AS er
        FROM top t JOIN e qe ON qe.vec_id = t.query_id
-       JOIN e ce ON ce.vec_id = t.doc_id)
+       JOIN e ce ON ce.vec_id = t.doc_id){final}
+"""
+
+
+_RAG_FUNNEL_FINAL = """
 SELECT query_id,
        CAST(count(*) AS BIGINT) AS n_cand,
        CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_cand,
        CAST(coalesce(1000000 // min(CASE WHEN rel THEN er END), 0) AS BIGINT)
          AS rr_ppm,
        CAST(max(CASE WHEN rel AND er <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3
-FROM rr GROUP BY query_id
-"""
+FROM rr GROUP BY query_id"""
+
+_RRF_FINAL = """
+SELECT query_id, doc_id, fused, CAST(frank AS BIGINT) AS frank, rel
+FROM (SELECT query_id, doc_id, rel,
+             1000000000 // (60 + lr) + 1000000000 // (60 + er) AS fused,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY 1000000000 // (60 + lr) + 1000000000 // (60 + er) DESC,
+                        doc_id) AS frank
+      FROM rr)
+WHERE frank <= 5"""
 
 
-@query("rag_retrieval_e2e", _rag_oracle())
+@query("rag_retrieval_e2e", _rag_oracle(_RAG_FUNNEL_FINAL))
 def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth E2E mainline: the RETRIEVAL pipeline a RAG training-data
     builder runs — (1) bounded probe queries (corpus-derived modulus,
@@ -941,6 +954,25 @@ def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id ONCE (linear, no token explosion — array_intersect runs
     in-task on the already-loaded token arrays); rerank and metrics are
     metadata-sized windows over ≤ 16·32 rows."""
+    rr = _rag_ranked(spark, sf_dir)
+    return rr.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.col("rel").cast("long")).cast("long").alias("n_rel_cand"),
+        F.coalesce(
+            F.expr("1000000 div min(CASE WHEN rel THEN er END)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+        F.max(F.when(F.col("rel") & (F.col("er") <= 3), 1).otherwise(0))
+        .cast("long")
+        .alias("hit3"),
+    )
+
+
+def _rag_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared retrieval core of the RAG queries: candidates per bounded
+    probe query with lexical rank ``lr`` (6-token overlap, top-32),
+    embedding rank ``er`` (exact scaled-int dot) and relevance ``rel``."""
     from pyspark.sql import Window
 
     from videos_to_tfrecords_spark.functions.hashing import h15
@@ -993,7 +1025,7 @@ def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("lr") <= _RAG_CAND)
     qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     ce = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"))
-    rr = (
+    return (
         qe.join(F.broadcast(top), "query_id")
         .join(ce, "doc_id")
         .withColumn(
@@ -1004,18 +1036,32 @@ def q_rag_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .select("query_id", "doc_id", "rel", "lr", "er")
     )
-    return rr.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_cand"),
-        F.sum(F.col("rel").cast("long")).cast("long").alias("n_rel_cand"),
-        F.coalesce(
-            F.expr("1000000 div min(CASE WHEN rel THEN er END)"), F.lit(0)
-        )
-        .cast("long")
-        .alias("rr_ppm"),
-        F.max(F.when(F.col("rel") & (F.col("er") <= 3), 1).otherwise(0))
-        .cast("long")
-        .alias("hit3"),
+
+
+@query("hybrid_rrf_fusion", _rag_oracle(_RRF_FINAL))
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the RAG pipeline's two rankers (hybrid
+    search, the production default for lexical+vector retrieval): fused
+    score = ⌊1e9/(60+lr)⌋ + ⌊1e9/(60+er)⌋ — the standard RRF with k=60,
+    kept EXACT because ranks are bounded integers and both engines do the
+    same integer floor divisions — then top-5 per query under
+    (fused desc, doc_id). Shares the whole retrieval core (and the oracle
+    CTE chain) with rag_retrieval_e2e; only the final ranking differs.
+
+    Scale shape: inherits _rag_ranked's (bounded probe set × top-32
+    candidates); the fusion itself is one metadata-sized window."""
+    from pyspark.sql import Window
+
+    rr = _rag_ranked(spark, sf_dir)
+    fused = F.expr("1000000000 div (60 + lr) + 1000000000 div (60 + er)")
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (
+        rr.withColumn("fused", fused.cast("long"))
+        .withColumn("frank", F.row_number().over(w).cast("long"))
+        .filter(F.col("frank") <= 5)
+        .select("query_id", "doc_id", "fused", "frank", "rel")
     )
 
 
