@@ -1511,3 +1511,86 @@ def q_mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_ppm"),
     )
+
+
+def _rep_audit_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    hs = h15_sql("CAST(doc_id AS VARCHAR)", salt="rep")
+    return f"""
+WITH d AS (SELECT source, n_chars, {hs} % 8 = 0 AS insamp FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+             CAST(sum(CASE WHEN insamp THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+             CAST(sum(CASE WHEN insamp THEN n_chars ELSE 0 END) AS BIGINT) AS ss
+      FROM d GROUP BY 1)
+SELECT source, n, ns,
+       CAST((1000000 * ss) // ns - (1000000 * sx) // n AS BIGINT) AS delta_ppm,
+       CAST(floor(1000000.0 * ((1000000 * ss) // ns - (1000000 * sx) // n)
+            / (1000000.0 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * n) / ns)))
+            AS BIGINT) AS z_x1e6
+FROM s WHERE ns > 0 AND n * sxx > CAST(sx AS HUGEINT) * sx
+"""
+
+
+@query("sample_representativeness_audit", _rep_audit_oracle())
+def q_sample_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling QA: does the 1-in-8 portable-hash sample reproduce each
+    source's mean document length? Per source: full vs sample mean delta
+    (exact integer ppm of a char) and its z-score against the full-corpus
+    standard error — the canary a pipeline checks before trusting any
+    hash-sampled metric (a biased sampler shows |z| inflating with n).
+    Sufficient statistics are exact integers (Σx² in DECIMAL(38)/HUGEINT);
+    the single closing float division + sqrt uses an identical expression
+    tree in both engines.
+
+    Scale shape: one scan, one source-keyed partial→final aggregate
+    carrying five integers — the sample needs no second pass because
+    membership is a hash predicate, not a shuffle."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    insamp = h15(F.col("doc_id").cast("string"), salt="rep") % 8 == 0
+    s = docs.select("source", "n_chars", insamp.alias("insamp")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(d38(F.col("n_chars")) * d38(F.col("n_chars"))).alias("sxx"),
+        F.sum(F.when(F.col("insamp"), 1).otherwise(0)).cast("long").alias("ns"),
+        F.sum(F.when(F.col("insamp"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("ss"),
+    )
+    delta = F.expr("(1000000 * ss) div ns - (1000000 * sx) div n")
+    var_over_ns = (
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / (F.col("n").cast("double") * F.col("n"))
+        / F.col("ns")
+    )
+    return (
+        s.filter(
+            (F.col("ns") > 0)
+            & (d38(F.col("n")) * F.col("sxx") > d38(F.col("sx")) * d38(F.col("sx")))
+        )
+        .select(
+            "source",
+            "n",
+            "ns",
+            delta.cast("long").alias("delta_ppm"),
+            F.floor(
+                F.lit(1000000.0)
+                * delta.cast("double")
+                / (F.lit(1000000.0) * F.sqrt(var_over_ns))
+            )
+            .cast("long")
+            .alias("z_x1e6"),
+        )
+    )
