@@ -197,3 +197,25 @@ def test_trimmed_mean_tiny_groups(spark, tmp_path):
     assert out["A"]["n_kept"] == 3 and out["A"]["trimmed_mean_cents"] == 2000
     # B: n=22, trim 2 low + 2 high -> keeps 18x500 cents and 0x10000
     assert out["B"]["n_kept"] == 18 and out["B"]["trimmed_mean_cents"] == 500
+
+
+def test_rrf_fusion_consistency_with_rag_core(spark, sf_dir):
+    # every fused row must be one of the RAG core's candidates, carry the
+    # exact RRF arithmetic, and rank densely 1..min(5, n_cand) per query.
+    from videos_to_tfrecords_spark.plans.pipeline_queries import (
+        _rag_ranked,
+        q_hybrid_rrf_fusion,
+    )
+
+    core = {
+        (r["query_id"], r["doc_id"]): (r["lr"], r["er"])
+        for r in _rag_ranked(spark, sf_dir).collect()
+    }
+    by_q = {}
+    for r in q_hybrid_rrf_fusion(spark, sf_dir).collect():
+        lr, er = core[(r["query_id"], r["doc_id"])]
+        assert r["fused"] == 10**9 // (60 + lr) + 10**9 // (60 + er)
+        by_q.setdefault(r["query_id"], []).append(r["frank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
