@@ -1594,3 +1594,79 @@ def q_sample_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataF
             .alias("z_x1e6"),
         )
     )
+
+
+@query(
+    "cohort_did_purchase",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ne FROM events GROUP BY 1),
+thr AS (SELECT CAST(sum(ne) // count(*) AS BIGINT) AS thr FROM uc),
+hv AS (SELECT user_id FROM uc, thr WHERE ne > thr),
+p AS (SELECT coalesce(h.t, FALSE) AS treated,
+             2 * epoch_us(e.ts) >= (SELECT mm FROM mm) AS post,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e
+      LEFT JOIN (SELECT user_id, TRUE AS t FROM hv) h USING (user_id)
+      WHERE e.event_type = 'purchase'),
+c AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+did AS (SELECT (SELECT s // n FROM c WHERE treated AND post)
+             - (SELECT s // n FROM c WHERE treated AND NOT post)
+             - (SELECT s // n FROM c WHERE NOT treated AND post)
+             + (SELECT s // n FROM c WHERE NOT treated AND NOT post) AS dd)
+SELECT treated, post, n, CAST(s // n AS BIGINT) AS mean_cents,
+       CAST((SELECT dd FROM did) AS BIGINT) AS did_cents
+FROM c
+""",
+)
+def q_cohort_did_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences read-out — the causal first cut a growth
+    team runs before an A/B exists: cohorts split on a DATA-DERIVED
+    activity threshold (heavy = per-user event count strictly above the
+    corpus mean — roughly half the users at any SF, so all four cells
+    exist), periods split at the corpus temporal midpoint (the drift
+    convention), outcome = mean purchase cents. Cell means and
+    DiD = (T_post−T_pre)−(C_post−C_pre) are exact integer floor
+    arithmetic; the same did_cents rides on every one of the 4 rows.
+
+    Scale shape: per-user census → 1-row threshold broadcast → semi-join
+    flag → one 4-cell aggregate; the 4-cell collect is metadata-sized
+    (the kmeans-centroid stance)."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    uc = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("ne"))
+    thr = uc.agg(F.expr("CAST(sum(ne) div count(*) AS BIGINT)").alias("thr"))
+    hv = (
+        uc.crossJoin(F.broadcast(thr))
+        .filter(F.col("ne") > F.col("thr"))
+        .select("user_id")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mm))
+        .join(F.broadcast(hv.withColumn("is_t", F.lit(True))), "user_id", "left")
+        .select(
+            F.coalesce("is_t", F.lit(False)).alias("treated"),
+            (2 * F.unix_micros("ts") >= F.col("mm")).alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    c = p.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    cells = c.collect()  # 4 rows - metadata-sized
+    m = {(r["treated"], r["post"]): r["s"] // r["n"] for r in cells}
+    did = (
+        m[(True, True)] - m[(True, False)] - m[(False, True)] + m[(False, False)]
+    )
+    return spark.createDataFrame(
+        [(r["treated"], r["post"], r["n"], r["s"] // r["n"], did) for r in cells],
+        "treated boolean, post boolean, n long, mean_cents long, did_cents long",
+    )
