@@ -1602,3 +1602,65 @@ def q_trimmed_mean_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "customer_value_gini",
+    """
+WITH v AS (SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1),
+r AS (SELECT x, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM c),
+s AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT) * t) AS sx,
+             sum(CAST(x AS HUGEINT) * t * (2 * cum + t + 1)) AS a
+      FROM r)
+SELECT n, CAST(sx AS BIGINT) AS total_cents,
+       CAST((1000000 * (a - (n + 1) * sx)) // (CAST(n AS HUGEINT) * sx)
+            AS BIGINT) AS gini_ppm
+FROM s
+""",
+)
+def q_customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer lifetime order value — the
+    concentration metric next to HHI (nation_supplier_hhi) a platform
+    reads for whale-dependence risk; also the label-imbalance /
+    source-concentration statistic reused on any count column. Exact via
+    the distinct-value census: a value x with t ties after cum
+    predecessors contributes x·t·(2·cum+t+1) to 2Σi·x_i (the doubled
+    rank-sum identity, same trick as the Mann-Whitney ranks), so
+    G = (2Σi·x_i − (n+1)Σx)/(nΣx) closes in one exact HUGEINT/
+    DECIMAL(38) division to ppm.
+
+    Scale shape: per-customer aggregate, then the census window runs over
+    distinct VALUE rows; the final reduce is 3 wide integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("x")
+    )
+    c = v.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = c.select(
+        "x", "t", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("cum")
+    )
+    s = r.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(d38(F.col("x")) * d38(F.col("t"))).alias("sx"),
+        F.sum(
+            d38(F.col("x"))
+            * d38(F.col("t"))
+            * d38(2 * F.col("cum") + F.col("t") + 1)
+        ).alias("a"),
+    )
+    return s.select(
+        "n",
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((1000000 * (a - (CAST(n AS DECIMAL(38,0)) + 1) * sx))"
+            " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
