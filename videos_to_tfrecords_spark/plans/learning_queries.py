@@ -1670,3 +1670,93 @@ def q_cohort_did_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["treated"], r["post"], r["n"], r["s"] // r["n"], did) for r in cells],
         "treated boolean, post boolean, n long, mean_cents long, did_cents long",
     )
+
+
+@query(
+    "dataset_datasheet",
+    """
+WITH d AS (SELECT doc_id, source, lang, n_chars,
+                  len(string_split(text, ' ')) AS toks,
+                  md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS k8
+           FROM documents),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(toks) AS BIGINT) AS total_ws_tokens,
+                CAST(count(*) - count(DISTINCT k8) AS BIGINT) AS leading8_dup_rows
+         FROM d),
+med AS (SELECT CAST(x AS BIGINT) AS median_chars_lower FROM (
+          SELECT n_chars AS x,
+                 CAST(coalesce(sum(t) OVER (ORDER BY n_chars ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+                 t, (SELECT n_docs FROM base) AS n
+          FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1))
+        WHERE cum < (n + 1) // 2 AND cum + t >= (n + 1) // 2)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'total_chars', total_chars FROM base
+  UNION ALL SELECT 'mean_chars', total_chars // n_docs FROM base
+  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM base
+  UNION ALL SELECT 'leading8_dup_rows', leading8_dup_rows FROM base
+  UNION ALL SELECT 'dup_rate_ppm', (1000000 * leading8_dup_rows) // n_docs
+            FROM base
+  UNION ALL SELECT 'median_chars_lower', median_chars_lower FROM med)
+""",
+)
+def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset DATASHEET in one query — the key/value card (datasheets
+    for datasets) a release ships with: row/source/language counts, char
+    and whitespace-token volume, mean and exact lower-median length, and
+    the leading-8-token duplicate rate. Everything integer-exact; the
+    median comes from the distinct-length census (cum < ⌈n/2⌉ ≤ cum+t),
+    not a sort of the corpus.
+
+    Scale shape: ONE corpus scan feeds a single multi-metric aggregate
+    (count distincts included), plus a length-census window that is
+    value-domain-sized. Output is 9 (metric, value) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("k8"),
+    )
+    base = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_ws_tokens"),
+        (F.count("*") - F.count_distinct("k8"))
+        .cast("long")
+        .alias("leading8_dup_rows"),
+    ).collect()[0]
+    cen = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("t"))
+    wb = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    k = (base["n_docs"] + 1) // 2
+    med = (
+        cen.withColumn(
+            "cum", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+        )
+        .filter((F.col("cum") < k) & (F.col("cum") + F.col("t") >= k))
+        .collect()[0]["n_chars"]
+    )
+    rows = [
+        ("n_docs", base["n_docs"]),
+        ("n_sources", base["n_sources"]),
+        ("n_langs", base["n_langs"]),
+        ("total_chars", base["total_chars"]),
+        ("mean_chars", base["total_chars"] // base["n_docs"]),
+        ("total_ws_tokens", base["total_ws_tokens"]),
+        ("leading8_dup_rows", base["leading8_dup_rows"]),
+        ("dup_rate_ppm", (1_000_000 * base["leading8_dup_rows"]) // base["n_docs"]),
+        ("median_chars_lower", int(med)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
