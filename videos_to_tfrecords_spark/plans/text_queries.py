@@ -1583,3 +1583,68 @@ def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_accepted"),
     )
+
+
+@query(
+    "source_unigram_kl",
+    """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+cs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2),
+ct AS (SELECT t, CAST(sum(cs) AS BIGINT) AS c FROM cs GROUP BY 1),
+ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS nsrc FROM cs GROUP BY 1),
+n AS (SELECT CAST(sum(cs) AS BIGINT) AS ntot FROM cs),
+q AS (SELECT cs.source, cs.cs,
+             CAST(floor(1000000 * ln(cs.cs)) AS BIGINT)
+             + CAST(floor(1000000 * ln((SELECT ntot FROM n))) AS BIGINT)
+             - CAST(floor(1000000 * ln(ct.c)) AS BIGINT)
+             - CAST(floor(1000000 * ln(ns.nsrc)) AS BIGINT) AS lq
+      FROM cs JOIN ct USING (t) JOIN ns USING (source))
+SELECT source,
+       CAST((SELECT ntot FROM n) AS BIGINT) AS n_corpus_tokens,
+       CAST(max(ns.nsrc) AS BIGINT) AS n_source_tokens,
+       CAST(sum(q.cs * q.lq) // max(ns.nsrc) AS BIGINT) AS kl_x1e6
+FROM q JOIN ns USING (source) GROUP BY source
+""",
+)
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture — the
+    domain-shift diagnostic a data-mixing team reads next to the LOO
+    valuation (how far each source's token distribution sits from what
+    the model will actually see). KL = Σ p·ln(p/q) decomposes into lns of
+    INTEGERS (ln cs + ln N − ln c − ln Ns), each floor-quantized to 1e-6
+    before the exact integer weighting (the doc_unigram_entropy
+    determinism pattern), so both engines sum identical int64 terms; one
+    final floor division per source.
+
+    Scale shape: token census (vocab×source keyed, partial→final), two
+    broadcast-sized side tables (vocab counts, source totals), no
+    corpus-sized shuffle after the census."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cs = tok.groupBy("source", "t").agg(F.count("*").cast("long").alias("cs"))
+    ct = cs.groupBy("t").agg(F.sum("cs").cast("long").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("cs").cast("long").alias("nsrc"))
+    ntot = cs.groupBy().agg(F.sum("cs").cast("long").alias("ntot"))
+    lnq = lambda c: F.floor(F.lit(1000000) * F.log(c)).cast("long")  # noqa: E731
+    q = (
+        cs.join(F.broadcast(ct), "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "cs",
+            "nsrc",
+            "ntot",
+            (
+                lnq(F.col("cs"))
+                + lnq(F.col("ntot"))
+                - lnq(F.col("c"))
+                - lnq(F.col("nsrc"))
+            ).alias("lq"),
+        )
+    )
+    return q.groupBy("source").agg(
+        F.max("ntot").cast("long").alias("n_corpus_tokens"),
+        F.max("nsrc").cast("long").alias("n_source_tokens"),
+        F.expr("CAST(sum(cs * lq) div max(nsrc) AS BIGINT)").alias("kl_x1e6"),
+    )
