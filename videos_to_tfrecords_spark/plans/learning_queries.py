@@ -1760,3 +1760,75 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("median_chars_lower", int(med)),
     ]
     return spark.createDataFrame(rows, "metric string, value long")
+
+
+@query(
+    "churn_training_frame",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+cut AS (SELECT lo + ((hi - lo) * 8) // 10 AS cut FROM mm),
+u AS (SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT cut FROM cut)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT cut FROM cut)
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents_pre,
+             CAST(max(CASE WHEN epoch_us(ts) < (SELECT cut FROM cut)
+                           THEN epoch_us(ts) END) AS BIGINT) AS last_pre_us,
+             CAST(max(CASE WHEN epoch_us(ts) >= (SELECT cut FROM cut)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS active_post
+      FROM events GROUP BY user_id)
+SELECT user_id, n_pre, cents_pre,
+       CAST(((SELECT cut FROM cut) - last_pre_us) // 86400000000 AS BIGINT)
+         AS recency_days,
+       CAST(1 - active_post AS BIGINT) AS churned
+FROM u WHERE n_pre > 0
+""",
+)
+def q_churn_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training frame — the temporal-hygiene pattern
+    every production label pipeline must get right: features (activity
+    count, spend, recency) computed ONLY from events strictly before the
+    80% temporal cutoff; the label (churned = no activity after) ONLY
+    from events at-or-after it. One pass, one group-by — the CASE-split
+    aggregate IS the point-in-time join here, with the cutoff a
+    corpus-derived exact integer (µs epoch arithmetic, no float time).
+    Users with no pre-cutoff history are excluded (they have no features,
+    and including them would leak the label through row existence).
+
+    Scale shape: single scan, user-keyed partial→final aggregate, 1-row
+    broadcast cutoff. Nothing else shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).cast("long").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("long").alias("hi"),
+    ).select(
+        (F.col("lo") + F.expr("((hi - lo) * 8) div 10")).cast("long").alias("cut")
+    )
+    us = F.unix_micros("ts")
+    pre = us < F.col("cut")
+    u = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_pre"),
+            F.sum(
+                F.when(pre, F.round(F.col("value") * 100).cast("long")).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents_pre"),
+            F.max(F.when(pre, us)).cast("long").alias("last_pre_us"),
+            F.max(F.when(~pre, 1).otherwise(0)).cast("long").alias("active_post"),
+            F.max("cut").alias("cut"),
+        )
+    )
+    return u.filter(F.col("n_pre") > 0).select(
+        "user_id",
+        "n_pre",
+        "cents_pre",
+        F.expr("(cut - last_pre_us) div 86400000000").cast("long").alias(
+            "recency_days"
+        ),
+        (F.lit(1) - F.col("active_post")).cast("long").alias("churned"),
+    )
