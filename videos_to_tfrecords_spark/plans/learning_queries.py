@@ -1832,3 +1832,97 @@ def q_churn_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.lit(1) - F.col("active_post")).cast("long").alias("churned"),
     )
+
+
+@query(
+    "bandit_replay_eval",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+pre AS (SELECT user_id, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        FROM events WHERE 2 * epoch_us(ts) < (SELECT mm FROM mm)
+        GROUP BY 1, 2),
+pol AS (SELECT user_id, event_type AS arm FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY sv DESC, event_type) AS r FROM pre) WHERE r = 1),
+post AS (SELECT e.user_id, e.event_type,
+                CAST(round(e.value * 100) AS BIGINT) AS cents
+         FROM events e WHERE 2 * epoch_us(e.ts) >= (SELECT mm FROM mm)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_post,
+             CAST(sum(cents) AS BIGINT) AS s_post FROM post),
+r AS (SELECT CAST(count(*) AS BIGINT) AS n_match,
+             CAST(sum(p.cents) AS BIGINT) AS s_match
+      FROM post p JOIN pol ON pol.user_id = p.user_id
+                 AND pol.arm = p.event_type)
+SELECT n_post, n_match,
+       CAST(s_post // n_post AS BIGINT) AS mean_cents_logged,
+       CAST(s_match // n_match AS BIGINT) AS mean_cents_policy,
+       CAST((1000000 * (CAST(s_match AS HUGEINT) * n_post
+                        - CAST(s_post AS HUGEINT) * n_match))
+            // (CAST(s_post AS HUGEINT) * n_match) AS BIGINT) AS lift_ppm
+FROM m, r
+""",
+)
+def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy REPLAY evaluation (Li et al.'s unbiased bandit replay,
+    uniform logging assumed): fit a per-user favorite-arm policy on the
+    FIRST temporal half (argmax of summed reward, fully tie-broken), then
+    score it only on second-half events whose logged arm matches the
+    policy's choice — the matched-events mean against the logged baseline,
+    with the lift as one exact integer closing ratio. The temporal split
+    keeps fit and eval disjoint (the churn-frame hygiene applied to
+    policy evaluation).
+
+    Scale shape: two scans split by the broadcast midpoint; the policy
+    table is user-keyed (one row per user) and joins the replay half on
+    (user, arm) — partial aggregates everywhere, no corpus-wide window
+    (the argmax runs per user)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    e = ev.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (2 * F.unix_micros("ts") < F.col("mm")).alias("pre"),
+    )
+    preagg = (
+        e.filter("pre")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("cents").cast("long").alias("sv"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("sv"), F.asc("event_type"))
+    pol = (
+        preagg.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("arm"))
+    )
+    post = e.filter(~F.col("pre"))
+    m = post.agg(
+        F.count("*").cast("long").alias("n_post"),
+        F.sum("cents").cast("long").alias("s_post"),
+    )
+    r = post.join(
+        pol,
+        (post.user_id == pol.user_id) & (post.event_type == pol.arm),
+    ).agg(
+        F.count("*").cast("long").alias("n_match"),
+        F.sum("cents").cast("long").alias("s_match"),
+    )
+    return m.crossJoin(r).select(
+        "n_post",
+        "n_match",
+        F.expr("CAST(s_post div n_post AS BIGINT)").alias("mean_cents_logged"),
+        F.expr("CAST(s_match div n_match AS BIGINT)").alias("mean_cents_policy"),
+        F.expr(
+            "CAST((1000000 * (CAST(s_match AS DECIMAL(38,0)) * n_post"
+            " - CAST(s_post AS DECIMAL(38,0)) * n_match))"
+            " div (CAST(s_post AS DECIMAL(38,0)) * n_match) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
