@@ -1664,3 +1664,67 @@ def q_customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "price_mad_robust_scale",
+    """
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1),
+n AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM c),
+m1 AS (SELECT CAST(x AS BIGINT) AS med FROM (
+         SELECT x, t, CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM c), n
+       WHERE cum < (n + 1) // 2 AND cum + t >= (n + 1) // 2),
+d AS (SELECT abs(x - (SELECT med FROM m1)) AS dx, t FROM c),
+dc AS (SELECT dx, CAST(sum(t) AS BIGINT) AS t FROM d GROUP BY 1),
+m2 AS (SELECT CAST(dx AS BIGINT) AS mad FROM (
+         SELECT dx, t, CAST(coalesce(sum(t) OVER (ORDER BY dx ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM dc), n
+       WHERE cum < (n + 1) // 2 AND cum + t >= (n + 1) // 2)
+SELECT (SELECT n FROM n) AS n, (SELECT med FROM m1) AS median_cents,
+       (SELECT mad FROM m2) AS mad_cents
+""",
+)
+def q_price_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of line price — the robust scale
+    estimator paired with the trimmed mean (σ moves with one bad batch;
+    MAD needs >50% contamination). Exact lower-median twice over
+    value-domain-bounded censuses: once on cents, once on |x − median|
+    deviations — no corpus sort, no approximation, pure integers.
+
+    Scale shape: one corpus scan to the cents census; everything after is
+    census-sized (two windows + one re-census of deviations)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    n = c.agg(F.sum("t").cast("long").alias("n")).collect()[0]["n"]
+    k = (n + 1) // 2
+
+    def census_median(df, col):
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            df.withColumn(
+                "cum", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+            )
+            .filter((F.col("cum") < k) & (F.col("cum") + F.col("t") >= k))
+            .collect()[0][col]
+        )
+
+    med = int(census_median(c, "x"))
+    dc = (
+        c.select(F.abs(F.col("x") - F.lit(med)).alias("dx"), "t")
+        .groupBy("dx")
+        .agg(F.sum("t").cast("long").alias("t"))
+    )
+    mad = int(census_median(dc, "dx"))
+    return spark.createDataFrame(
+        [(n, med, mad)], "n long, median_cents long, mad_cents long"
+    )
