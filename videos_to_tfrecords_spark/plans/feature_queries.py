@@ -1539,3 +1539,89 @@ def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("z_x1000"),
         )
     )
+
+
+@query(
+    "value_drift_psi",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+b AS (SELECT LEAST(GREATEST(CAST(round(value * 100) AS BIGINT) // 1000, 0), 9)
+               AS bin,
+             CASE WHEN 2 * epoch_us(ts) < (SELECT mm FROM mm)
+                  THEN 0 ELSE 1 END AS h
+      FROM events),
+c AS (SELECT bin, CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bq
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(bq) AS BIGINT) AS n2 FROM c),
+q AS (SELECT bin, a, bq,
+             CAST(floor(1000000 * ln(a)) AS BIGINT)
+             + CAST(floor(1000000 * ln((SELECT n2 FROM t))) AS BIGINT)
+             - CAST(floor(1000000 * ln(bq)) AS BIGINT)
+             - CAST(floor(1000000 * ln((SELECT n1 FROM t))) AS BIGINT) AS lq
+      FROM c WHERE a > 0 AND bq > 0)
+SELECT bin, a AS n_ref, bq AS n_cur, lq AS log_ratio_x1e6,
+       CAST((CAST(a AS HUGEINT) * (SELECT n2 FROM t)
+             - CAST(bq AS HUGEINT) * (SELECT n1 FROM t)) * lq
+            // (CAST((SELECT n1 FROM t) AS HUGEINT) * (SELECT n2 FROM t))
+            AS BIGINT) AS psi_term_x1e6
+FROM q
+""",
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the credit-risk-industry
+    standard next to the chi-square and EMD twins (value_drift_chisq /
+    _emd): per bin, (p−q)·ln(p/q) with the log-ratio decomposed into
+    quantized-lns of INTEGER counts (ln a + ln n2 − ln b − ln n1) and the
+    (p−q) factor kept as the exact HUGEINT cross-product
+    (a·n2 − b·n1)/(n1·n2) — every term is bit-identical cross-engine;
+    Σ psi_term > 0.25·1e6 is the conventional alarm. Bins with a zero
+    side are excluded (PSI is undefined there; the chisq twin covers
+    them).
+
+    Scale shape: one scan, 10-bin × 2-half partial→final aggregate,
+    1-row broadcast midpoint — constant state in stream volume (the
+    drift-histogram argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.greatest(
+                F.expr("CAST(round(value * 100) AS BIGINT) div 1000"), F.lit(0)
+            ),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(2 * F.unix_micros("ts") < F.col("mm"), 0).otherwise(1).alias("h"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("bq"),
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("bq").cast("long").alias("n2")
+    )
+    lnq = lambda col: F.floor(F.lit(1000000) * F.log(col)).cast("long")  # noqa: E731
+    q = (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("a") > 0) & (F.col("bq") > 0))
+        .withColumn(
+            "lq",
+            lnq(F.col("a")) + lnq(F.col("n2")) - lnq(F.col("bq")) - lnq(F.col("n1")),
+        )
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    return q.select(
+        "bin",
+        F.col("a").alias("n_ref"),
+        F.col("bq").alias("n_cur"),
+        F.col("lq").alias("log_ratio_x1e6"),
+        F.expr(
+            "CAST((CAST(a AS DECIMAL(38,0)) * n2 - CAST(bq AS DECIMAL(38,0)) * n1)"
+            " * lq div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("psi_term_x1e6"),
+    )
