@@ -1614,7 +1614,6 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             lnq(F.col("a")) + lnq(F.col("n2")) - lnq(F.col("bq")) - lnq(F.col("n1")),
         )
     )
-    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     return q.select(
         "bin",
         F.col("a").alias("n_ref"),
