@@ -1926,3 +1926,101 @@ def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(s_post AS DECIMAL(38,0)) * n_match) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+@query(
+    "conformal_coverage_eval",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             2 * epoch_us(ts) < (SELECT mm FROM mm) AS cal
+      FROM events),
+mu AS (SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS pred
+       FROM e WHERE cal GROUP BY 1),
+res AS (SELECT abs(e.cents - mu.pred) AS r
+        FROM e JOIN mu USING (event_type) WHERE e.cal),
+rc AS (SELECT r, CAST(count(*) AS BIGINT) AS t FROM res GROUP BY 1),
+nc AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM rc),
+qh AS (SELECT CAST(min(r) AS BIGINT) AS qhat FROM (
+         SELECT r, CAST(sum(t) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM rc), nc
+       WHERE cum * 10 >= 9 * (n + 1)),
+ev AS (SELECT abs(e.cents - mu.pred) <= (SELECT qhat FROM qh) AS covered
+       FROM e JOIN mu USING (event_type) WHERE NOT e.cal)
+SELECT (SELECT n FROM nc) AS n_calibration,
+       (SELECT qhat FROM qh) AS qhat_cents,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST((1000000 * sum(CASE WHEN covered THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS coverage_ppm
+FROM ev
+""",
+)
+def q_conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction, end to end: fit a per-arm mean
+    predictor on the calibration (first temporal) half, take the
+    conformal quantile q̂ = the ⌈0.9(n+1)⌉-th smallest absolute residual
+    (exact order statistic off the residual census — the finite-sample-
+    valid quantile, not the empirical 90%), then measure coverage of
+    |y−ŷ| ≤ q̂ on the held-out half — the distribution-free uncertainty
+    guarantee a prediction service audits (coverage should be ≈ 90%
+    under exchangeability; drift shows up as under-coverage). Exact
+    integers throughout.
+
+    Scale shape: two scans split by the broadcast midpoint, a 5-row
+    predictor broadcast-joined back, one census window over the
+    residual-value domain, one final 2-counter aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    e = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (2 * F.unix_micros("ts") < F.col("mm")).alias("cal"),
+    )
+    mu = (
+        e.filter("cal")
+        .groupBy("event_type")
+        .agg(F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("pred"))
+    )
+    joined = e.join(F.broadcast(mu), "event_type").withColumn(
+        "r", F.abs(F.col("cents") - F.col("pred"))
+    )
+    rc = (
+        joined.filter("cal").groupBy("r").agg(F.count("*").cast("long").alias("t"))
+    )
+    n_cal = rc.agg(F.sum("t")).collect()[0][0]
+    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    qhat = int(
+        rc.withColumn("cum", F.sum("t").over(wc).cast("long"))
+        .filter(F.col("cum") * 10 >= 9 * (n_cal + 1))
+        .agg(F.min("r"))
+        .collect()[0][0]
+    )
+    evh = joined.filter(~F.col("cal")).select(
+        (F.col("r") <= qhat).alias("covered")
+    )
+    agg = evh.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.col("covered").cast("long")).cast("long").alias("n_covered"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_cal,
+                qhat,
+                agg["n_eval"],
+                agg["n_covered"],
+                (1_000_000 * agg["n_covered"]) // agg["n_eval"],
+            )
+        ],
+        "n_calibration long, qhat_cents long, n_eval long, n_covered long,"
+        " coverage_ppm long",
+    )
