@@ -612,3 +612,100 @@ def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_integer(edges)
+
+
+@query(
+    "graph_degree_assortativity",
+    """
+WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+p AS (SELECT a.d AS x, b.d AS y
+      FROM edges e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM p),
+w AS (SELECT n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM s)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+            / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT)
+         AS assortativity_x1e6
+FROM w WHERE dx > 0 AND dy > 0
+""",
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized trade graph — Newman's
+    degree-degree Pearson over directed edge endpoints (negative =
+    hub-to-leaf disassortative, the usual shape of bipartite commerce).
+    Exact integer sufficient statistics over the edge list with the acf
+    HUGEINT/DECIMAL(38) closing-product discipline; the single float op
+    is the final Pearson ratio on an identical expression tree.
+
+    Scale shape: the edge list joins the node-keyed degree table twice
+    (each join shuffles on a node key, the PageRank profile) and
+    collapses to 6 wide integers — no corpus-sized state."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    p = (
+        edges.join(deg.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
+        .select(F.col("dst"), F.col("d").alias("x"))
+        .join(
+            deg.select(F.col("src").alias("node2"), F.col("d").alias("y")),
+            F.col("dst") == F.col("node2"),
+        )
+        .select("x", "y")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+    )
+    nD = d38(F.col("n"))
+    num = nD * F.col("sxy") - d38(F.col("sx")) * d38(F.col("sy"))
+    dx = nD * F.col("sxx") - d38(F.col("sx")) * d38(F.col("sx"))
+    dy = nD * F.col("syy") - d38(F.col("sy")) * d38(F.col("sy"))
+    out = (
+        s.filter((dx > 0) & (dy > 0))
+        .select(
+            F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
+            F.floor(
+                F.lit(1000000.0)
+                * num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            )
+            .cast("long")
+            .alias("assortativity_x1e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist(blocking=False)
+    return out
