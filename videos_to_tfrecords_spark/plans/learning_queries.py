@@ -2024,3 +2024,69 @@ def q_conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_calibration long, qhat_cents long, n_eval long, n_covered long,"
         " coverage_ppm long",
     )
+
+
+def _cv_fold_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    hf = h15_sql("CAST(vec_id AS VARCHAR)", salt="cv")
+    return f"""
+WITH f AS (SELECT {hf} % 5 AS fold, label FROM embeddings),
+c AS (SELECT fold, label, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nf FROM c GROUP BY 1),
+lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+dev AS (SELECT c.fold, c.label,
+               abs((1000000 * c.n) // ft.nf - (1000000 * lt.nl) // (SELECT nt FROM n))
+                 AS d
+        FROM c JOIN ft USING (fold) JOIN lt USING (label))
+SELECT fold, CAST(max(ft.nf) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_labels_seen,
+       CAST(max(d) AS BIGINT) AS max_label_dev_ppm
+FROM dev JOIN ft USING (fold) GROUP BY fold
+"""
+
+
+@query("cv_fold_balance_audit", _cv_fold_oracle())
+def q_cv_fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold hygiene audit: assign 5 cross-validation folds by portable
+    hash (reproducible across engines and runs — never `rand()`, the
+    split.py discipline) and report each fold's worst per-label share
+    deviation from the global label distribution in exact ppm — the check
+    that catches both a broken hash (fold skew) and label imbalance that
+    warrants stratified folds.
+
+    Scale shape: one scan → (fold, label) census (≤ 50 cells), then
+    cell-level arithmetic on broadcast-sized totals."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        (h15(F.col("vec_id").cast("string"), salt="cv") % 5).alias("fold"),
+        "label",
+    )
+    c = f.groupBy("fold", "label").agg(F.count("*").cast("long").alias("n"))
+    ft = c.groupBy("fold").agg(F.sum("n").cast("long").alias("nf"))
+    lt = c.groupBy("label").agg(F.sum("n").cast("long").alias("nl"))
+    nt = c.agg(F.sum("n").cast("long").alias("nt"))
+    dev = (
+        c.join(F.broadcast(ft), "fold")
+        .join(F.broadcast(lt), "label")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "fold",
+            "label",
+            F.abs(
+                F.expr("(1000000 * n) div nf") - F.expr("(1000000 * nl) div nt")
+            ).alias("d"),
+        )
+    )
+    return (
+        dev.join(F.broadcast(ft), "fold")
+        .groupBy("fold")
+        .agg(
+            F.max("nf").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_labels_seen"),
+            F.max("d").cast("long").alias("max_label_dev_ppm"),
+        )
+    )
