@@ -1648,3 +1648,81 @@ def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nsrc").cast("long").alias("n_source_tokens"),
         F.expr("CAST(sum(cs * lq) div max(nsrc) AS BIGINT)").alias("kl_x1e6"),
     )
+
+
+@query(
+    "classifier_ece_summary",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+mm AS (SELECT CAST(min(score) AS BIGINT) AS mn, CAST(max(score) AS BIGINT) AS mx
+       FROM s),
+b AS (SELECT ((s.score - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS bin,
+             s.y, (1000000 * (s.score - mm.mn)) // (mm.mx - mm.mn + 1) AS conf
+      FROM s, mm),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np,
+             CAST(sum(conf) AS BIGINT) AS cs FROM b GROUP BY 1),
+d AS (SELECT bin, n,
+             abs((1000000 * np) // n - cs // n) AS gap FROM g),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+SELECT (SELECT nt FROM tot) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n * gap) // (SELECT nt FROM tot) AS BIGINT) AS ece_ppm,
+       CAST(max(gap) AS BIGINT) AS worst_gap_ppm
+FROM d
+""",
+)
+def q_classifier_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error scalar over the same 10 equi-width bins
+    as classifier_calibration_bins — the one-number summary a model gate
+    thresholds (weighted mean |accuracy − confidence| per bin, ppm), with
+    confidence the min-max-normalized score (this classifier emits scores,
+    not probabilities; the normalization is the identical exact integer
+    map in both engines). Also reports the worst single-bin gap — ECE can
+    average away a badly mis-calibrated bin.
+
+    Scale shape: one scored scan (Arrow-batched hashed classifier), 1-row
+    min/max broadcast, a 10-cell aggregate, a 1-row reduce."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_quality(docs, keep_cols=("n_chars",))
+        .select(
+            F.col("score_x1000").alias("score"),
+            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mm = scored.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    b = scored.crossJoin(F.broadcast(mm)).select(
+        F.expr("((score - mn) * 10) div (mx - mn + 1)").alias("bin"),
+        "y",
+        F.expr("(1000000 * (score - mn)) div (mx - mn + 1)").alias("conf"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+        F.sum("conf").cast("long").alias("cs"),
+    )
+    d = g.select(
+        "bin",
+        "n",
+        F.abs(F.expr("(1000000 * np) div n - cs div n")).alias("gap"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("nt"))
+    return d.crossJoin(F.broadcast(tot)).agg(
+        F.max("nt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.expr("CAST(sum(n * gap) div max(nt) AS BIGINT)").alias("ece_ppm"),
+        F.max("gap").cast("long").alias("worst_gap_ppm"),
+    )
