@@ -2090,3 +2090,81 @@ def q_cv_fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("long").alias("max_label_dev_ppm"),
         )
     )
+
+
+@query(
+    "preference_confound_audit",
+    """
+WITH it AS (SELECT l_orderkey AS ord,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(round(l_quantity) AS BIGINT) AS q,
+                   l_linenumber AS ln
+            FROM lineitem),
+a AS (SELECT ord, list_sort(list(struct_pack(p := p, q := q, ln := ln))) AS xs
+      FROM it GROUP BY 1),
+pr AS (SELECT unnest(flatten(list_transform(xs, (x, i) ->
+               list_transform(xs[i+1:], y -> struct_pack(a := x, b := y))))) AS pp
+       FROM a),
+d AS (SELECT pp.a.p AS pa, pp.b.p AS pb, pp.a.q AS qa, pp.b.q AS qb FROM pr)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN pa != pb AND qa != qb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decisive,
+       CAST(sum(CASE WHEN pa != pb AND qa != qb
+                      AND ((pa < pb) = (qa < qb)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST((1000000 * sum(CASE WHEN pa != pb AND qa != qb
+                      AND ((pa < pb) = (qa < qb)) THEN 1 ELSE 0 END))
+            // nullif(sum(CASE WHEN pa != pb AND qa != qb THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS concord_ppm
+FROM d
+""",
+)
+def q_preference_confound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confound audit for preference data — the length-bias check of RLHF
+    duels, run on the supplier-duel source: within each order (the duel
+    group), how often does the higher-priced item also carry the higher
+    quantity (within-group Kendall concordance)? concord_ppm ≫ 500000
+    means the 'preference' signal is entangled with a covariate and the
+    BT strengths partly rank the confound. Pairs expand IN-TASK from the
+    per-order sorted array (the market-basket C(n,2) codegen trick) —
+    bounded by order width, never corpus².
+
+    Scale shape: one order-keyed collect (bounded group width), codegen
+    pair explosion, one 4-counter aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.select(
+        F.col("l_orderkey").alias("ord"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    a = it.groupBy("ord").agg(
+        F.sort_array(F.collect_list(F.struct("p", "q", "ln"))).alias("xs")
+    )
+    pairs = a.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) ->"
+                " transform(slice(xs, i + 2, size(xs)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pp")
+    ).select(
+        F.col("pp.a.p").alias("pa"),
+        F.col("pp.b.p").alias("pb"),
+        F.col("pp.a.q").alias("qa"),
+        F.col("pp.b.q").alias("qb"),
+    )
+    decisive = (F.col("pa") != F.col("pb")) & (F.col("qa") != F.col("qb"))
+    concord = decisive & ((F.col("pa") < F.col("pb")) == (F.col("qa") < F.col("qb")))
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(decisive.cast("long")).cast("long").alias("n_decisive"),
+        F.sum(concord.cast("long")).cast("long").alias("n_concordant"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN pa != pb AND qa != qb"
+            " AND ((pa < pb) = (qa < qb)) THEN 1 ELSE 0 END))"
+            " div nullif(sum(CASE WHEN pa != pb AND qa != qb THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("concord_ppm"),
+    )
