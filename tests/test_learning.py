@@ -219,3 +219,35 @@ def test_rrf_fusion_consistency_with_rag_core(spark, sf_dir):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_stat_query_bounds(spark, sf_dir):
+    # cheap invariants that would catch sign/overflow/quantization bugs
+    # in the statistics family without an oracle.
+    from videos_to_tfrecords_spark.plans.advanced_queries import (
+        q_customer_value_gini,
+        q_price_mad_robust_scale,
+    )
+    from videos_to_tfrecords_spark.plans.learning_queries import (
+        q_conformal_coverage_eval,
+        q_cv_fold_balance_audit,
+    )
+    from videos_to_tfrecords_spark.plans.text_queries import q_source_unigram_kl
+
+    g = q_customer_value_gini(spark, sf_dir).collect()[0]
+    assert 0 <= g["gini_ppm"] <= 1_000_000
+
+    m = q_price_mad_robust_scale(spark, sf_dir).collect()[0]
+    assert 0 <= m["mad_cents"] <= m["median_cents"] * 10
+
+    # KL >= 0 up to the 1e-6 ln-quantization (4 quantized terms per token)
+    for r in q_source_unigram_kl(spark, sf_dir).collect():
+        assert r["kl_x1e6"] >= -8
+
+    c = q_conformal_coverage_eval(spark, sf_dir).collect()[0]
+    # finite-sample guarantee: coverage >= 90% - small-sample slack
+    assert c["coverage_ppm"] >= 850_000
+    assert c["qhat_cents"] >= 0
+
+    for r in q_cv_fold_balance_audit(spark, sf_dir).collect():
+        assert 0 <= r["max_label_dev_ppm"] <= 1_000_000
