@@ -2168,3 +2168,167 @@ def q_preference_confound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("concord_ppm"),
     )
+
+
+@query(
+    "crossmodal_integrity_audit",
+    """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id FROM embeddings),
+j AS (SELECT count(*) AS matched FROM d JOIN e ON doc_id = vec_id)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vecs,
+       CAST((SELECT matched FROM j) AS BIGINT) AS n_matched,
+       CAST((SELECT count(*) FROM d) - (SELECT matched FROM j) AS BIGINT)
+         AS n_docs_missing_vec,
+       CAST((SELECT count(*) FROM e) - (SELECT matched FROM j) AS BIGINT)
+         AS n_vecs_orphaned
+FROM (SELECT 1)
+""",
+)
+def q_crossmodal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODAL referential integrity — the first check of any paired
+    text/embedding (or image/caption) corpus: texts without vectors can't
+    be retrieved, vectors without texts are unservable. One row of exact
+    counts (the TPC-H FK audit generalized across modalities; ids here
+    align 1:1 by generator design, so nonzero gap columns mean pipeline
+    breakage, which is exactly what a gate wants).
+
+    Scale shape: two narrow id scans and one id-keyed join that reduces
+    to a count — with both sides bucketed by id in a real deployment this
+    is exchange-free."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    matched = docs.join(emb, docs.doc_id == emb.vec_id).count()
+    return spark.createDataFrame(
+        [(n_docs, n_vecs, matched, n_docs - matched, n_vecs - matched)],
+        "n_docs long, n_vecs long, n_matched long, n_docs_missing_vec long,"
+        " n_vecs_orphaned long",
+    )
+
+
+@query(
+    "crossmodal_spearman_length_norm",
+    """
+WITH pair AS (SELECT d.n_chars AS xv,
+                     CAST(list_sum(list_transform(e.embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000) AS BIGINT)
+                            * CAST(round(x * 1000000) AS BIGINT))) AS BIGINT)
+                       // 10000000 AS yv
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+xc AS (SELECT xv, CAST(count(*) AS BIGINT) AS t FROM pair GROUP BY 1),
+xr AS (SELECT xv, CAST(2 * coalesce(sum(t) OVER (ORDER BY xv ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS rx2
+       FROM xc),
+yc AS (SELECT yv, CAST(count(*) AS BIGINT) AS t FROM pair GROUP BY 1),
+yr AS (SELECT yv, CAST(2 * coalesce(sum(t) OVER (ORDER BY yv ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS ry2
+       FROM yc),
+r AS (SELECT xr.rx2 AS x, yr.ry2 AS y
+      FROM pair JOIN xr USING (xv) JOIN yr USING (yv)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM r),
+w AS (SELECT n, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM s)
+SELECT n,
+       CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+            / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT)
+         AS spearman_x1e6
+FROM w WHERE dx > 0 AND dy > 0
+""",
+)
+def q_crossmodal_spearman_length_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and embedding
+    norm — the cross-modal sanity signal (many encoders leak length into
+    the norm; a strong ρ warns that norm-based filtering is really length
+    filtering). Exact: tie-averaged ranks via the doubled-rank census
+    identity (2·avg_rank = 2·cum + t + 1, the Mann-Whitney machinery) on
+    BOTH variables — the norm² is floor-quantized to a ~64k-value domain
+    FIRST so its rank census (and window) is domain-bounded like the
+    length's, the correlated variable being the quantized norm by
+    definition — then Pearson on the integer doubled ranks with the
+    HUGEINT/DECIMAL(38) closing products; the single float op is the
+    final ratio.
+
+    Scale shape: one id-keyed join pairs the modalities; each rank table
+    is a value-domain census window; the sufficient statistics close in
+    one 6-integer reduce."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    yv = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long")
+            * F.round(x.cast("double") * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pair = docs.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            # exact floor-div: subtract the remainder first so the double
+            # quotient is an exact integer (numerator < 2^53)
+            ((yv - yv % F.lit(10000000)) / F.lit(10000000))
+            .cast("long")
+            .alias("yv"),
+        ),
+        "doc_id",
+    ).select(F.col("n_chars").alias("xv"), "yv")
+    pair = pair.localCheckpoint(eager=True)  # feeds both censuses + join-back
+
+    def ranks2(col):
+        c = pair.groupBy(col).agg(F.count("*").cast("long").alias("t"))
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return c.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(wb), F.lit(0))
+                + F.col("t")
+                + 1
+            )
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+
+    r = (
+        pair.join(F.broadcast(ranks2("xv")), "xv")
+        .join(F.broadcast(ranks2("yv")), "yv")
+        .select(F.col("r_xv").alias("x"), F.col("r_yv").alias("y"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+    )
+    nD = d38(F.col("n"))
+    num = nD * F.col("sxy") - d38(F.col("sx")) * d38(F.col("sy"))
+    dx = nD * F.col("sxx") - d38(F.col("sx")) * d38(F.col("sx"))
+    dy = nD * F.col("syy") - d38(F.col("sy")) * d38(F.col("sy"))
+    return (
+        s.filter((dx > 0) & (dy > 0))
+        .select(
+            "n",
+            F.floor(
+                F.lit(1000000.0)
+                * num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            )
+            .cast("long")
+            .alias("spearman_x1e6"),
+        )
+    )
