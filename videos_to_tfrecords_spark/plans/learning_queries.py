@@ -2332,3 +2332,84 @@ def q_crossmodal_spearman_length_norm(spark: SparkSession, sf_dir: str) -> DataF
             .alias("spearman_x1e6"),
         )
     )
+
+
+@query(
+    "markov_next_event_accuracy",
+    """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+e AS (SELECT user_id, event_type, ts, event_id,
+             2 * epoch_us(ts) < (SELECT mm FROM mm) AS pre FROM events),
+p AS (SELECT user_id, pre, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id, pre
+                                    ORDER BY ts, event_id) AS nxt
+      FROM e),
+fit AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE pre AND nxt IS NOT NULL GROUP BY 1, 2),
+pol AS (SELECT cur, nxt AS pred FROM (
+          SELECT *, row_number() OVER (PARTITION BY cur
+                 ORDER BY n DESC, nxt) AS r FROM fit) WHERE r = 1),
+ev AS (SELECT p.cur, p.nxt, pol.pred
+       FROM p JOIN pol USING (cur) WHERE NOT p.pre AND p.nxt IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST((1000000 * sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS top1_acc_ppm
+FROM ev
+""",
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction eval for the first-order Markov model (the
+    event_markov_transitions matrix turned into a gated metric): fit
+    per-state argmax successors on the first temporal half, score top-1
+    accuracy on second-half transitions — fit and eval pairs never span
+    the cutoff (the lead window partitions on (user, half)), completing
+    the temporal-hygiene eval family (churn frame, bandit replay,
+    conformal coverage). Exact integers; argmax fully tie-broken.
+
+    Scale shape: per-(user, half) lead windows (bounded by user history),
+    a states²-sized fit table reduced to a states-sized broadcast policy,
+    one 2-counter eval aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    e = ev.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (2 * F.unix_micros("ts") < F.col("mm")).alias("pre"),
+    )
+    wl = Window.partitionBy("user_id", "pre").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id",
+        "pre",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wl).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    fit = (
+        p.filter("pre").groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    )
+    wr = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pol = (
+        fit.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    evh = p.filter(~F.col("pre")).join(F.broadcast(pol), "cur")
+    return evh.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum((F.col("nxt") == F.col("pred")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("top1_acc_ppm"),
+    )
