@@ -1425,3 +1425,123 @@ def q_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys long, m_bits long, k_hashes long, n_bits_set long, n_fp long,"
         " fpr_ppm long",
     )
+
+
+@query(
+    "t_closeness_audit",
+    """
+WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  c_mktsegment AS mktsegment,
+                  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS b
+           FROM customer),
+cb AS (SELECT nationkey, mktsegment, b, CAST(count(*) AS BIGINT) AS cnt
+       FROM e GROUP BY 1, 2, 3),
+cls AS (SELECT nationkey, mktsegment, CAST(sum(cnt) AS BIGINT) AS nc
+        FROM cb GROUP BY 1, 2),
+bands AS (SELECT unnest(range(0, 11)) AS b),
+gb AS (SELECT bands.b, CAST(coalesce(g.gcnt, 0) AS BIGINT) AS gcnt
+       FROM bands LEFT JOIN (SELECT b, count(*) AS gcnt FROM e GROUP BY 1) g
+         ON g.b = bands.b),
+gcum AS (SELECT b, CAST(sum(gcnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cg FROM gb),
+ngt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS ng FROM gb),
+spine AS (SELECT nationkey, mktsegment, nc, b FROM cls CROSS JOIN bands),
+f AS (SELECT s.nationkey, s.mktsegment, s.nc, s.b, coalesce(cb.cnt, 0) AS cnt
+      FROM spine s LEFT JOIN cb ON cb.nationkey = s.nationkey
+        AND cb.mktsegment = s.mktsegment AND cb.b = s.b),
+cum AS (SELECT nationkey, mktsegment, nc, b,
+               CAST(sum(cnt) OVER (PARTITION BY nationkey, mktsegment
+                    ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        FROM f),
+emd AS (SELECT c.nationkey, c.mktsegment, c.nc,
+               sum(abs(CAST(c.cc AS HUGEINT) * ngt.ng
+                       - CAST(g.cg AS HUGEINT) * c.nc)) AS emd_raw
+        FROM cum c JOIN gcum g ON g.b = c.b CROSS JOIN ngt
+        GROUP BY 1, 2, 3)
+SELECT x.nationkey, x.mktsegment, x.nc AS n_rows,
+       CAST(x.emd_raw AS BIGINT) AS emd_num,
+       CAST((1000000 * x.emd_raw)
+            // (CAST(x.nc AS HUGEINT) * ngt.ng * 10) AS BIGINT) AS t_ppm
+FROM emd x CROSS JOIN ngt
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the ordered-attribute completion of the privacy
+    trio (k_anonymity_audit counts class sizes, l_diversity_audit counts
+    distinct sensitive values, t-closeness measures how far each class's
+    SENSITIVE-VALUE DISTRIBUTION sits from the global one). Classes are
+    (nation, market segment); the sensitive ordered attribute is the $1000
+    account-balance band (0..10, domain bounded by the TPC-H spec, not the
+    corpus). Distance is the exact 1-D earth-mover used by value_drift_emd:
+    per class, Σ_b |cum_class·n_global − cum_global·n_class| over the
+    11-band spine, cross-multiplied so no normalization float appears, then
+    one DECIMAL(38)/HUGEINT floor-division to t_ppm (t·1e6, denominator
+    nc·ng·(B−1)). A class with t_ppm ≫ 0 leaks the sensitive attribute by
+    membership alone even when k and l look safe.
+
+    Scale shape: the only corpus-sized stage is the (class, band) count;
+    the spine is |classes|×11, the global band table is 11 rows broadcast,
+    and every per-class window runs over 11 spine rows. At 100 TB the class
+    census shuffles |QI-domain| keys, not row count."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e = cust.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+        ).alias("b"),
+    )
+    cb = e.groupBy("nationkey", "mktsegment", "b").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cls = cb.groupBy("nationkey", "mktsegment").agg(
+        F.sum("cnt").cast("long").alias("nc")
+    )
+    bands = spark.range(11).select(F.col("id").cast("long").alias("b"))
+    gb = (
+        bands.join(e.groupBy("b").agg(F.count("*").alias("gcnt")), "b", "left")
+        .select("b", F.coalesce("gcnt", F.lit(0)).cast("long").alias("gcnt"))
+    )
+    wg = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gb.select("b", F.sum("gcnt").over(wg).cast("long").alias("cg"))
+    ngt = gb.agg(F.sum("gcnt").cast("long").alias("ng"))
+    spine = cls.crossJoin(F.broadcast(bands))
+    f = spine.join(cb, ["nationkey", "mktsegment", "b"], "left").select(
+        "nationkey",
+        "mktsegment",
+        "nc",
+        "b",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+    wc = (
+        Window.partitionBy("nationkey", "mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = f.select(
+        "nationkey", "mktsegment", "nc", "b",
+        F.sum("cnt").over(wc).cast("long").alias("cc"),
+    )
+    emd = (
+        cum.join(F.broadcast(gcum), "b")
+        .crossJoin(F.broadcast(ngt))
+        .groupBy("nationkey", "mktsegment", "nc")
+        .agg(
+            F.sum(
+                F.abs(d38(F.col("cc")) * d38(F.col("ng")) - d38(F.col("cg")) * d38(F.col("nc")))
+            ).alias("emd_raw")
+        )
+    )
+    return emd.crossJoin(F.broadcast(ngt)).select(
+        "nationkey",
+        "mktsegment",
+        F.col("nc").alias("n_rows"),
+        F.col("emd_raw").cast("long").alias("emd_num"),
+        F.expr(
+            "CAST((1000000 * emd_raw) div (CAST(nc AS DECIMAL(38,0)) * ng * 10)"
+            " AS BIGINT)"
+        ).alias("t_ppm"),
+    )
