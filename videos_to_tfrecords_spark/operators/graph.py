@@ -648,3 +648,41 @@ def hits_integer(
     )
     e.unpersist(blocking=False)
     return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: exact min-hop distance from the seed set within
+    ``n_iter`` hops. Returns ``(node, dist)`` for every node reachable in
+    ≤ n_iter hops (seeds at dist 0); callers left-join against the full
+    node set to census the unreached remainder.
+
+    Level-synchronous frontier expansion, the standard distributed-BFS
+    shape (Pregel/GraphX): each round shuffles (frontier ⋈ edges) on the
+    edge key and folds with min(dist) — per-round cost is O(edges touched),
+    state is one (node, dist) row per reached node, and min() makes the
+    fold order-independent, so the result is exact integers on any
+    cluster. The edge list is persisted once and reused every round; the
+    per-round frontier table is metadata beside it."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    cur = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(n_iter):
+        grown = e.join(cur, e.src == cur.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).cast("long").alias("dist")
+        )
+        cur = (
+            cur.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    out = cur.localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
+    return out

@@ -709,3 +709,82 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist(blocking=False)
     return out
+
+
+_BFS_ITERS = 4
+
+
+def _bfs_oracle_sql() -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    iters = []
+    for i in range(1, _BFS_ITERS + 1):
+        iters.append(
+            f""",
+d{i} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+  SELECT node, dist FROM d{i-1}
+  UNION ALL
+  SELECT e.dst AS node, d.dist + 1 AS dist
+  FROM edges e JOIN d{i-1} d ON e.src = d.node)
+  GROUP BY node)"""
+        )
+    tail = f""",
+r AS (SELECT n.node, coalesce(d.dist, -1) AS dist
+      FROM nodes n LEFT JOIN d{_BFS_ITERS} d ON d.node = n.node)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_suppliers
+FROM r GROUP BY dist"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_bfs_distances", _bfs_oracle_sql())
+def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop-level census over the symmetrized trade graph:
+    exact min-hop distance from the European supplier seed set (4
+    level-synchronous rounds, operators/graph.bfs_levels), then nodes per
+    hop level split customer/supplier, with dist = -1 for graph nodes the
+    frontier never reached. The reachability/blast-radius primitive next
+    to PageRank (influence) and k-core (cohesion); the oracle unrolls the
+    identical min-fold frontier expansion into one CTE per hop.
+
+    Scale shape: each round is one edge-keyed shuffle join + a min
+    aggregate (Pregel's level-synchronous step); the final census is a
+    6-row aggregate. No per-node state beyond (node, dist)."""
+    from videos_to_tfrecords_spark.operators.graph import bfs_levels
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    eu_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    seeds = (
+        supplier.join(
+            F.broadcast(eu_nations),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+    )
+    edges = _trade_edges(spark, sf_dir)
+    dist = bfs_levels(edges, seeds, n_iter=_BFS_ITERS)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    r = nodes.join(dist, "node", "left").select(
+        "node", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+    )
+    return r.groupBy("dist").agg(
+        F.count(F.when(F.col("node") % 2 == 0, 1)).cast("long").alias("n_customers"),
+        F.count(F.when(F.col("node") % 2 == 1, 1)).cast("long").alias("n_suppliers"),
+    )
