@@ -2413,3 +2413,144 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("top1_acc_ppm"),
     )
+
+
+def _nb_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(doc_id AS VARCHAR)", salt="nb")
+    qln = lambda x: f"CAST(floor(1000000 * ln({x})) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH d AS (SELECT doc_id, source, text, {h} % 10 < 8 AS is_fit FROM documents),
+ft AS (SELECT c, t FROM (SELECT source AS c, unnest(string_split(text, ' ')) AS t
+                         FROM d WHERE is_fit) WHERE t <> ''),
+wcnt AS (SELECT c, t, CAST(count(*) AS BIGINT) AS cnt FROM ft GROUP BY 1, 2),
+vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM wcnt),
+cls AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot FROM wcnt GROUP BY 1),
+nd_c AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS ndocs
+         FROM d WHERE is_fit GROUP BY 1),
+cst AS (SELECT cls.c,
+               {qln("cls.tot + (SELECT v FROM vocab)")} AS lden,
+               {qln("nd_c.ndocs + 1")} AS lpri
+        FROM cls JOIN nd_c ON nd_c.c = cls.c),
+et AS (SELECT doc_id, true_c, t FROM (
+         SELECT doc_id, source AS true_c, unnest(string_split(text, ' ')) AS t
+         FROM d WHERE NOT is_fit) WHERE t <> ''),
+tc AS (SELECT doc_id, true_c, t, CAST(count(*) AS BIGINT) AS n
+       FROM et GROUP BY 1, 2, 3),
+nd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ndoc FROM tc GROUP BY 1),
+s1 AS (SELECT tc.doc_id, w.c,
+              CAST(sum(tc.n * {qln("w.cnt + 1")}) AS BIGINT) AS s1
+       FROM tc JOIN wcnt w ON w.t = tc.t GROUP BY 1, 2),
+spine AS (SELECT nd.doc_id, nd.ndoc, cst.c, cst.lden, cst.lpri
+          FROM nd CROSS JOIN cst),
+sc AS (SELECT s.doc_id, s.c,
+              coalesce(s1.s1, 0) - s.ndoc * s.lden + s.lpri AS score
+       FROM spine s LEFT JOIN s1 ON s1.doc_id = s.doc_id AND s1.c = s.c),
+pred AS (SELECT doc_id, c AS pred_c FROM (
+           SELECT doc_id, c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, c) AS rn
+           FROM sc) WHERE rn = 1)
+SELECT t.true_c AS true_source, p.pred_c AS pred_source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT DISTINCT doc_id, true_c FROM tc) t
+JOIN pred p USING (doc_id) GROUP BY 1, 2
+"""
+
+
+@query("naive_bayes_source_eval", _nb_oracle())
+def q_naive_bayes_source_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated INSIDE the engine: fit
+    add-one-smoothed per-source token likelihoods on the 80% hash split
+    (portable h15, so both engines draw the identical split), score the
+    held-out 20% with exact integer log-likelihoods — every ln is taken of
+    an INTEGER count and floor-quantized to int64 ×1e6 BEFORE any
+    sum/product (the doc_unigram_entropy discipline), so
+    score(d,c) = Σ_w n_w·qln(cnt_wc+1) − N_d·qln(tot_c+V) + qln(ndocs_c+1)
+    is bit-identical cross-engine — and emit the eval confusion matrix.
+    The learned-generative complement to the hashed discriminative scorer
+    (doc_quality_classifier) and the n-gram heuristic (doc_lang_id).
+
+    Scale shape: training is one (class, token)-keyed partial→final count
+    (vocab×C keys, not corpus rows); scoring joins eval tokens to the
+    weight table on the token key; the per-doc argmax window partitions by
+    doc_id over |C| rows. The doc×class spine is linear in eval docs with
+    a small-C constant."""
+    from pyspark.sql import Window
+
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    qln = lambda c: F.floor(F.lit(1000000.0) * F.log(c)).cast("long")  # noqa: E731
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (h15(F.col("doc_id").cast("string"), salt="nb") % 10 < 8).alias("is_fit"),
+    )
+    ft = (
+        d.filter("is_fit")
+        .select(F.col("source").alias("c"), F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    wcnt = (
+        ft.groupBy("c", "t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds vocab, class totals, and scoring
+    )
+    vocab = wcnt.agg(F.count_distinct("t").cast("long").alias("v"))
+    cls = wcnt.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot"))
+    nd_c = (
+        d.filter("is_fit").groupBy(F.col("source").alias("c"))
+        .agg(F.count("*").cast("long").alias("ndocs"))
+    )
+    cst = (
+        cls.join(nd_c, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "c",
+            qln(F.col("tot") + F.col("v")).alias("lden"),
+            qln(F.col("ndocs") + 1).alias("lpri"),
+        )
+    )
+    et = (
+        d.filter(~F.col("is_fit"))
+        .select(
+            "doc_id",
+            F.col("source").alias("true_c"),
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tc = et.groupBy("doc_id", "true_c", "t").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint(eager=True)  # feeds nd, s1, and the truth table
+    nd = tc.groupBy("doc_id").agg(F.sum("n").cast("long").alias("ndoc"))
+    s1 = (
+        tc.join(wcnt, wcnt.t == tc.t)
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("n") * qln(F.col("cnt") + 1)).cast("long").alias("s1"))
+    )
+    spine = nd.crossJoin(F.broadcast(cst))
+    sc = spine.join(s1, ["doc_id", "c"], "left").select(
+        "doc_id",
+        "c",
+        (
+            F.coalesce("s1", F.lit(0)) - F.col("ndoc") * F.col("lden") + F.col("lpri")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    pred = (
+        sc.select("doc_id", "c", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("pred_c"))
+    )
+    truth = tc.select("doc_id", "true_c").distinct()
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy(
+            F.col("true_c").alias("true_source"), F.col("pred_c").alias("pred_source")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
