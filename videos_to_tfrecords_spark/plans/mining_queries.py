@@ -1545,3 +1545,93 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("t_ppm"),
     )
+
+
+@query(
+    "golden_record_survivorship",
+    """
+WITH recs AS (
+  SELECT c_custkey AS k, 'legacy' AS src, 3 AS prio, 100 AS ts,
+         c_name AS name, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         concat(c_name, ' ', c_mktsegment) AS note
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'crm', 1, 200, upper(c_name), NULL,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 1000, c_name
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, 'web', 2, 300, c_name, c_mktsegment, NULL, NULL
+  FROM customer WHERE c_custkey % 3 = 0),
+g AS (
+  SELECT k,
+         min_by(name, prio) FILTER (WHERE name IS NOT NULL) AS name,
+         max_by(segment, ts) FILTER (WHERE segment IS NOT NULL) AS segment,
+         max_by(bal, ts) FILTER (WHERE bal IS NOT NULL) AS bal_cents,
+         max_by(note, length(note) * 10 + prio)
+           FILTER (WHERE note IS NOT NULL) AS note,
+         CAST(count(*) AS BIGINT) AS n_records,
+         string_agg(src, ',' ORDER BY prio) AS sources
+  FROM recs GROUP BY k)
+SELECT CAST(k AS BIGINT) AS custkey, name, segment, bal_cents, note,
+       n_records, sources
+FROM g
+""",
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the consolidation step AFTER entity
+    resolution (record_linkage_scores finds the duplicate clusters; this
+    merges each cluster into one master record). Three system feeds are
+    synthesized from customer (legacy: full record; crm: trusted name,
+    missing segment, fresher balance; web: freshest timestamp, sparse
+    fields), then per-field survivorship rules pick winners: name from the
+    highest-PRIORITY source, segment/balance from the most RECENT non-null
+    feed, free-text note by longest-value-wins — each rule one
+    min_by/max_by aggregate with a FILTER clause, with integer composite
+    order keys so ties are impossible and both engines pick identical
+    winners. The source lineage string records the merge provenance.
+
+    Scale shape: one union of projected scans, one partial→final aggregate
+    on the entity key. max_by/min_by fold map-side, so no per-entity list
+    ever materializes — at 100 TB this is a single shuffle of one row per
+    (entity, field-winner) partial."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("k"), F.lit("legacy").alias("src"), F.lit(3).alias("prio"),
+        F.lit(100).alias("ts"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"), cents.alias("bal"),
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("note"),
+    )
+    b = cust.filter(k % 2 == 0).select(
+        k.alias("k"), F.lit("crm").alias("src"), F.lit(1).alias("prio"),
+        F.lit(200).alias("ts"), F.upper("c_name").alias("name"),
+        F.lit(None).cast("string").alias("segment"), (cents + 1000).alias("bal"),
+        F.col("c_name").alias("note"),
+    )
+    c = cust.filter(k % 3 == 0).select(
+        k.alias("k"), F.lit("web").alias("src"), F.lit(2).alias("prio"),
+        F.lit(300).alias("ts"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"), F.lit(None).cast("long").alias("bal"),
+        F.lit(None).cast("string").alias("note"),
+    )
+    recs = a.unionByName(b).unionByName(c)
+    return recs.groupBy(F.col("k").cast("long").alias("custkey")).agg(
+        F.expr("min_by(name, prio) FILTER (WHERE name IS NOT NULL)").alias("name"),
+        F.expr("max_by(segment, ts) FILTER (WHERE segment IS NOT NULL)").alias(
+            "segment"
+        ),
+        F.expr("max_by(bal, ts) FILTER (WHERE bal IS NOT NULL)").alias("bal_cents"),
+        F.expr(
+            "max_by(note, length(note) * 10 + prio)"
+            " FILTER (WHERE note IS NOT NULL)"
+        ).alias("note"),
+        F.count("*").cast("long").alias("n_records"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(prio, src))),"
+            " x -> x.src), ',')"
+        ).alias("sources"),
+    )
