@@ -1061,3 +1061,102 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def knn_shapley_values(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    scale: int = 10**9,
+    query_target: int = 100,
+) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB 2019 — public):
+    the Shapley value of each TRAINING point for a KNN classifier has the
+    closed form s_(N) = y_(N)/N, s_(i) = s_(i+1) + (y_(i) − y_(i+1)) /
+    max(K, i) over the per-test-point distance ranking, so the O(2^N)
+    game collapses to a rank + suffix scan. Scores quantize per term as
+    (y_i − y_{i+1})·(scale // max(K, i)) — integer flooring BEFORE the
+    suffix sum, so both engines sum identical int64 terms in any order.
+
+    The test probe is corpus-derived-modulus bounded (~``query_target``
+    points, never fewer than a 1-in-2 split so the train side is always
+    non-empty); the train side is everything else. The probe matrix closes
+    over a ``mapInPandas`` corpus scan emitting ALL |probe|×batch scored
+    pairs — unlike :func:`brute_force_topk` no top-k cut applies, because
+    the recursion consumes the FULL ranking. Per-test rank+suffix-sum is
+    the algorithmic floor: exact KNN-Shapley is Ω(n) per test point, and
+    the window partitions by test point (bounded count), so the plan is
+    |probe|·n rows end to end — linear in the corpus with a fixed probe
+    constant. Returns (vec_id, label, shapley_x1e9) summed over the probe.
+    """
+    n = int(df.count())
+    m = max(2, n // query_target)
+    q = df.filter(F.col(id_col) % m == 0)
+    t = df.filter(F.col(id_col) % m != 0)
+    (qids, qlabels), qmat = _collect_query_matrix(q, [id_col, label_col], vec_col)
+    n_train = n - len(qids)
+    c = t.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).cast("long").alias("cand_label"),
+        F.col(vec_col).alias("cv"),
+    )
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            ci = _to_int_matrix(pdf["cv"])
+            cids = pdf["cand_id"].to_numpy()
+            clab = pdf["cand_label"].to_numpy()
+            dots = qmat @ ci.T  # |q| × batch, exact int64
+            nq, nb = dots.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, nb),
+                    "cand_id": np.tile(cids, nq),
+                    "cand_label": np.tile(clab, nq),
+                    "y": (np.repeat(qlabels, nb) == np.tile(clab, nq)).astype(
+                        np.int64
+                    ),
+                    "dot_scaled": dots.ravel(),
+                }
+            ).astype("int64")
+
+    pairs = c.mapInPandas(
+        partial,
+        "query_id long, cand_id long, cand_label long, y long, dot_scaled long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_scaled"), F.asc("cand_id")
+    )
+    r = pairs.select(
+        "query_id",
+        "cand_id",
+        "cand_label",
+        "y",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.lead("y").over(w).alias("ynext"),
+    )
+    term = F.when(
+        F.col("rnk") == n_train, F.col("y") * F.lit(scale // n_train)
+    ).otherwise(
+        (F.col("y") - F.col("ynext"))
+        * F.expr(f"CAST({scale} AS BIGINT) div greatest(CAST({k} AS BIGINT), rnk)")
+    )
+    # Suffix sum as a RUNNING sum over descending rank: Spark's
+    # unbounded-FOLLOWING frame recomputes the aggregate per row (O(n²)
+    # per partition in UnboundedFollowingWindowFunctionFrame); the
+    # unbounded-PRECEDING frame is a single O(n) accumulator pass.
+    ws = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("rnk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sv = r.select(
+        "cand_id", "cand_label", F.sum(term).over(ws).cast("long").alias("s")
+    )
+    return sv.groupBy(
+        F.col("cand_id").alias(id_col), F.col("cand_label").alias(label_col)
+    ).agg(F.sum("s").cast("long").alias("shapley_x1e9"))

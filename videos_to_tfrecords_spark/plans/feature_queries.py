@@ -18,6 +18,7 @@ from videos_to_tfrecords_spark.operators.relational import ewma_taps, skyline_2d
 from videos_to_tfrecords_spark.operators.retrieval import bm25_oracle_sql, bm25_topk
 from videos_to_tfrecords_spark.operators.sampling import weighted_sample_exact_k
 from videos_to_tfrecords_spark.operators.similarity import (
+    brute_force_topk,
     gram_matrix,
     knn_loo_accuracy,
 )
@@ -70,6 +71,75 @@ def q_knn_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10× rows (the ann_recall_at_k probe-set lesson, eval edition)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_loo_accuracy(emb, query_mod="auto")
+
+
+@query(
+    "label_noise_knn_audit",
+    f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 400) AS m FROM embeddings),
+e AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+s AS (SELECT a.vec_id AS qid, a.label AS true_label, b.label AS pred_label,
+             b.vec_id AS cid, {_DOT} AS dot
+      FROM e a, e b WHERE a.vec_id % (SELECT m FROM kq) = 0
+        AND b.vec_id != a.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+      FROM s)
+SELECT qid AS vec_id, true_label AS label,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       2 * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) < 5 AS noisy
+FROM r WHERE rnk <= 5 GROUP BY 1, 2
+""",
+)
+def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EXAMPLE label-noise audit via k=5 NN disagreement (the
+    confident-learning-style mislabel screen a curation pipeline runs
+    before training on weak labels): a point whose neighborhood majority
+    votes a DIFFERENT class is flagged noisy and surfaced for review or
+    pruning. The point-level complement to knn_loo_accuracy's per-class
+    summary — this query returns the actual flagged examples.
+
+    Exact neighbors from the same broadcast brute-force kernel
+    (brute_force_topk, k=5, self excluded, id tie-break), probe bounded
+    at ~400 points via a corpus-derived modulus (fixed-mod ⇒ quadratic
+    pair volume — the knn_loo lesson). Integer counts + a boolean flag;
+    no floats cross the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = max(1, int(emb.count()) // 400)
+    probe = emb.filter(F.col("vec_id") % m == 0)
+    nn = brute_force_topk(probe, emb, k=5)
+    labels = emb.select("vec_id", "label")
+    joined = nn.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            )
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("pred_label"),
+            )
+        ),
+        "cand_id",
+    )
+    return (
+        joined.groupBy(
+            F.col("query_id").alias("vec_id"),
+            F.col("true_label").alias("label"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_same")
+        )
+        .withColumn("noisy", (2 * F.col("n_same")) < F.lit(5))
+    )
 
 
 @query(

@@ -2554,3 +2554,136 @@ def q_naive_bayes_source_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def _knn_shapley_oracle() -> str:
+    iv = (
+        "list_transform(embedding::DOUBLE[],"
+        " x -> CAST(round(x * 1000000) AS BIGINT))"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(a.v, b.v),"
+        " p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return f"""
+WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+kq AS (SELECT GREATEST(2, (SELECT n FROM n0) // 100) AS m),
+e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {iv} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) = 0),
+t AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) != 0),
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+s AS (SELECT a.vec_id AS qid,
+             CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS y,
+             b.vec_id AS cid, b.label AS clabel, {dot} AS dot
+      FROM q a, t b),
+r AS (SELECT qid, cid, clabel, y,
+             row_number() OVER w AS rnk,
+             lead(y) OVER w AS ynext
+      FROM s WINDOW w AS (PARTITION BY qid ORDER BY dot DESC, cid)),
+terms AS (SELECT qid, cid, clabel, rnk,
+                 CASE WHEN rnk = (SELECT n FROM ntr)
+                      THEN y * (1000000000 // (SELECT n FROM ntr))
+                      ELSE (y - ynext) * (1000000000 // GREATEST(5, rnk)) END AS t
+          FROM r),
+sv AS (SELECT cid, clabel,
+              sum(t) OVER (PARTITION BY qid ORDER BY rnk
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+       FROM terms)
+SELECT cid AS vec_id, clabel AS label, CAST(sum(s) AS BIGINT) AS shapley_x1e9
+FROM sv GROUP BY 1, 2
+"""
+
+
+@query("knn_shapley_values", _knn_shapley_oracle())
+def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation over the embedding table
+    (operators/similarity.knn_shapley_values): per-training-point Shapley
+    value for the K=5 NN classifier via the Jia et al. closed-form
+    rank-recursion, summed over a ~100-point corpus-derived test probe.
+    The per-point complement to source_loo_value's per-SOURCE leave-one-out
+    — this is the query that ranks individual examples for pruning or
+    curation by their marginal contribution to held-out accuracy.
+
+    Every term is integer-floored BEFORE the suffix sum (scale // max(K,
+    rank)), so Spark's window scan and the oracle's produce bit-identical
+    int64 totals. Linear in the corpus: |probe|·n scored pairs, windows
+    partitioned by the bounded probe id."""
+    from videos_to_tfrecords_spark.operators.similarity import knn_shapley_values
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_shapley_values(emb, k=5, query_target=100)
+
+
+def _pass_at_k_oracle() -> str:
+    return """
+WITH att AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+per AS (
+  SELECT n, c,
+         n * (n - 1) * (n - 2) AS d,
+         CASE WHEN n - c >= 3
+              THEN (n - c) * (n - c - 1) * (n - c - 2) ELSE 0 END AS miss
+  FROM att WHERE n >= 3
+)
+SELECT n AS n_attempts,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum((d - miss) * 1000000000 // d) // count(*) AS BIGINT)
+         AS mean_pass_at_3_x1e9,
+       CAST(sum(c * 1000000000 // n) // count(*) AS BIGINT)
+         AS mean_pass_at_1_x1e9
+FROM per GROUP BY 1
+"""
+
+
+@query("eval_pass_at_k", _pass_at_k_oracle())
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k eval metric via the unbiased combinatorial estimator from the
+    HumanEval/Codex methodology (public: Chen et al. 2021, eq. 1):
+    pass@k = 1 − C(n−c, k) / C(n, k) per task with n attempts and c
+    successes — computed here per order (task = order, attempts =
+    lineitems, success = returnflag 'R') and averaged within
+    n-attempt buckets, the exact readout an eval harness reports when
+    sampling multiple generations per prompt.
+
+    Exactness: per-task n is bounded by the order's line count (≤13), so
+    C(n,3) products stay tiny int64; the estimator is computed as
+    ((D − miss)·1e9) // D with D = n(n−1)(n−2) — one integer floor per
+    task, then a floor-of-mean close (sum // count), identical term order
+    both engines. One shuffle (groupBy orderkey) plus a tiny bucket agg;
+    per-task state is the order's line count, never corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    att = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    per = (
+        att.filter(F.col("n") >= 3)
+        .withColumn(
+            "d", F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)
+        )
+        .withColumn(
+            "miss",
+            F.when(
+                F.col("n") - F.col("c") >= 3,
+                (F.col("n") - F.col("c"))
+                * (F.col("n") - F.col("c") - 1)
+                * (F.col("n") - F.col("c") - 2),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return per.groupBy(F.col("n").alias("n_attempts")).agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.expr(
+            "CAST(sum((d - miss) * 1000000000 div d) div count(*) AS BIGINT)"
+        ).alias("mean_pass_at_3_x1e9"),
+        F.expr(
+            "CAST(sum(c * 1000000000 div n) div count(*) AS BIGINT)"
+        ).alias("mean_pass_at_1_x1e9"),
+    )
