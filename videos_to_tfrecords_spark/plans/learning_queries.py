@@ -2687,3 +2687,69 @@ def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(c * 1000000000 div n) div count(*) AS BIGINT)"
         ).alias("mean_pass_at_1_x1e9"),
     )
+
+
+def _wilson_oracle() -> str:
+    return """
+WITH agg AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT suppkey, n, s,
+         CAST(floor(sqrt(CAST(n * s * (n - s) + n * n AS DOUBLE)))
+              AS BIGINT) AS t
+  FROM agg
+)
+SELECT suppkey, n, s,
+       (1000000 * ((s + 2) * n - 2 * t)) // (n * (n + 4)) AS wilson_lb_x1e6
+FROM w
+ORDER BY wilson_lb_x1e6 DESC, suppkey
+LIMIT 20
+"""
+
+
+@query("wilson_lower_bound_ranking", _wilson_oracle())
+def q_wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers by return rate using the Wilson score lower bound at
+    z=2 (the small-sample-shrinkage ranking a curation pipeline uses to
+    order sources by spam/quality rate without letting a 2-of-2 source
+    beat a 980-of-1000 one — the classic sort-by-rating correction).
+
+    z=2 collapses Wilson to integers: LB = ((s+2)·n − 2·√(n·s·(n−s)+n²))
+    / (n(n+4)). The sqrt argument is an int64 (n per supplier is bounded
+    by its line count, so n³ ≪ 2^52 and floor(IEEE-correctly-rounded
+    sqrt) is the same integer on both engines — the proven isqrt
+    pattern); every other step is int64 multiply/floor-div, and the
+    numerator is provably non-negative so div == //. One shuffle
+    (groupBy suppkey) then a global top-20 — TakeOrderedAndProject, no
+    full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    w = agg.withColumn(
+        "t",
+        F.floor(
+            F.sqrt((F.col("n") * F.col("s") * (F.col("n") - F.col("s"))
+                    + F.col("n") * F.col("n")).cast("double"))
+        ).cast("long"),
+    )
+    return (
+        w.select(
+            "suppkey",
+            "n",
+            "s",
+            F.expr(
+                "(1000000 * ((s + 2) * n - 2 * t)) div (n * (n + 4))"
+            ).alias("wilson_lb_x1e6"),
+        )
+        .orderBy(F.desc("wilson_lb_x1e6"), F.asc("suppkey"))
+        .limit(20)
+    )
