@@ -738,3 +738,69 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr_ppm"),
         )
     )
+
+
+def _mmr_oracle(k: int = 5, n_cand: int = 20, qt: int = 50) -> str:
+    """Unrolled greedy MMR: step 1 picks max-rel; each later step joins the
+    pair-sim table to the selected union, takes max-sim per remaining
+    candidate (LEFT-JOIN-flag anti, never correlated NOT IN), and window-
+    picks argmax(rel − maxsim) with id tie-break — identical total order
+    to the engine's unrolled rounds."""
+    head = f"""
+WITH kq AS (SELECT GREATEST(2, count(*) // {qt}) AS m FROM embeddings),
+e AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) = 0),
+t AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) != 0),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS cid, b.v AS cv,
+             {_int_dot('a.v', 'b.v')} AS rel
+      FROM q a, t b),
+cand AS (SELECT qid, cid, cv, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid)
+             AS rnk FROM s) WHERE rnk <= {n_cand}),
+pairs AS (SELECT x.qid, x.cid AS ca, y.cid AS cb,
+                 {_int_dot('x.cv', 'y.cv')} AS sim
+          FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid != y.cid),
+sel1 AS (SELECT qid, cid, 1 AS step, rel AS score FROM (
+           SELECT qid, cid, rel, row_number() OVER
+             (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+           FROM cand) WHERE rn = 1),
+selu1 AS (SELECT * FROM sel1)"""
+    steps = []
+    for i in range(2, k + 1):
+        p = i - 1
+        steps.append(f"""
+ms{i} AS (SELECT p.qid, p.ca AS cid, max(p.sim) AS maxsim
+        FROM pairs p JOIN selu{p} s ON s.qid = p.qid AND s.cid = p.cb
+        GROUP BY 1, 2),
+sel{i} AS (SELECT qid, cid, {i} AS step, score FROM (
+           SELECT c.qid, c.cid, c.rel - m.maxsim AS score,
+                  row_number() OVER (PARTITION BY c.qid
+                    ORDER BY c.rel - m.maxsim DESC, c.cid) AS rn
+           FROM cand c
+           JOIN ms{i} m ON m.qid = c.qid AND m.cid = c.cid
+           LEFT JOIN selu{p} s0 ON s0.qid = c.qid AND s0.cid = c.cid
+           WHERE s0.cid IS NULL) WHERE rn = 1),
+selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})""")
+    tail = f"""
+SELECT qid AS query_id, CAST(step AS BIGINT) AS step, cid AS cand_id,
+       CAST(score AS BIGINT) AS mmr_score
+FROM selu{k}"""
+    return head + "," + ",".join(steps) + tail
+
+
+@query("mmr_diversified_retrieval", _mmr_oracle())
+def q_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 retrieval per probe query
+    (operators/similarity.mmr_diversified_topk): greedy maximal-marginal-
+    relevance re-ranking of the exact top-20 relevance candidates, λ=½ so
+    the criterion collapses to the integer rel − max-sim-to-selected. The
+    between-ANN-and-context diversity stage of the RAG mainline — the k
+    passages returned are mutually non-redundant, not just individually
+    relevant. Everything past candidate generation is bounded by
+    |probe|·candidates², corpus-independent."""
+    from videos_to_tfrecords_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversified_topk(emb, query_target=50, n_candidates=20, k=5)
