@@ -1242,3 +1242,63 @@ def mmr_diversified_topk(
     return cand_v.groupBy("query_id").applyInPandas(
         greedy, "query_id long, step long, cand_id long, mmr_score long"
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    traversal — public; the 2-approximation behind coreset-based active
+    learning / diverse-prototype curation, e.g. Sener & Savarese 2018):
+    seed with the min-id point, then k−1 rounds of "pick the point whose
+    distance to its NEAREST selected center is largest". Returns the
+    selected prototypes plus the final coverage radius — the objective a
+    curation pipeline minimizes when choosing a small diverse subset to
+    label or to seed clustering.
+
+    Each round is one corpus scan: a pandas batch computes exact int64
+    min-squared-distance to the ≤k centers broadcast as a closed-over
+    numpy matrix (the kmeans_lite kernel shape), and the round's argmax
+    is a TakeOrdered(1) under the total order (−min_dist, id) — k·scan
+    total work, no corpus-sized state, centers are metadata-sized driver
+    rows (bounded k, the broadcast-variable shape). All distances are
+    exact scaled-int64 (‖·‖² ≤ dim·(2·1e6)² ≪ 2^63).
+
+    Output: (step, center_id, radius2) — radius2 is the selected point's
+    min-distance at pick time (step 1: 0 by convention); a final row
+    (step k+1, center_id −1) carries the k-center objective max-min
+    radius over the whole corpus.
+    """
+    base = df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    first = base.orderBy("pid").limit(1).collect()[0]
+    centers = [(int(first["pid"]), list(first["pv"]))]
+    out_rows = [(1, centers[0][0], 0)]
+
+    def min_dist_col(cent_rows):
+        cmat = _to_int_matrix(pd.Series([c[1] for c in cent_rows]))
+
+        @F.pandas_udf("long")
+        def md(v: pd.Series) -> pd.Series:
+            vi = _to_int_matrix(v)
+            return pd.Series(_dist2_matrix(vi, cmat).min(axis=1))
+
+        return md
+
+    for step in range(2, k + 1):
+        scored = base.withColumn("md", min_dist_col(centers)("pv"))
+        pick = scored.orderBy(F.desc("md"), F.asc("pid")).limit(1).collect()[0]
+        centers.append((int(pick["pid"]), list(pick["pv"])))
+        out_rows.append((step, int(pick["pid"]), int(pick["md"])))
+    final = (
+        base.withColumn("md", min_dist_col(centers)("pv"))
+        .agg(F.max("md").alias("r"))
+        .collect()[0]["r"]
+    )
+    out_rows.append((k + 1, -1, int(final)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "step long, center_id long, radius2 long"
+    )

@@ -804,3 +804,53 @@ def q_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_diversified_topk(emb, query_target=50, n_candidates=20, k=5)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled farthest-first chain: c1 = min-id seed; d_i carries the
+    running min-distance via a LEAST fold (identical to the engine's
+    min-over-centers); c_{i+1} is TakeOrdered(1) under (−md, id)."""
+    d2 = _int_dist2
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_IV} AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.v, {d2('e.v', 'c.v')} AS md FROM e, c1 c)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, md FROM d{p} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT d.vec_id, d.v, "
+            f"LEAST(d.md, {d2('d.v', 'c.v')}) AS md FROM d{p} d, c{i} c)"
+        )
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS step, "
+        "(SELECT vec_id FROM c1) AS center_id, CAST(0 AS BIGINT) AS radius2"
+    ]
+    for i in range(2, k + 1):
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT), (SELECT vec_id FROM c{i}), "
+            f"CAST((SELECT md FROM c{i}) AS BIGINT)"
+        )
+    sel.append(
+        f"SELECT CAST({k + 1} AS BIGINT), CAST(-1 AS BIGINT), "
+        f"CAST((SELECT max(md) FROM d{k}) AS BIGINT)"
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+@query("kcenter_coreset", _kcenter_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (operators/similarity.kcenter_greedy): 8 farthest-first prototypes +
+    the final max-min coverage radius — the diversity-based subset
+    selection primitive of coreset active learning and diverse-seed
+    curation. Exact scaled-int64 distances; each round one corpus scan
+    with the ≤8-center matrix broadcast; argmax is TakeOrdered(1)."""
+    from videos_to_tfrecords_spark.operators.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=8)
