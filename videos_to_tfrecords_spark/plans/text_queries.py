@@ -1726,3 +1726,144 @@ def q_classifier_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n * gap) div max(nt) AS BIGINT)").alias("ece_ppm"),
         F.max("gap").cast("long").alias("worst_gap_ppm"),
     )
+
+
+def _rouge_oracle() -> str:
+    return """
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len1,
+                CAST(GREATEST(1, len(t) - 1) AS BIGINT) AS len2 FROM tok),
+uc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+         (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2),
+bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+         (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS g FROM tok) GROUP BY 1, 2),
+pairs AS (SELECT source, doc_id AS ref_id,
+                 lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS cand_id
+          FROM tok QUALIFY cand_id IS NOT NULL),
+ov1 AS (SELECT p.ref_id, p.cand_id, sum(LEAST(a.c, b.c)) AS ov
+        FROM pairs p JOIN uc a ON a.doc_id = p.ref_id
+        JOIN uc b ON b.doc_id = p.cand_id AND b.g = a.g GROUP BY 1, 2),
+ov2 AS (SELECT p.ref_id, p.cand_id, sum(LEAST(a.c, b.c)) AS ov
+        FROM pairs p JOIN bc a ON a.doc_id = p.ref_id
+        JOIN bc b ON b.doc_id = p.cand_id AND b.g = a.g GROUP BY 1, 2),
+per AS (SELECT p.source, COALESCE(o1.ov, 0) AS o1, COALESCE(o2.ov, 0) AS o2,
+               ra.len1 AS rl1, ra.len2 AS rl2, ca.len1 AS cl1, ca.len2 AS cl2
+        FROM pairs p
+        LEFT JOIN ov1 o1 ON o1.ref_id = p.ref_id AND o1.cand_id = p.cand_id
+        LEFT JOIN ov2 o2 ON o2.ref_id = p.ref_id AND o2.cand_id = p.cand_id
+        JOIN lens ra ON ra.doc_id = p.ref_id
+        JOIN lens ca ON ca.doc_id = p.cand_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(1000000 * o1 // rl1) // count(*) AS BIGINT) AS r1_recall_x1e6,
+       CAST(sum(1000000 * o1 // cl1) // count(*) AS BIGINT) AS r1_prec_x1e6,
+       CAST(sum(1000000 * o2 // rl2) // count(*) AS BIGINT) AS r2_recall_x1e6,
+       CAST(sum(1000000 * o2 // cl2) // count(*) AS BIGINT) AS r2_prec_x1e6
+FROM per GROUP BY 1
+"""
+
+
+@query("rouge_adjacent_overlap", _rouge_oracle())
+def q_rouge_adjacent_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 (clipped n-gram overlap — Lin 2004, public) between
+    each document and the NEXT doc id in its source: the reference-based
+    overlap metric family (ROUGE/BLEU modified n-gram precision), applied
+    as a template/boilerplate audit — a source whose adjacent documents
+    share high clipped-bigram overlap is template-generated and a
+    candidate for aggressive dedup before training.
+
+    Overlap is Σ_g min(count_ref(g), count_cand(g)) — the BLEU clipping
+    rule — over whitespace tokens (corpus convention). Per-pair metrics
+    floor to ×1e6 integers BEFORE the per-source mean (sum // count), so
+    both engines sum identical terms. Plan: two gram-count aggregates
+    (map-side partial), one lead() window per source, and two
+    (pair × gram)-key joins — all linear in corpus tokens; per-pair state
+    is bounded by document length, never corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    lens = tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("len1"),
+        F.greatest(F.lit(1), F.size("t") - 1).cast("long").alias("len2"),
+    )
+    uni = (
+        tok.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi_expr = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+        "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2))) "
+        "ELSE array() END"
+    )
+    bi = (
+        tok.select("doc_id", F.explode(F.expr(bi_expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        tok.select(
+            "source",
+            F.col("doc_id").alias("ref_id"),
+            F.lead("doc_id").over(w).alias("cand_id"),
+        )
+        .filter(F.col("cand_id").isNotNull())
+    )
+
+    def overlap(gc: DataFrame, name: str) -> DataFrame:
+        a = gc.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("ca")
+        )
+        b = gc.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cb")
+        )
+        return (
+            pairs.join(a, "ref_id")
+            .join(b, ["cand_id", "g"])
+            .groupBy("ref_id", "cand_id")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+
+    per = (
+        pairs.join(overlap(uni, "o1"), ["ref_id", "cand_id"], "left")
+        .join(overlap(bi, "o2"), ["ref_id", "cand_id"], "left")
+        .join(
+            lens.select(
+                F.col("doc_id").alias("ref_id"),
+                F.col("len1").alias("rl1"),
+                F.col("len2").alias("rl2"),
+            ),
+            "ref_id",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("len1").alias("cl1"),
+                F.col("len2").alias("cl2"),
+            ),
+            "cand_id",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("o1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.col("o2"), F.lit(0)).alias("o2"),
+            "rl1", "rl2", "cl1", "cl2",
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(1000000 * o1 div rl1) div count(*) AS BIGINT)").alias(
+            "r1_recall_x1e6"
+        ),
+        F.expr("CAST(sum(1000000 * o1 div cl1) div count(*) AS BIGINT)").alias(
+            "r1_prec_x1e6"
+        ),
+        F.expr("CAST(sum(1000000 * o2 div rl2) div count(*) AS BIGINT)").alias(
+            "r2_recall_x1e6"
+        ),
+        F.expr("CAST(sum(1000000 * o2 div cl2) div count(*) AS BIGINT)").alias(
+            "r2_prec_x1e6"
+        ),
+    )
