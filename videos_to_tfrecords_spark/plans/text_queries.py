@@ -1867,3 +1867,86 @@ def q_rouge_adjacent_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_prec_x1e6"
         ),
     )
+
+
+@query(
+    "heaps_law_fit",
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT t) AS BIGINT) AS n_vocab
+  FROM tok WHERE t <> '' GROUP BY 1),
+pts AS (
+  SELECT CAST(floor(10000 * ln(n_tok)) AS BIGINT) AS x,
+         CAST(floor(10000 * ln(n_vocab)) AS BIGINT) AS y
+  FROM per),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n AS n_sources,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+         AS BIGINT) AS heaps_beta_x1e6,
+       CAST(floor(100.0 * (sy * 1.0 * sxx - sx * 1.0 * sxy) / (n * sxx - sx * sx))
+         AS BIGINT) AS heaps_lnk_x1e6
+FROM s
+""",
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (V = K·nᵝ — public corpus
+    statistic): OLS of ln(distinct tokens) on ln(total tokens) across the
+    per-source points — the scaling-law readout a tokenizer/data team uses
+    to predict vocabulary (and hence merge-table) growth at 100× corpus
+    size. β≈0.5 for natural text; β→1 flags an id-like token stream.
+
+    Same exactness recipe as vocab_zipf_slope: log points floor-quantized
+    to int64 BEFORE the sums (×1e4 here so every OLS sufficient statistic
+    — including the intercept's sy·sxx cross terms in DOUBLE — stays
+    within exact range for a bounded source count), one double close per
+    coefficient with identical expression order. Per-source token/vocab
+    counts are one partial-agg shuffle; the fit runs over ~|sources|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    per = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.countDistinct("t").cast("long").alias("n_vocab"),
+        )
+    )
+    pts = per.select(
+        F.floor(F.lit(10000) * F.log(F.col("n_tok").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.lit(10000) * F.log(F.col("n_vocab").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num_b = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_a = (
+        F.col("sy").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sxy").cast("double")
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_sources"),
+        F.floor(F.lit(1000000.0) * num_b / den).cast("long").alias(
+            "heaps_beta_x1e6"
+        ),
+        F.floor(F.lit(100.0) * num_a / den).cast("long").alias(
+            "heaps_lnk_x1e6"
+        ),
+    )
