@@ -854,3 +854,41 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy(emb, k=8)
+
+
+def _hubness_oracle() -> str:
+    return f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 400) AS m FROM embeddings),
+e AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+             {_int_dot('a.v', 'b.v')} AS dot
+      FROM e a, e b WHERE a.vec_id % (SELECT m FROM kq) = 0
+        AND b.vec_id != a.vec_id),
+r AS (SELECT qid, cid, row_number() OVER
+        (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk FROM s),
+occ AS (SELECT cid AS cand_id, CAST(count(*) AS BIGINT) AS k_occ
+        FROM r WHERE rnk <= 5 GROUP BY 1)
+SELECT cand_id, k_occ FROM occ ORDER BY k_occ DESC, cand_id LIMIT 20
+"""
+
+
+@query("embedding_hubness_topk", _hubness_oracle())
+def q_embedding_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic of the embedding space (Radovanović et al., JMLR
+    2010 — public): the k-occurrence count N_k(x) — how often each corpus
+    point appears in OTHER points' exact top-5 — over a ~400-query
+    corpus-derived probe. High-hub points dominate retrieval results and
+    poison kNN-based dedup/curation; this query surfaces the top-20 hubs
+    for inspection or down-weighting. Same bounded-probe brute-force
+    kernel as knn_loo_accuracy; the count is one shuffle over
+    |probe|·k rows, and the top-20 is TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = max(1, int(emb.count()) // 400)
+    probe = emb.filter(F.col("vec_id") % m == 0)
+    nn = brute_force_topk(probe, emb, k=5)
+    return (
+        nn.groupBy("cand_id")
+        .agg(F.count("*").cast("long").alias("k_occ"))
+        .orderBy(F.desc("k_occ"), F.asc("cand_id"))
+        .limit(20)
+    )
