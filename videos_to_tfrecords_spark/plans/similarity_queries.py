@@ -892,3 +892,93 @@ def q_embedding_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k_occ"), F.asc("cand_id"))
         .limit(20)
     )
+
+
+def _alignment_oracle() -> str:
+    return f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 400) AS m FROM embeddings),
+e AS (SELECT vec_id, label, {_IV} AS v FROM embeddings
+      WHERE vec_id % (SELECT m FROM kq) = 0),
+p AS (SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
+             {_int_dot('a.v', 'b.v')} AS dot
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+agg AS (SELECT CAST(sum(same) AS BIGINT) AS ns,
+              CAST(sum(1 - same) AS BIGINT) AS nc,
+              CAST(sum(CASE WHEN same = 1 THEN dot ELSE 0 END) AS BIGINT) AS ss,
+              CAST(sum(CASE WHEN same = 0 THEN dot ELSE 0 END) AS BIGINT) AS sc
+       FROM p),
+m AS (SELECT ns, nc,
+             (ss + 20000000000000 * ns) // ns - 20000000000000 AS mean_same,
+             (sc + 20000000000000 * nc) // nc - 20000000000000 AS mean_cross
+      FROM agg)
+SELECT ns AS n_same_pairs, nc AS n_cross_pairs,
+       CAST(mean_same AS BIGINT) AS mean_same_dot,
+       CAST(mean_cross AS BIGINT) AS mean_cross_dot,
+       CAST(mean_same - mean_cross AS BIGINT) AS alignment_margin
+FROM m
+"""
+
+
+@query("embedding_alignment_margin", _alignment_oracle())
+def q_embedding_alignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment/uniformity-style embedding-space health check (Wang &
+    Isola 2020 framing — public, integerized): mean exact dot within
+    same-label pairs vs across labels over the bounded probe sample, and
+    their margin — the one-number gate that an encoder clusters classes
+    (margin ≫ 0) before its neighbors are trusted for label-propagation
+    or semantic dedup. The probe is corpus-derived-modulus bounded
+    (~400), so the pair volume (~80k) is constant at any corpus size;
+    pair dots are the exact scaled-int kernel; means are integer
+    floor-div (non-negative-dot caveat does not apply: sums may be
+    negative, but BOTH engines floor — DuckDB // floors and the margin
+    is a difference of the same two floored terms computed identically).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = max(1, int(emb.count()) // 400)
+    probe = emb.filter(F.col("vec_id") % m == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    from videos_to_tfrecords_spark.operators.similarity import _pair_dot
+
+    a = probe.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+    )
+    b = probe.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    p = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same"),
+            _pair_dot()("va", "vb").alias("dot"),
+        )
+    )
+    agg = p.agg(
+        F.sum("same").cast("long").alias("ns"),
+        F.sum(1 - F.col("same")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("same") == 1, F.col("dot")).otherwise(0))
+        .cast("long")
+        .alias("ss"),
+        F.sum(F.when(F.col("same") == 0, F.col("dot")).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+    )
+    # |dot| < 2e13 (= dim·(0.525e6)² with margin), so shifting by 2e13·n
+    # makes the dividend non-negative and `div` == floor — the exact
+    # integer mean on BOTH engines (sums exceed 2^53, double close would
+    # lose ulps exactly where the floor boundary sits).
+    c = 20_000_000_000_000
+    mean_same = F.expr(f"(ss + {c} * ns) div ns - {c}")
+    mean_cross = F.expr(f"(sc + {c} * nc) div nc - {c}")
+    return agg.select(
+        F.col("ns").alias("n_same_pairs"),
+        F.col("nc").alias("n_cross_pairs"),
+        mean_same.cast("long").alias("mean_same_dot"),
+        mean_cross.cast("long").alias("mean_cross_dot"),
+        (mean_same - mean_cross).cast("long").alias("alignment_margin"),
+    )
