@@ -982,3 +982,64 @@ def q_embedding_alignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_cross.cast("long").alias("mean_cross_dot"),
         (mean_same - mean_cross).cast("long").alias("alignment_margin"),
     )
+
+
+def _anisotropy_oracle() -> str:
+    shift = 20_000_000_000_000
+    return f"""
+WITH e AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS k),
+el AS (SELECT e.vec_id, i.k, e.v[i.k] AS q FROM e, idx i),
+n0 AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+dims AS (SELECT k, CAST(sum(q) AS HUGEINT) AS s FROM el GROUP BY k),
+ss AS (SELECT CAST(sum(s * s) AS HUGEINT) AS ssq FROM dims),
+n2 AS (SELECT CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sn FROM el)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(sn // n AS BIGINT) AS mean_norm2,
+       CAST((ssq - sn + {shift} * n * (n - 1)) // (n * (n - 1)) - {shift}
+         AS BIGINT) AS mean_pairwise_dot
+FROM n0, ss, n2
+"""
+
+
+@query("embedding_anisotropy", _anisotropy_oracle())
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space (Ethayarajh 2019's mean pairwise
+    similarity — public): the EXACT mean dot over all n(n−1) ordered
+    pairs, computed WITHOUT a pair join via the sum-vector identity
+    Σ_{{i≠j}} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖². A high mean pairwise similarity
+    means the encoder squeezes everything into a narrow cone and cosine
+    thresholds stop separating near-dups from unrelated docs — the
+    one-scan health check before trusting any similarity pipeline.
+
+    One posexplode pass → per-dim int64 sums (each ≪ 2^63 at any
+    realistic corpus) → the squares and the n(n−1) close in
+    DECIMAL(38,0)/HUGEINT (the acf overflow lesson); the pairwise mean
+    is shifted non-negative before the floor-div (dots may be negative;
+    div truncates, // floors — the centroids lesson). O(n·dim) total,
+    map-side partial aggs, zero pair materialization."""
+    shift = 20_000_000_000_000
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))")
+        ).alias("d", "q"),
+    )
+    n0 = emb.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    dims = el.groupBy("d").agg(F.sum("q").cast("decimal(38,0)").alias("s"))
+    ss = dims.agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    n2 = el.agg(
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sn")
+    )
+    joined = F.broadcast(n0).crossJoin(F.broadcast(ss)).crossJoin(
+        F.broadcast(n2)
+    )
+    return joined.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr("CAST(sn div n AS BIGINT)").alias("mean_norm2"),
+        F.expr(
+            f"CAST((ssq - sn + CAST({shift} AS DECIMAL(38,0)) * n * (n - 1))"
+            f" div (n * (n - 1)) - {shift} AS BIGINT)"
+        ).alias("mean_pairwise_dot"),
+    )
