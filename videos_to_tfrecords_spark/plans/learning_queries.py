@@ -2753,3 +2753,68 @@ def q_wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lb_x1e6"), F.asc("suppkey"))
         .limit(20)
     )
+
+
+def _dsir_ess_oracle() -> str:
+    return f"""
+WITH base AS ({_dsir_oracle()}),
+mx AS (SELECT max(logw_q) AS m FROM base),
+w AS (SELECT CAST(floor(1000000 * exp((logw_q - (SELECT m FROM mx))
+                                      / 1000000000.0)) AS BIGINT) AS wq
+      FROM base),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(wq) AS HUGEINT) AS sw,
+             CAST(sum(CAST(wq AS HUGEINT) * wq) AS HUGEINT) AS sw2
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST((1000000 * sw * sw) // sw2 AS BIGINT) AS ess_x1e6,
+       CAST((1000000 * sw * sw) // (n * sw2) AS BIGINT) AS ess_frac_x1e6
+FROM s
+"""
+
+
+@query("dsir_effective_sample_size", _dsir_ess_oracle())
+def q_dsir_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights (Kish ESS =
+    (Σw)²/Σw² — public survey-statistics formula): the one-number health
+    check on an importance-resampling plan — ESS ≪ n means a handful of
+    documents would dominate the resampled corpus and the target-domain
+    tilt is too aggressive.
+
+    Weights come from the SAME quantized log-weight integers as
+    dsir_importance_weights; each doc's weight re-floors to an int64 via
+    one max-shifted exp per row (identical double argument on both
+    engines — the per-row quantized-ln precedent in reverse, max shift
+    keeps every weight in (0, 1e6]), so Σw and Σw² are exact integer
+    sums closed in DECIMAL(38,0)/HUGEINT. The max and the sums are
+    metadata-sized aggregates; the corpus cost is the DSIR scoring pass
+    itself."""
+    from videos_to_tfrecords_spark.operators.text import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_log_weights(
+        docs, target=F.col("lang") == "en", n_buckets=_DSIR_B
+    ).localCheckpoint(eager=True)
+    mx = scored.agg(F.max("logw_q").alias("m"))
+    w = scored.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            1000000
+            * F.exp((F.col("logw_q") - F.col("m")) / F.lit(1000000000.0))
+        )
+        .cast("long")
+        .alias("wq")
+    )
+    s = w.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("wq").cast("decimal(38,0)").alias("sw"),
+        F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("sw2"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST((1000000 * sw * sw) div sw2 AS BIGINT)").alias(
+            "ess_x1e6"
+        ),
+        F.expr("CAST((1000000 * sw * sw) div (n * sw2) AS BIGINT)").alias(
+            "ess_frac_x1e6"
+        ),
+    )
