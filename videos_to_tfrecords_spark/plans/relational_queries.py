@@ -843,3 +843,51 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("long").alias("rev_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
     )
+
+
+@query(
+    "incremental_join_maintenance",
+    """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-JOIN maintenance under two-sided deltas (classic IVM
+    delta algebra: Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB): orders and
+    lineitem each split into base/delta at independent cut dates, the
+    engine computes base⋈base plus the THREE delta joins and unions them
+    — the refresh shape that lets a 100 TB materialized join view absorb
+    a day's CDC on BOTH inputs without rescanning history (each delta
+    join has at least one small side, typically broadcastable). The
+    oracle aggregates the direct full join: the maintained view must
+    match exactly (integer cents)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_shipdate",
+    )
+    ob = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    od = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    lb = li.filter(F.col("l_shipdate") < "1996-06-01")
+    ld = li.filter(F.col("l_shipdate") >= "1996-06-01")
+    parts = [
+        ob.join(lb, "ok"),   # base view
+        ob.join(ld, "ok"),   # old ⋈ Δlineitem
+        od.join(lb, "ok"),   # Δorders ⋈ old
+        od.join(ld, "ok"),   # Δorders ⋈ Δlineitem
+    ]
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p)
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
