@@ -1950,3 +1950,106 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_lnk_x1e6"
         ),
     )
+
+
+@query(
+    "brier_decomposition",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+g AS (SELECT (score + 1000000) // 2 AS p, CAST(count(*) AS HUGEINT) AS nk,
+             CAST(sum(y) AS HUGEINT) AS pk
+      FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(nk) AS HUGEINT) AS n, CAST(sum(pk) AS HUGEINT) AS pos
+        FROM g),
+c AS (SELECT
+        CAST(sum(nk * p * p - 2000000 * p * pk + 1000000000000 * pk)
+          AS HUGEINT) AS brier_num,
+        CAST(sum((p * nk - 1000000 * pk) * (p * nk - 1000000 * pk) // nk)
+          AS HUGEINT) AS rel_num,
+        CAST(sum((1000000000000 * (pk * (SELECT n FROM tot)
+                  - (SELECT pos FROM tot) * nk)
+                 * (pk * (SELECT n FROM tot) - (SELECT pos FROM tot) * nk))
+             // (nk * (SELECT n FROM tot) * (SELECT n FROM tot)))
+          AS HUGEINT) AS res_num
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(brier_num // n AS BIGINT) AS brier_x1e12,
+       CAST(rel_num // n AS BIGINT) AS reliability_x1e12,
+       CAST(res_num // n AS BIGINT) AS resolution_x1e12,
+       CAST((1000000000000 * pos * (n - pos)) // (n * n) AS BIGINT)
+         AS uncertainty_x1e12
+FROM c, tot
+""",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Brier = reliability −
+    resolution + uncertainty — public forecasting-verification identity)
+    for the hashed quality classifier vs the independent length label:
+    the eval that separates "the classifier's probabilities are
+    miscalibrated" (reliability) from "the classifier can't discriminate"
+    (resolution) — the next diagnostic after AUC/ECE when a filter
+    threshold misbehaves.
+
+    Forecast probabilities are the affine integer map
+    p = (score+1e6) div 2 ∈ [0, 1e6] (the hashed score is a ×1000 MEAN of
+    per-feature values in [−1000, 1000], so its domain is [−1e6, 1e6]);
+    bins are the EXACT distinct-score census (the bounded score DOMAIN
+    makes per-bin conditioning exact, not an approximation),
+    so every component is a per-bin integer expression floored BEFORE the
+    sum and closed in HUGEINT/DECIMAL(38,0). One census shuffle over a
+    ≤2001-value domain; totals are a broadcast row."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_quality(docs, keep_cols=("n_chars",))
+        .select(
+            F.col("score_x1000").alias("score"),
+            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = scored.groupBy(
+        F.expr("(score + 1000000) div 2").alias("p")
+    ).agg(
+        F.count("*").cast("decimal(38,0)").alias("nk"),
+        F.sum("y").cast("decimal(38,0)").alias("pk"),
+    )
+    tot = g.agg(
+        F.sum("nk").cast("decimal(38,0)").alias("n"),
+        F.sum("pk").cast("decimal(38,0)").alias("pos"),
+    )
+    c = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr("nk * p * p - 2000000 * p * pk + 1000000000000 * pk")
+        ).alias("brier_num"),
+        F.sum(
+            F.expr(
+                "(p * nk - 1000000 * pk) * (p * nk - 1000000 * pk) div nk"
+            )
+        ).alias("rel_num"),
+        F.sum(
+            F.expr(
+                "(1000000000000 * (pk * n - pos * nk) * (pk * n - pos * nk))"
+                " div (nk * n * n)"
+            )
+        ).alias("res_num"),
+        F.first(F.col("n")).alias("n"),
+        F.first(F.col("pos")).alias("pos"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(brier_num div n AS BIGINT)").alias("brier_x1e12"),
+        F.expr("CAST(rel_num div n AS BIGINT)").alias("reliability_x1e12"),
+        F.expr("CAST(res_num div n AS BIGINT)").alias("resolution_x1e12"),
+        F.expr(
+            "CAST((1000000000000 * pos * (n - pos)) div (n * n) AS BIGINT)"
+        ).alias("uncertainty_x1e12"),
+    )
