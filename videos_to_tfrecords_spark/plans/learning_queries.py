@@ -2818,3 +2818,91 @@ def q_dsir_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ess_frac_x1e6"
         ),
     )
+
+
+def _best_of_k_oracle() -> str:
+    return """
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY round(l_extendedprice * 100), l_linenumber)
+           AS i,
+         CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n
+  FROM lineitem
+),
+per AS (
+  SELECT l_orderkey, n,
+         CAST(sum(v * ((i - 1) * (i - 2) // 2)) AS BIGINT) AS wsum,
+         CAST(max(v) AS BIGINT) AS vmax
+  FROM r WHERE n >= 3 GROUP BY 1, 2
+),
+e AS (
+  SELECT n, vmax,
+         wsum // (n * (n - 1) * (n - 2) // 6) AS e_best3
+  FROM per
+)
+SELECT n AS n_attempts,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(e_best3) // count(*) AS BIGINT) AS mean_best_of_3_cents,
+       CAST(sum(vmax) // count(*) AS BIGINT) AS mean_best_of_n_cents
+FROM e GROUP BY 1
+"""
+
+
+@query("eval_best_of_k_value", _best_of_k_oracle())
+def q_eval_best_of_k_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-k expected-maximum eval (the inference-time-scaling readout
+    next to pass@k): E[max of a uniform random k-subset] has the exact
+    order-statistic form E = Σᵢ v₍ᵢ₎·C(i−1, k−1) / C(n, k) — computed per
+    task (order) at k=3 from the within-task value ranking and compared
+    with best-of-n (the ceiling), averaged per n-attempt bucket. This is
+    the curve a sampling-strategy decision reads: how much of the
+    best-of-n ceiling does best-of-3 already capture.
+
+    Exactness: per-task n ≤ line count (≤13) so every binomial is a tiny
+    exact int64; one integer floor per task (wsum // C(n,3)), then the
+    floor-of-mean close. The rank window partitions by order (bounded
+    rows); ties break on line number identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.round(F.col("l_extendedprice") * 100), F.col("l_linenumber")
+    )
+    r = li.select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("l_orderkey"))
+        .cast("long")
+        .alias("n"),
+    )
+    per = (
+        r.filter(F.col("n") >= 3)
+        .groupBy("l_orderkey", "n")
+        .agg(
+            F.sum(
+                F.col("v")
+                * F.expr("(i - 1) * (i - 2) div 2")
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.max("v").cast("long").alias("vmax"),
+        )
+    )
+    e = per.select(
+        "n",
+        "vmax",
+        F.expr("wsum div (n * (n - 1) * (n - 2) div 6)").alias("e_best3"),
+    )
+    return e.groupBy(F.col("n").alias("n_attempts")).agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.expr("CAST(sum(e_best3) div count(*) AS BIGINT)").alias(
+            "mean_best_of_3_cents"
+        ),
+        F.expr("CAST(sum(vmax) div count(*) AS BIGINT)").alias(
+            "mean_best_of_n_cents"
+        ),
+    )
