@@ -2906,3 +2906,93 @@ def q_eval_best_of_k_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_best_of_n_cents"
         ),
     )
+
+
+def _group_advantage_oracle() -> str:
+    fd = "(({num}) - ((({num}) % ({den})) + ({den})) % ({den})) // ({den})"
+    num = "(v * n - sv) * 1000"
+    den = "t"
+    return f"""
+WITH v0 AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+),
+g AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v * v) AS BIGINT) AS svv
+  FROM v0 GROUP BY 1
+),
+z AS (
+  SELECT v0.l_orderkey, v0.l_linenumber, v0.v, g.n,
+         CAST(floor(sqrt(CAST(g.n * g.svv - g.sv * g.sv AS DOUBLE)))
+           AS BIGINT) AS t,
+         g.sv
+  FROM v0 JOIN g USING (l_orderkey) WHERE g.n >= 2
+),
+adv AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN t = 0 THEN 0
+              ELSE {fd.format(num=num, den=den)} END AS adv_x1e3
+  FROM z
+)
+SELECT l_orderkey, l_linenumber, CAST(adv_x1e3 AS BIGINT) AS adv_x1e3
+FROM adv ORDER BY adv_x1e3 DESC, l_orderkey, l_linenumber LIMIT 25
+"""
+
+
+@query("group_relative_advantage", _group_advantage_oracle())
+def q_group_relative_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage (the GRPO-style normalization — public:
+    advantage = (reward − group mean)/group std, computed WITHIN each
+    prompt's sample group rather than against a critic): per line item
+    the z-score of its value against its order's siblings, top-25
+    surfaced. The exact op an RLHF-style data pipeline runs to turn raw
+    per-sample rewards into training advantages without a value model.
+
+    Exactness: z = (v·n − Σv)/√(n·Σv² − (Σv)²) — the numerator is exact
+    int64; the radicand is the HUGEINT-free variance product (dollar
+    quantization keeps n·Σv² ≪ 2^53 for bounded group sizes) so
+    floor(IEEE sqrt) is the same integer both engines; the close is the
+    subtract-remainder exact FLOOR division (numerator may be negative —
+    div truncates, // floors, the centroids lesson). Zero-variance groups
+    emit 0. One groupBy shuffle + one broadcast-shaped join back; top-25
+    is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v0 = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice")).cast("long").alias("v"),
+    )
+    g = v0.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    z = (
+        v0.join(g, "l_orderkey")
+        .filter(F.col("n") >= 2)
+        .withColumn(
+            "t",
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+                    ).cast("double")
+                )
+            ).cast("long"),
+        )
+    )
+    num = "(v * n - sv) * 1000"
+    adv = z.withColumn(
+        "adv_x1e3",
+        F.when(F.col("t") == 0, F.lit(0)).otherwise(
+            F.expr(f"(({num}) - ((({num}) % t) + t) % t) div t")
+        ).cast("long"),
+    )
+    return (
+        adv.select("l_orderkey", "l_linenumber", "adv_x1e3")
+        .orderBy(F.desc("adv_x1e3"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
