@@ -251,3 +251,21 @@ def test_stat_query_bounds(spark, sf_dir):
 
     for r in q_cv_fold_balance_audit(spark, sf_dir).collect():
         assert 0 <= r["max_label_dev_ppm"] <= 1_000_000
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    """The minimax isotonic fit must be non-decreasing in the bin order,
+    bounded by [0, 1e6], and equal to the raw rate wherever the raw rates
+    are already locally monotone across the whole table (global check:
+    count-weighted mean of iso == count-weighted mean of raw, the PAV
+    mean-preservation property, within the 1e-6 quantization)."""
+    import videos_to_tfrecords_spark.plans.text_queries as tq
+
+    out = tq.q_isotonic_calibration_fit(spark, sf_dir).orderBy("bin").collect()
+    iso = [r["iso_rate_x1e6"] for r in out]
+    assert iso == sorted(iso)
+    assert all(0 <= v <= 1_000_000 for v in iso)
+    n = sum(r["n"] for r in out)
+    mean_iso = sum(r["n"] * r["iso_rate_x1e6"] for r in out) / n
+    mean_raw = sum(1_000_000 * r["n_pos"] for r in out) / n
+    assert abs(mean_iso - mean_raw) <= len(out)  # ≤1 ulp of 1e-6 per bin

@@ -2053,3 +2053,113 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000000000 * pos * (n - pos)) div (n * n) AS BIGINT)"
         ).alias("uncertainty_x1e12"),
     )
+
+
+def _isotonic_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+mm AS (SELECT CAST(min(score) AS BIGINT) AS mn, CAST(max(score) AS BIGINT) AS mx
+       FROM s),
+census AS (SELECT ((s.score - mm.mn) * 64) // (mm.mx - mm.mn + 1) AS bin,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(s.y) AS BIGINT) AS pos
+           FROM s, mm GROUP BY 1),
+idx AS (SELECT bin, cnt, pos, row_number() OVER (ORDER BY bin) AS i FROM census),
+pre AS (SELECT i, bin, cnt, pos,
+               CAST(sum(cnt) OVER (ORDER BY i) AS BIGINT) AS cc,
+               CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cs
+        FROM idx),
+pairs AS (SELECT j.i AS j, k.i AS k,
+                 (1000000 * (k.cs - COALESCE(j0.cs, 0)))
+                   // (k.cc - COALESCE(j0.cc, 0)) AS a
+          FROM pre j JOIN pre k ON k.i >= j.i
+          LEFT JOIN pre j0 ON j0.i = j.i - 1),
+tri AS (SELECT p.j, p.a, q.i FROM pairs p
+        JOIN pre q ON q.i BETWEEN p.j AND p.k),
+mj AS (SELECT j, i, min(a) AS m FROM tri GROUP BY 1, 2),
+g AS (SELECT i, CAST(max(m) AS BIGINT) AS iso FROM mj GROUP BY 1)
+SELECT pre.bin, pre.cnt AS n, pre.pos AS n_pos, g.iso AS iso_rate_x1e6
+FROM pre JOIN g USING (i)
+"""
+
+
+@query("isotonic_calibration_fit", _isotonic_oracle())
+def q_isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration of the hashed quality classifier
+    (PAV solution via the exact minimax identity ĝ(i) = max_{{j≤i}}
+    min_{{k≥i}} avg(y over bins j..k) — public result; e.g. Robertson et
+    al.'s order-restricted inference): the monotone probability map a
+    team fits when Platt scaling's sigmoid is too rigid. Produces the
+    per-bin isotonic rate next to the raw rate — the downstream
+    calibrated score is a lookup into this table.
+
+    Scale shape: the corpus pass is ONE census over 64 equi-width score
+    bins (edges from a broadcast min/max row); the minimax runs over
+    bin-index triples (≤64³/6 rows) — CORPUS-INDEPENDENT, so the fit
+    costs the same at 100 TB as at 100 MB. Per-(j,k) averages floor to
+    ×1e6 integers before the min/max folds, so both engines take minimax
+    of identical int64 values. Mean monotonicity is pytest-asserted."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_quality(docs, keep_cols=("n_chars",))
+        .select(
+            F.col("score_x1000").alias("score"),
+            F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mm = scored.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    census = (
+        scored.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr("((score - mn) * 64) div (mx - mn + 1)").alias("bin"), "y"
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos"))
+    )
+    w = Window.orderBy("bin")
+    pre = census.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cnt").over(w).cast("long").alias("cc"),
+        F.sum("pos").over(w).cast("long").alias("cs"),
+    ).localCheckpoint(eager=True)
+    j = pre.select(
+        F.col("i").alias("j"),
+        (F.col("cc") - F.col("cnt")).alias("c0"),
+        (F.col("cs") - F.col("pos")).alias("s0"),
+    )
+    k = pre.select(
+        F.col("i").alias("k"), F.col("cc").alias("ck"), F.col("cs").alias("sk")
+    )
+    pairs = j.join(k, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        F.expr("(1000000 * (sk - s0)) div (ck - c0)").alias("a"),
+    )
+    tri = pairs.join(
+        pre.select(F.col("i")),
+        (F.col("i") >= F.col("j")) & (F.col("i") <= F.col("k")),
+    )
+    mj = tri.groupBy("j", "i").agg(F.min("a").alias("m"))
+    g = mj.groupBy("i").agg(F.max("m").cast("long").alias("iso"))
+    return pre.join(g, "i").select(
+        "bin",
+        F.col("cnt").alias("n"),
+        F.col("pos").alias("n_pos"),
+        F.col("iso").alias("iso_rate_x1e6"),
+    )
