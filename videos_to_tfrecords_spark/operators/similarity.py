@@ -1302,3 +1302,74 @@ def kcenter_greedy(
     return spark.createDataFrame(
         out_rows, "step long, center_id long, radius2 long"
     )
+
+
+def int8_brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k under per-vector max-abs INT8 quantization — the ranking an
+    ANN index actually serves after the embedding_quantize_int8 storage
+    diet. Score key = (q_a·q_b)·round(1e6·maxabs_b): the dequantized dot
+    is q_a·q_b·(maxabs_a/127)(maxabs_b/127); the query's scale is
+    constant per ranking so it drops, and the candidate's scale is
+    quantized to an int so the key is exact int64 (|q·q| ≤ dim·127²,
+    ×1e6·maxabs ≪ 2^63) — bit-identical cross-engine, same kernel shape
+    as :func:`brute_force_topk` (collected bounded query matrix, one
+    int matmul per Arrow batch, per-batch partial top-k, window close).
+    """
+
+    def q8(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ma = np.abs(m).max(axis=1)
+        safe = np.where(ma == 0, 1.0, ma)
+        scaled = 127.0 * m / safe[:, None]
+        q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        q[ma == 0] = 0
+        ms = np.floor(np.abs(1_000_000 * ma) + 0.5).astype(np.int64)
+        return q, ms
+
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qraw = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 1))
+    )
+    qmat, _ = q8(qraw)
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            craw = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            ci, ms = q8(craw)
+            cids = pdf["cand_id"].to_numpy()
+            keys = (qmat @ ci.T) * ms[None, :]  # |q| × batch, exact int64
+            out_q, out_c, out_d = [], [], []
+            for r in range(len(qids)):
+                order = np.lexsort((cids, -keys[r]))
+                taken = 0
+                for idx in order:
+                    if cids[idx] == qids[r]:
+                        continue
+                    out_q.append(qids[r])
+                    out_c.append(cids[idx])
+                    out_d.append(keys[r, idx])
+                    taken += 1
+                    if taken >= k:
+                        break
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "key8": out_d}
+            ).astype("int64")
+
+    scored = c.mapInPandas(partial, "query_id long, cand_id long, key8 long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("key8"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "key8", "rnk")
+    )

@@ -1043,3 +1043,71 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (n * (n - 1)) - {shift} AS BIGINT)"
         ).alias("mean_pairwise_dot"),
     )
+
+
+def _quant_recall_oracle() -> str:
+    q8 = (
+        "CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) "
+        "ELSE list_transform(v, x -> CAST(round(127.0 * x / ma) AS BIGINT)) END"
+    )
+    return f"""
+WITH kq AS (SELECT GREATEST(1, count(*) // 100) AS m FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_IV} AS iv FROM embeddings),
+e8 AS (SELECT vec_id, iv,
+              {q8.replace('ma', 'list_max(list_transform(v, x -> abs(x)))')} AS q,
+              CAST(round(1000000 * list_max(list_transform(v, x -> abs(x))))
+                AS BIGINT) AS ms
+       FROM e),
+qs AS (SELECT * FROM e8 WHERE vec_id % (SELECT m FROM kq) = 0),
+full_r AS (SELECT qid, cid FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY {_int_dot('a.iv', 'b.iv')} DESC, b.vec_id) AS rnk
+  FROM qs a, e8 b WHERE b.vec_id != a.vec_id) WHERE rnk <= 5),
+int8_r AS (SELECT qid, cid FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY {_int_dot('a.q', 'b.q')} * b.ms DESC, b.vec_id) AS rnk
+  FROM qs a, e8 b WHERE b.vec_id != a.vec_id) WHERE rnk <= 5),
+common AS (SELECT f.qid, count(*) AS c FROM full_r f
+           JOIN int8_r e ON e.qid = f.qid AND e.cid = f.cid GROUP BY 1),
+per AS (SELECT q.vec_id AS qid, COALESCE(c.c, 0) AS n_common
+        FROM qs q LEFT JOIN common c ON c.qid = q.vec_id)
+SELECT CAST(n_common AS BIGINT) AS n_common,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM per GROUP BY 1
+"""
+
+
+@query("quantization_recall_eval", _quant_recall_oracle())
+def q_quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 quantization hurt retrieval? Recall@5 histogram of the
+    per-vector max-abs INT8 ranking (operators/similarity.
+    int8_brute_force_topk — the ranking an index serves after the
+    embedding_quantize_int8 storage diet) against the exact full-precision
+    top-5, over a ~100-query corpus-derived probe: per query the overlap
+    count 0..5, grouped. The acceptance gate a team runs BEFORE swapping
+    the serving index to quantized vectors — pass = mass concentrated at
+    n_common=5. Both rankings run the bounded-probe matmul kernel; the
+    comparison is a |probe|·k-row join."""
+    from videos_to_tfrecords_spark.operators.similarity import (
+        brute_force_topk,
+        int8_brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = max(1, int(emb.count()) // 100)
+    probe = emb.filter(F.col("vec_id") % m == 0)
+    full = brute_force_topk(probe, emb, k=5).select("query_id", "cand_id")
+    i8 = int8_brute_force_topk(probe, emb, k=5).select("query_id", "cand_id")
+    common = full.join(i8, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count("*").alias("c")
+    )
+    per = (
+        probe.select(F.col("vec_id").alias("query_id"))
+        .join(common, "query_id", "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_common"))
+    )
+    return per.groupBy("n_common").agg(
+        F.count("*").cast("long").alias("n_queries")
+    )
