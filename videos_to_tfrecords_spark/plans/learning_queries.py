@@ -3137,3 +3137,85 @@ def q_preference_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("cyclic_ppm"),
         )
     )
+
+
+@query(
+    "value_drift_ks",
+    """
+WITH e AS (SELECT LEAST(255, CAST(floor(value / 2.5) AS BIGINT)) AS b,
+                  ((epoch_ns(ts) // 1000) // 86400000000) % 2 AS side
+           FROM events),
+c AS (SELECT b, CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb
+      FROM e GROUP BY b),
+spine AS (SELECT unnest(range(0, 256)) AS b),
+f AS (SELECT spine.b, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM spine LEFT JOIN c ON c.b = spine.b),
+cum AS (SELECT b,
+               sum(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cca,
+               sum(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccb
+        FROM f),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM f),
+gap AS (SELECT cum.b, CAST(abs(cum.cca * tot.nb - cum.ccb * tot.na) AS BIGINT)
+               AS g, tot.na, tot.nb
+        FROM cum, tot)
+SELECT na AS n_a, nb AS n_b, b AS argmax_bucket, g AS ks_num,
+       CAST((1000000 * g) // (na * nb) AS BIGINT) AS ks_x1e6
+FROM gap ORDER BY g DESC, b LIMIT 1
+""",
+)
+def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between even-
+    and odd-day event values — completing the drift quartet (χ² sees
+    per-bucket mass, EMD sees ordered distance, PSI sees log-ratio mass,
+    KS sees the WORST single CDF gap and is the classic distribution-
+    equality test). Same census shape as value_drift_emd at 256 buckets:
+    D = max_b |CDF_A − CDF_B| cross-multiplied in integers
+    (max|CCA·n_B − CCB·n_A|), argmax bucket reported, tie to the lowest
+    bucket. The 256-row spine is metadata-sized; the only
+    data-proportional stage is the bucket count."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    e = ev.select(
+        F.least(F.lit(255), F.floor(F.col("value") / 2.5).cast("long")).alias("b"),
+        F.expr("((unix_micros(ts)) div 86400000000) % 2").alias("side"),
+    )
+    c = e.groupBy("b").agg(
+        F.count(F.when(F.col("side") == 0, 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("long").alias("cb"),
+    )
+    spine = spark.range(256).select(F.col("id").alias("b"))
+    f = spine.join(c, "b", "left").select(
+        "b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = f.select(
+        "b", F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    tot = f.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+        .cast("long")
+        .alias("g"),
+        "na",
+        "nb",
+    )
+    return (
+        gap.orderBy(F.desc("g"), F.asc("b"))
+        .limit(1)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("b").alias("argmax_bucket"),
+            F.col("g").alias("ks_num"),
+            F.expr("CAST((1000000 * g) div (na * nb) AS BIGINT)").alias(
+                "ks_x1e6"
+            ),
+        )
+    )
