@@ -2163,3 +2163,93 @@ def q_isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("n_pos"),
         F.col("iso").alias("iso_rate_x1e6"),
     )
+
+
+@query(
+    "threshold_tuning_max_f1",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g),
+suf AS (SELECT score,
+               sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+                 AS tp,
+               sum(cnt - pos) OVER (ORDER BY score DESC ROWS UNBOUNDED
+                 PRECEDING) AS fp
+        FROM g),
+f1 AS (SELECT score AS threshold, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST((SELECT p FROM tot) - tp AS BIGINT) AS fn,
+              (2000000 * tp) // (tp + fp + (SELECT p FROM tot)) AS f1_x1e6
+       FROM suf)
+SELECT threshold, tp, fp, fn,
+       CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_x1e6,
+       CAST((1000000 * tp) // (tp + fn) AS BIGINT) AS recall_x1e6,
+       CAST(f1_x1e6 AS BIGINT) AS f1_x1e6
+FROM f1 ORDER BY f1_x1e6 DESC, threshold LIMIT 1
+""",
+)
+def q_threshold_tuning_max_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning for the hashed quality classifier: sweep
+    EVERY distinct score as the "keep if score ≥ t" cutoff and report the
+    max-F1 operating point with its precision/recall — the knob-setting
+    step between training a filter and running it over the corpus.
+
+    TP/FP at every threshold come from ONE descending running sum over
+    the distinct-score census (the O(n) unbounded-PRECEDING frame — never
+    the O(n²) following frame), so the whole sweep costs one census
+    shuffle plus a window over the bounded score DOMAIN (≤2e6 values at
+    any corpus size). F1 is floor-quantized to 1e-6 before the argmax;
+    ties break to the lowest threshold — deterministic both engines."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_quality(docs, keep_cols=("n_chars",)).select(
+        F.col("score_x1000").alias("score"),
+        F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = g.agg(F.sum("pos").cast("long").alias("p"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suf = g.select(
+        "score",
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(w).cast("long").alias("fp"),
+    )
+    f1 = suf.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        F.expr("(2000000 * tp) div (tp + fp + p)").alias("f1_x1e6"),
+    )
+    return (
+        f1.orderBy(F.desc("f1_x1e6"), F.asc("threshold"))
+        .limit(1)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.expr("CAST((1000000 * tp) div (tp + fp) AS BIGINT)").alias(
+                "precision_x1e6"
+            ),
+            F.expr("CAST((1000000 * tp) div (tp + fn) AS BIGINT)").alias(
+                "recall_x1e6"
+            ),
+            F.col("f1_x1e6").cast("long").alias("f1_x1e6"),
+        )
+    )
