@@ -2253,3 +2253,107 @@ def q_threshold_tuning_max_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f1_x1e6").cast("long").alias("f1_x1e6"),
         )
     )
+
+
+def _coverage_selection_oracle(k: int = 5) -> str:
+    parts = [
+        """WITH st AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+srcs AS (SELECT DISTINCT source FROM st)""",
+        """g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS g FROM st GROUP BY 1),
+c1 AS (SELECT s.source, COALESCE(g1.g, 0) AS g FROM srcs s
+       LEFT JOIN g1 ON g1.source = s.source
+       ORDER BY g DESC, s.source LIMIT 1),
+cov1 AS (SELECT DISTINCT tok FROM st
+         WHERE source = (SELECT source FROM c1))""",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f"""g{i} AS (SELECT st.source, CAST(count(*) AS BIGINT) AS g
+       FROM st LEFT JOIN cov{p} ON st.tok = cov{p}.tok
+       WHERE cov{p}.tok IS NULL
+       GROUP BY 1),
+c{i} AS (SELECT s.source, COALESCE(g{i}.g, 0) AS g FROM srcs s
+       LEFT JOIN g{i} ON g{i}.source = s.source
+       LEFT JOIN sel{p} ON sel{p}.source = s.source
+       WHERE sel{p}.source IS NULL
+       ORDER BY g DESC, s.source LIMIT 1),
+cov{i} AS (SELECT tok FROM cov{p} UNION
+           SELECT DISTINCT st.tok FROM st
+           WHERE st.source = (SELECT source FROM c{i}))""")
+    sels = ["sel1 AS (SELECT source FROM c1)"]
+    for i in range(2, k + 1):
+        sels.append(
+            f"sel{i} AS (SELECT source FROM sel{i-1} "
+            f"UNION ALL SELECT source FROM c{i})"
+        )
+    finals = []
+    for i in range(1, k + 1):
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT) AS step,"
+            f" (SELECT source FROM c{i}) AS source,"
+            f" (SELECT g FROM c{i}) AS gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cov{i}) AS covered"
+        )
+    ordered = [parts[0], parts[1], sels[0]]
+    for i in range(2, k + 1):
+        ordered.append(parts[i])
+        ordered.append(sels[i - 1])
+    return ",\n".join(ordered) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@query("coverage_source_selection", _coverage_selection_oracle())
+def q_coverage_source_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection (the submodular
+    data-selection classic — 1−1/e guarantee, Nemhauser et al. 1978,
+    public): pick 5 sources one at a time, each maximizing the count of
+    vocabulary tokens NOT yet covered by the already-selected sources —
+    the "which domains buy the most new vocabulary" question behind
+    corpus mixing and acquisition decisions. Emits per-step source,
+    marginal gain, and cumulative coverage.
+
+    The distinct (source, token) table builds once (one shuffle,
+    checkpointed — it feeds every round); each of the 5 rounds is one
+    anti-join + per-source count + TakeOrdered(1), linear in the table
+    with the covered side growing but bounded by the vocabulary. Ties
+    break to the lexicographically first source — deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    srcs = st.select("source").distinct().localCheckpoint(eager=True)
+    selected: list[str] = []
+    out = []
+    covered = None
+    for step in range(1, 6):
+        cand = st
+        if covered is not None:
+            cand = cand.join(covered, "tok", "left_anti")
+        gains = cand.groupBy("source").agg(
+            F.count("*").cast("long").alias("g")
+        )
+        base = srcs
+        if selected:
+            base = base.filter(~F.col("source").isin(selected))
+        pick = (
+            base.join(gains, "source", "left")
+            .select("source", F.coalesce("g", F.lit(0)).alias("g"))
+            .orderBy(F.desc("g"), F.asc("source"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(pick["source"])
+        new_cov = st.filter(F.col("source") == pick["source"]).select("tok")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        n_cov = covered.count()
+        out.append((step, pick["source"], int(pick["g"]), int(n_cov)))
+    return spark.createDataFrame(
+        out, "step long, source string, gain long, covered long"
+    )
