@@ -341,3 +341,87 @@ def snapshot_diff(
         F.coalesce(F.col(k), F.col(f"__b_{k}")).alias(k) for k in keys
     ]
     return j.select(*out_keys, change.alias("change_type"))
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    tolerance: int,
+) -> DataFrame:
+    """Nearest-in-time as-of join with tolerance: each left row pairs with
+    the CLOSEST right row per key whose |right_ts − left_ts| ≤ tolerance,
+    ties to the earlier (backward) side — the sensor-alignment /
+    feature-join variant where "latest prior" is wrong if a reading lands
+    just after the query point (pd.merge_asof direction='nearest').
+
+    Same one-shuffle timeline strategy as :func:`asof_join`, run in BOTH
+    directions over one union: a backward pass (ascending ts, right rows
+    first at equal ts, unbounded-PRECEDING last(ignorenulls)) and a
+    forward pass (the SAME O(n) accumulator frame over DESCENDING ts —
+    never an unbounded-FOLLOWING frame, which re-aggregates per row).
+    The nearest pick is then a row-local CASE. Output adds
+    nearest_<col> columns and a signed gap_us (right − left; ≤0 means
+    the match is in the past)."""
+    keys = list(key_cols)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
+    rstruct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols
+    ) + ">"
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(rstruct_type).alias("_r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        rstruct.alias("_r"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("_ts"), F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_ts_col = F.when(F.col("_is_right") == 1, F.col("_ts"))
+    carried = u.select(
+        *keys,
+        "_ts",
+        "_is_right",
+        *lcols,
+        F.last("_r", ignorenulls=True).over(wb).alias("_rb"),
+        F.last(right_ts_col, ignorenulls=True).over(wb).alias("_bts"),
+        F.last("_r", ignorenulls=True).over(wf).alias("_rf"),
+        F.last(right_ts_col, ignorenulls=True).over(wf).alias("_fts"),
+    ).filter(F.col("_is_right") == 0)
+    gb = F.col("_ts") - F.col("_bts")
+    gf = F.col("_fts") - F.col("_ts")
+    valid_b = F.col("_bts").isNotNull() & (gb <= tolerance)
+    valid_f = F.col("_fts").isNotNull() & (gf <= tolerance)
+    use_b = valid_b & (~valid_f | (gb <= gf))
+    picked = F.when(use_b, F.col("_rb")).when(valid_f, F.col("_rf"))
+    gap = F.when(use_b, -gb).when(valid_f, gf).cast("long")
+    return carried.select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *lcols,
+        *[
+            picked.getField(c).alias(f"nearest_{c}")
+            for c in right_value_cols
+        ],
+        gap.alias("gap_us"),
+    )

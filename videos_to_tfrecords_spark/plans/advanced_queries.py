@@ -1728,3 +1728,70 @@ def q_price_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, med, mad)], "n long, median_cents long, mad_cents long"
     )
+
+
+@query(
+    "asof_nearest_purchase",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, (epoch_ns(ts)//1000) AS ts_us
+           FROM events),
+p AS (SELECT user_id, ts_us, max(event_id) AS purchase_id
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+b AS (SELECT c.event_id, c.user_id, c.ts_us,
+             p.purchase_id AS bid, p.ts_us AS bts
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts_us >= p.ts_us),
+f AS (SELECT c.event_id, p.purchase_id AS fid, p.ts_us AS fts
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts_us <= p.ts_us),
+j AS (SELECT b.event_id, b.user_id, b.ts_us, b.bid, b.bts, f.fid, f.fts,
+             b.bts IS NOT NULL AND b.ts_us - b.bts <= 172800000000 AS vb,
+             f.fts IS NOT NULL AND f.fts - b.ts_us <= 172800000000 AS vf
+      FROM b JOIN f USING (event_id))
+SELECT event_id, user_id, ts_us,
+       CASE WHEN vb AND (NOT vf OR ts_us - bts <= fts - ts_us) THEN bid
+            WHEN vf THEN fid END AS nearest_purchase_id,
+       CAST(CASE WHEN vb AND (NOT vf OR ts_us - bts <= fts - ts_us)
+                 THEN bts - ts_us
+                 WHEN vf THEN fts - ts_us END AS BIGINT) AS gap_us
+FROM j
+""",
+)
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join with a ±2-day tolerance
+    (operators/relational.asof_nearest_join): each click paired with the
+    user's temporally CLOSEST purchase in either direction, ties to the
+    past — the merge_asof(direction='nearest') surface the backward-only
+    asof_last_purchase can't express. One shuffle, two O(n) window passes
+    over the shared per-user timeline; the oracle composes DuckDB's two
+    directional ASOF JOINs with the identical row-local pick."""
+    from videos_to_tfrecords_spark.operators.relational import (
+        asof_nearest_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", F.col("ts_us").alias("pts"), "purchase_id")
+    )
+    out = asof_nearest_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts_us",
+        right_ts="pts",
+        right_value_cols=["purchase_id"],
+        tolerance=172_800_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("nearest_purchase_id"), "gap_us",
+    )
