@@ -2357,3 +2357,124 @@ def q_coverage_source_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step long, source string, gain long, covered long"
     )
+
+
+
+def _minhash_calibration_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+    from videos_to_tfrecords_spark.functions.textfn import shingles_sql
+
+    p = 1_000_000_007
+    sig_cols = ",\n       ".join(
+        f"min((x1 * {2 * i + 1} + x2 * {4 * i + 3} + {i}) % {p}) AS sig{i}"
+        for i in range(16)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(sig{2 * b} AS VARCHAR), ',',"
+        f" CAST(sig{2 * b + 1} AS VARCHAR)) AS key FROM sig"
+        for b in range(8)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql('t')}) AS s FROM tok),
+hh AS (SELECT doc_id, {h15_sql('s')} % 1073741824 AS x1,
+              {h15_sql('s')} // 1073741824 AS x2
+       FROM sh),
+sig AS (SELECT doc_id,
+       {sig_cols}
+        FROM hh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+m AS (SELECT c.id_a, c.id_b, CAST({est} AS BIGINT) AS sig_matches
+      FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+per AS (SELECT m.sig_matches,
+               CASE WHEN common.cm IS NULL THEN 0
+                    ELSE CAST(floor(1000.0 * common.cm /
+                         (sa.n + sb.n - common.cm)) AS BIGINT) END AS j
+        FROM m LEFT JOIN common ON common.id_a = m.id_a AND common.id_b = m.id_b
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b)
+SELECT sig_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(j) // count(*) AS BIGINT) AS mean_j_x1000,
+       CAST(min(j) AS BIGINT) AS min_j_x1000,
+       CAST(max(j) AS BIGINT) AS max_j_x1000
+FROM per GROUP BY 1
+"""
+
+
+@query("minhash_estimate_calibration", _minhash_calibration_oracle())
+def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the 16-permutation MinHash sketch: for every
+    LSH banding candidate pair, the signature agreement count (0..16)
+    against the EXACT Jaccard of the pair — the diagnostic that tells a
+    dedup pipeline how much its sketch over/under-estimates before anyone
+    trusts unverified sketch distances (each match is a Bernoulli(J)
+    trial, so mean J per agreement bucket should track matches/16).
+
+    Signatures here use the PORTABLE h15 hash split into 30-bit halves
+    with the same universal-hash family as the production sketch
+    (operators/dedup.minhash_signatures) so the oracle reproduces them
+    bit-for-bit; candidates come from the same 8x2 banding; exact J comes
+    from the array-intersect verifier restricted to candidates (pairs
+    sharing no shingle count as J=0). One shingle shuffle + one banding
+    join + a candidate-sized verify."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+    from videos_to_tfrecords_spark.operators.dedup import (
+        jaccard_verify_from_texts,
+        lsh_candidate_pairs,
+        shingle_table,
+    )
+
+    p = 1_000_000_007
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).distinct()
+    h = h15(F.col("s"))
+    x1 = h % F.lit(1 << 30)
+    x2 = (h / F.lit(1 << 30)).cast("long")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % p).alias(f"sig{i}")
+            for i in range(16)
+        ]
+    ).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(16)],
+    )
+    est_expr = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    m = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est_expr.cast("long").alias("sig_matches"))
+    )
+    j = jaccard_verify_from_texts(cand, docs, threshold_x1000=0).select(
+        "id_a", "id_b", "j_x1000"
+    )
+    per = m.join(j, ["id_a", "id_b"], "left").select(
+        "sig_matches",
+        F.coalesce(F.col("j_x1000"), F.lit(0)).cast("long").alias("j"),
+    )
+    return per.groupBy("sig_matches").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(j) div count(*) AS BIGINT)").alias("mean_j_x1000"),
+        F.min("j").alias("min_j_x1000"),
+        F.max("j").alias("max_j_x1000"),
+    )
