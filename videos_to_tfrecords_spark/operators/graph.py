@@ -671,18 +671,35 @@ def bfs_levels(
     cluster. The edge list is persisted once and reused every round; the
     per-round frontier table is metadata beside it."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    cur = seeds.select(
+    # Frontier-only expansion with per-round checkpoints: each round joins
+    # ONLY the nodes first reached last round (frontiers are disjoint by
+    # construction, so the final union needs no min-fold), and each
+    # frontier materializes eagerly — the lazy-accumulator draft re-joined
+    # ALL reached nodes every round AND referenced `cur` twice per level,
+    # doubling the logical plan per iteration (2^n subtree copies).
+    seeds0 = seeds.select(
         F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
-    )
-    for _ in range(n_iter):
-        grown = e.join(cur, e.src == cur.node).select(
-            F.col("dst").alias("node"), (F.col("dist") + 1).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    levels = [seeds0]
+    seen = seeds0.select("node")
+    frontier = seeds0
+    for i in range(1, n_iter + 1):
+        grown = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
         )
-        cur = (
-            cur.unionByName(grown)
-            .groupBy("node")
-            .agg(F.min("dist").cast("long").alias("dist"))
-        )
-    out = cur.localCheckpoint(eager=True)
+        levels.append(grown)
+        # seen is a union of already-checkpointed frontiers — no re-
+        # materialization needed for the next round's anti-join
+        seen = seen.unionByName(grown.select("node"))
+        frontier = grown
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    out = out.localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     return out
