@@ -91,12 +91,15 @@ def bradley_terry_integer(
                 F.sum(F.expr(f"(nij * {BT_Q}) div (si + sj)")).alias("d")
             )
         )
+        # checkpoint per round: s feeds the next round TWICE (si and sj),
+        # so a lazy chain doubles the logical plan per iteration (the BFS
+        # frontier lesson) — the table is roster-sized, the cut is cheap
         s = d.join(mark(w_i.select("i", "wins")), "i").select(
             "i",
             F.greatest(F.expr(f"(wins * {BT_Q}) div d"), F.lit(1))
             .cast("long")
             .alias("s"),
-        )
+        ).localCheckpoint(eager=True)
     out = (
         w_i.join(s, "i")
         .select(
