@@ -3219,3 +3219,101 @@ def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _copurchase_hit_oracle() -> str:
+    return """
+WITH lo AS (
+  SELECT l.l_orderkey AS ord, l.l_partkey AS part, o.o_orderdate AS d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+tr AS (SELECT DISTINCT ord, part FROM lo WHERE d < DATE '1997-01-01'),
+te AS (SELECT DISTINCT ord, part FROM lo WHERE d >= DATE '1997-01-01'),
+co AS (SELECT a.part AS p1, b.part AS p2, CAST(count(*) AS BIGINT) AS n
+       FROM tr a JOIN tr b ON a.ord = b.ord AND a.part != b.part
+       GROUP BY 1, 2),
+rec AS (SELECT p1, p2 FROM (
+          SELECT p1, p2, row_number() OVER (PARTITION BY p1
+                   ORDER BY n DESC, p2) AS rnk FROM co)
+        WHERE rnk <= 3),
+tp AS (SELECT a.part AS p1, b.part AS p2
+       FROM te a JOIN te b ON a.ord = b.ord AND a.part != b.part),
+ev AS (SELECT CAST(count(*) AS BIGINT) AS n_test_pairs,
+              CAST(sum(CASE WHEN rec.p2 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+       FROM tp LEFT JOIN rec ON rec.p1 = tp.p1 AND rec.p2 = tp.p2)
+SELECT n_test_pairs, n_hits,
+       CAST(CASE WHEN n_test_pairs = 0 THEN 0
+                 ELSE (1000000 * n_hits) // n_test_pairs END AS BIGINT)
+         AS hit_ppm
+FROM ev
+"""
+
+
+@query("copurchase_recommender_eval", _copurchase_hit_oracle())
+def q_copurchase_recommender_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal hit@3 eval of an item-item co-occurrence recommender (the
+    classic "customers also bought" baseline): fit co-purchase counts on
+    pre-1997 orders, recommend each part's top-3 co-occurring parts, then
+    score on post-1997 orders — for every ordered part pair in a test
+    basket, a hit iff the second part is in the first's top-3. The
+    leakage-safe fit/eval temporal split is the point (the
+    markov_next_event pattern at ITEM granularity — the recsys eval
+    family's counterpart to pass@k).
+
+    Pairs explode IN-TASK per order (baskets bounded by order width, the
+    market_basket shape); recommendations are a per-part window over
+    co-occurring parts; the eval is one (p1,p2)-keyed left join. Integers
+    end-to-end, ties to the lower part id."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("l_orderkey").alias("ord"),
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").alias("d"),
+    )
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.select("ord", "part")
+            .distinct()
+            .groupBy("ord")
+            .agg(F.sort_array(F.collect_set("part")).alias("arr"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(arr, x ->"
+                        " transform(filter(arr, y -> y != x),"
+                        " y -> struct(x AS p1, y AS p2))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.p1", "p.p2")
+        )
+
+    tr = pairs(lo.filter(F.col("d") < "1997-01-01"))
+    te = pairs(lo.filter(F.col("d") >= "1997-01-01"))
+    co = tr.groupBy("p1", "p2").agg(F.count("*").cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p1").orderBy(F.desc("n"), F.asc("p2"))
+    rec = (
+        co.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p1", "p2", F.lit(1).alias("hit"))
+    )
+    ev = te.join(rec, ["p1", "p2"], "left").agg(
+        F.count("*").cast("long").alias("n_test_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return ev.select(
+        "n_test_pairs",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_test_pairs = 0 THEN 0"
+            " ELSE (1000000 * n_hits) div n_test_pairs END AS BIGINT)"
+        ).alias("hit_ppm"),
+    )
