@@ -2478,3 +2478,60 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("j").alias("min_j_x1000"),
         F.max("j").alias("max_j_x1000"),
     )
+
+
+@query(
+    "doc_containment_pairs",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql('t')}) AS s FROM tok),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+small AS (SELECT doc_id, n FROM sizes WHERE n <= 32),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS cm
+           FROM sh a JOIN small sm ON sm.doc_id = a.doc_id
+           JOIN sh b ON b.s = a.s AND b.doc_id != a.doc_id
+           GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       CAST((1000 * c.cm) // sm.n AS BIGINT) AS containment_x1000
+FROM common c JOIN small sm ON sm.doc_id = c.id_a
+WHERE (1000 * c.cm) // sm.n >= 600
+""",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (quote/inclusion detection):
+    containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.6
+    for SMALL left docs (≤32 shingles) — the dedup case symmetric Jaccard
+    structurally misses: a short document quoted inside a long one has
+    tiny Jaccard but containment ≈ 1. Small-side bounding is the scale
+    contract: the inverted-index join fans out only from small docs'
+    shingles (≤32 per doc), so candidate volume is |small docs|·32·df,
+    never corpus². Exact integers; the 0.6 cutoff floors before the
+    filter identically on both engines."""
+    from videos_to_tfrecords_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    small = sizes.filter(F.col("n") <= 32)
+    sh_small = sh.join(
+        small.select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("id_a"), "s")
+    sh_all = sh.select(F.col("doc_id").alias("id_b"), "s")
+    common = (
+        sh_small.join(sh_all, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("cm"))
+    )
+    return (
+        common.join(
+            small.select(F.col("doc_id").alias("id_a"), "n"), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000 * cm) div n").cast("long").alias("containment_x1000"),
+        )
+        .filter(F.col("containment_x1000") >= 600)
+    )
