@@ -3317,3 +3317,81 @@ def q_copurchase_recommender_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             " ELSE (1000000 * n_hits) div n_test_pairs END AS BIGINT)"
         ).alias("hit_ppm"),
     )
+
+
+@query(
+    "two_proportion_ztest",
+    """
+WITH e AS (SELECT ((epoch_ns(ts) // 1000) // 86400000000) % 2 AS side,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+g AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+             CAST(sum(CASE WHEN side = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+             CAST(sum(CASE WHEN side = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb
+      FROM e),
+m AS (SELECT na, sa, nb, sb,
+             sa * nb - sb * na AS num,
+             na + nb AS n, sa + sb AS s
+      FROM g)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(sa AS BIGINT) AS s_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(sb AS BIGINT) AS s_b,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         AS BIGINT) AS sign,
+       CAST(CASE WHEN s = 0 OR s = n THEN 0
+                 ELSE (1000000 * num * num * n) // (na * nb * s * (n - s))
+            END AS BIGINT) AS z2_x1e6
+FROM m
+""",
+)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase rate, even- vs odd-day events —
+    the significance gate an experimentation pipeline runs on a binary
+    conversion split (completes the testing family: McNemar for paired,
+    Mann-Whitney for ordinal, chi-square for categorical, this for the
+    plain conversion A/B). Reported as the SIGNED SQUARED statistic
+    z² = (s_a·n_b − s_b·n_a)²·n / (n_a·n_b·s·(n−s)) ×1e6 — a single
+    integer floor-div in DECIMAL(38,0)/HUGEINT (the pooled-variance
+    products exceed int64 at corpus scale), zero when a pooled
+    proportion is degenerate. One map-side aggregate; nothing shuffles
+    but four partial sums."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("((unix_micros(ts)) div 86400000000) % 2").alias("side"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum(F.when(F.col("side") == 0, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+        F.sum(F.when(F.col("side") == 1, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+    )
+    m = g.select(
+        "na", "sa", "nb", "sb",
+        F.expr("sa * nb - sb * na").alias("num"),
+        F.expr("na + nb").alias("n"),
+        F.expr("sa + sb").alias("s"),
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("sa").cast("long").alias("s_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("sb").cast("long").alias("s_b"),
+        F.expr(
+            "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST(CASE WHEN s = 0 OR s = n THEN 0"
+            " ELSE (1000000 * num * num * n) div (na * nb * s * (n - s))"
+            " END AS BIGINT)"
+        ).alias("z2_x1e6"),
+    )
