@@ -891,3 +891,49 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("rev_cents"),
     )
+
+
+@query(
+    "range_window_revenue",
+    """
+WITH d AS (SELECT l_suppkey AS supp,
+                  CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS day,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1, 2),
+w AS (SELECT supp, day,
+             CAST(sum(rev) OVER (PARTITION BY supp ORDER BY day
+                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+               AS rev_11d
+      FROM d)
+SELECT supp, day, rev_11d FROM w
+ORDER BY rev_11d DESC, supp, day LIMIT 20
+""",
+)
+def q_range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (the frame type ROWS can't express:
+    '±5 calendar days around each shipping day', gaps included): per
+    supplier-day revenue, the 11-day centered revenue sum, top-20 peaks —
+    the burst-detection readout of a shipping/ops dashboard. Exercises
+    Spark's RangeFrame (long offsets over the epoch-day ordering; the
+    per-day pre-aggregate makes ordering keys unique so the frame is
+    deterministic). One groupBy + one partitioned window; top-20 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("supp").orderBy("day").rangeBetween(-5, 5)
+    out = d.select(
+        "supp", "day", F.sum("rev").over(w).cast("long").alias("rev_11d")
+    )
+    return out.orderBy(F.desc("rev_11d"), F.asc("supp"), F.asc("day")).limit(20)
