@@ -1795,3 +1795,53 @@ def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_us",
         F.col("nearest_purchase_id"), "gap_us",
     )
+
+
+@query(
+    "hll_accuracy_eval",
+    f"""
+WITH est AS ({_HLL_SQL}),
+ex AS (
+  SELECT l_returnflag AS grp,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT 'ALL' AS grp, CAST(count(DISTINCT l_partkey) AS BIGINT)
+  FROM lineitem)
+SELECT est.grp, ex.exact_distinct, est.est_distinct,
+       CAST((1000000 * abs(est.est_distinct - ex.exact_distinct))
+            // ex.exact_distinct AS BIGINT) AS err_ppm
+FROM est JOIN ex ON ex.grp = est.grp
+""",
+)
+def q_hll_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured accuracy of the portable HyperLogLog (p=6) against the
+    exact distinct count, per group and for the merged ALL sketch — the
+    sketch-quality gate next to bloom_filter_fpr (measured FPR) and
+    minhash_estimate_calibration (sketch-vs-exact Jaccard): before a
+    pipeline trusts HLL distinct counts for cardinality-driven decisions
+    (join strategy, partition sizing), this query says how far off the
+    64-register sketch actually is. Both legs are one aggregate each; the
+    estimate leg reuses the hash-checked portable-HLL construction."""
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    est = QUERIES["hll_portable_union_distinct"](spark, sf_dir).select(
+        "grp", "est_distinct"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    allg = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+    ex = per.unionByName(allg)
+    return est.join(ex, "grp").select(
+        "grp",
+        "exact_distinct",
+        "est_distinct",
+        F.expr(
+            "CAST((1000000 * abs(est_distinct - exact_distinct))"
+            " div exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )
