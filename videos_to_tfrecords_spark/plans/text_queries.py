@@ -2535,3 +2535,117 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment_x1000") >= 600)
     )
+
+
+@query(
+    "classifier_eval_card",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, n_chars,
+             list_concat(toks, {shingles_sql('toks', 2)}) AS feats FROM t),
+s AS (SELECT doc_id, CAST(n_chars >= 200 AS INTEGER) AS y,
+             CAST(coalesce((1000 * coalesce(list_sum(list_transform(feats,
+               ft -> (({h15_sql('ft', salt='ftq')} % 4096) * 2654435761) % 2001 - 1000
+             )), 0)) // nullif(len(feats), 0), 0) AS BIGINT) AS score
+      FROM f),
+g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM g),
+r AS (SELECT cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM g),
+auc AS (SELECT CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS n2
+        FROM r),
+br AS (SELECT CAST(sum(CAST(nk AS HUGEINT) * pq * pq
+                       - 2000000 * pq * CAST(pk AS HUGEINT)
+                       + 1000000000000 * CAST(pk AS HUGEINT)) AS HUGEINT)
+                 AS brier_num
+       FROM (SELECT (score + 1000000) // 2 AS pq, cnt AS nk, pos AS pk
+             FROM g)),
+suf AS (SELECT sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS tp,
+               sum(cnt - pos) OVER (ORDER BY score DESC ROWS UNBOUNDED
+                 PRECEDING) AS fp
+        FROM g),
+bestf1 AS (SELECT max((2000000 * tp) // (tp + fp + (SELECT p FROM tot)))
+             AS f1 FROM suf)
+SELECT tot.n AS n_docs, tot.p AS n_pos,
+       CAST((1000000 * ((SELECT n2 FROM auc) - tot.p * (tot.p + 1)))
+            // (2 * tot.p * (tot.n - tot.p)) AS BIGINT) AS auc_x1e6,
+       CAST((SELECT brier_num FROM br) // tot.n AS BIGINT) AS brier_x1e12,
+       CAST((SELECT f1 FROM bestf1) AS BIGINT) AS best_f1_x1e6
+FROM tot
+""",
+)
+def q_classifier_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row model eval card for the hashed quality classifier — AUC,
+    Brier score, and best achievable F1 from ONE shared distinct-score
+    census (the separate classifier_auc_eval / brier_decomposition /
+    threshold_tuning_max_f1 queries each rebuild that census; a real eval
+    harness reports them together off one pass). Every metric follows
+    the already-verified integer construction: rank-sum AUC, HUGEINT
+    Brier numerator over the affine probability map, and the descending
+    running-sum F1 sweep's max. One corpus scan + one census shuffle +
+    bounded-domain windows."""
+    from videos_to_tfrecords_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_quality(docs, keep_cols=("n_chars",)).select(
+        F.col("score_x1000").alias("score"),
+        F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    ).localCheckpoint(eager=True)
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    wa = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    auc_n2 = g.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(wa), F.lit(0)).alias("cum_before"),
+    ).agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("n2")
+    )
+    br = g.select(
+        F.expr("(score + 1000000) div 2").cast("decimal(38,0)").alias("pq"),
+        F.col("cnt").cast("decimal(38,0)").alias("nk"),
+        F.col("pos").cast("decimal(38,0)").alias("pk"),
+    ).agg(
+        F.sum(
+            F.expr("nk * pq * pq - 2000000 * pq * pk + 1000000000000 * pk")
+        ).alias("brier_num")
+    )
+    wd = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suf = g.select(
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("long").alias("fp"),
+    )
+    bestf1 = suf.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.expr("(2000000 * tp) div (tp + fp + p)")).alias("f1")
+    )
+    return (
+        F.broadcast(tot)
+        .crossJoin(F.broadcast(auc_n2))
+        .crossJoin(F.broadcast(br))
+        .crossJoin(F.broadcast(bestf1))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("p").alias("n_pos"),
+            F.expr(
+                "CAST((1000000 * (n2 - p * (p + 1))) div (2 * p * (n - p))"
+                " AS BIGINT)"
+            ).alias("auc_x1e6"),
+            F.expr("CAST(brier_num div n AS BIGINT)").alias("brier_x1e12"),
+            F.col("f1").cast("long").alias("best_f1_x1e6"),
+        )
+    )
