@@ -473,3 +473,28 @@ def test_streaming_heavy_hitters_matches_batch_across_microbatches(
         for r in q_heavy_hitters_mg(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_streaming_hll_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming HLL registers must equal the single-batch build when
+    the source arrives as several microbatches — max() per register IS
+    the sketch's merge, so partial-agg order must not matter."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_hll_registers,
+    )
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evhll")
+    ev.repartition(4).write.parquet(src)
+    multi = {
+        (r.idx, r.m)
+        for r in streaming_hll_registers(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    single = {
+        (r.idx, r.m)
+        for r in streaming_hll_registers(spark, sf_dir).collect()
+    }
+    assert multi == single and 0 < len(single) <= 64

@@ -1086,3 +1086,61 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from videos_to_tfrecords_spark.streaming.pipeline import streaming_heavy_hitters
 
     return streaming_heavy_hitters(spark, sf_dir)
+
+
+def _stream_hll_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(user_id AS VARCHAR)", salt="hll")
+    return f"""
+WITH h AS (SELECT {h} AS hv FROM events),
+rho AS (SELECT hv // 18014398509481984 AS idx,
+               CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                    ELSE 55 - len(bin(hv % 18014398509481984)) END AS r
+        FROM h),
+regs AS (SELECT idx, max(r) AS m FROM rho GROUP BY idx),
+sums AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+                CAST(sum(CAST(pow(2.0, 55 - m) AS BIGINT)) AS BIGINT) AS sp
+         FROM regs)
+SELECT n_hit,
+       CAST(floor(0.709 * 4096.0 * pow(2.0, 55) /
+            CAST(sp + (64 - n_hit) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+         AS est_distinct
+FROM sums
+"""
+
+
+@query("streaming_hll_distinct", _stream_hll_oracle())
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL distinct-user estimate THROUGH Structured Streaming
+    (streaming/pipeline.streaming_hll_registers): the 64-register sketch
+    is the streaming state itself — constant in stream volume, merged by
+    max() so microbatch order is irrelevant — and the drained registers
+    feed the same exact-integer harmonic estimate as the batch
+    hll_portable_union_distinct. The streaming approximate answer is
+    itself hash-checked against the batch-constructed oracle: streaming
+    and batch sketch paths are interchangeable bit-for-bit."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_hll_registers,
+    )
+
+    regs = streaming_hll_registers(spark, sf_dir)
+    sums = regs.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(F.expr("CAST(pow(2.0, 55 - m) AS BIGINT)"))
+        .cast("long")
+        .alias("sp"),
+    )
+    return sums.select(
+        "n_hit",
+        F.floor(
+            F.lit(0.709 * 4096.0)
+            * F.pow(F.lit(2.0), F.lit(55))
+            / (
+                F.col("sp")
+                + (F.lit(64) - F.col("n_hit")) * F.lit(36028797018963968)
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )

@@ -730,3 +730,56 @@ def streaming_heavy_hitters(
             F.expr("(1000000 * freq) div n_total").cast("long").alias("share_ppm"),
         )
     )
+
+
+def streaming_hll_registers(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Portable HyperLogLog registers (p=6, 64 registers) built AS A
+    STREAMING AGGREGATION over event user ids: per event one (idx, rho)
+    cell from the h15 hash, streaming state = groupBy(idx).max(rho) — 64
+    rows, CONSTANT in stream volume (the sketch-state argument of
+    streaming_cms_counts, distinct-count edition). Drained on a bounded
+    source the registers equal the batch build bit-for-bit, so the
+    harmonic estimate downstream is oracle-checked through the streaming
+    path; max() makes microbatch merge order irrelevant."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    two54 = 18014398509481984  # 2^54
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    hv = h15(F.col("user_id").cast("string"), salt="hll")
+    agg = (
+        reader.parquet(sf_dir)
+        .select(hv.alias("hv"))
+        .select(
+            F.expr(f"hv div {two54}").alias("idx"),
+            F.expr(
+                f"CASE WHEN hv % {two54} = 0 THEN 55"
+                f" ELSE 55 - length(bin(hv % {two54})) END"
+            ).alias("r"),
+        )
+        .groupBy("idx")
+        .agg(F.max("r").alias("m"))
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select("idx", "m")
