@@ -1111,3 +1111,107 @@ def q_quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_common").agg(
         F.count("*").cast("long").alias("n_queries")
     )
+
+
+def _dedup_funnel_oracle() -> str:
+    key = (
+        "list_aggregate(list_transform(embedding::DOUBLE[], "
+        "x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), "
+        "'string_agg', ',')"
+    )
+    return f"""
+WITH sem AS ({_semantic_dedup_oracle(k="auto")}),
+ek AS (SELECT vec_id, {key} AS vkey FROM embeddings),
+keep1 AS (SELECT vec_id, vkey,
+                 vec_id = min(vec_id) OVER (PARTITION BY vkey) AS exact_keep
+          FROM ek),
+j AS (SELECT k.vec_id, k.exact_keep, s.kept AS sem_keep, s.cid
+      FROM keep1 k JOIN sem s ON s.vec_id = k.vec_id),
+fin AS (SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS exact_kept,
+               CAST(sum(CASE WHEN exact_keep AND sem_keep THEN 1 ELSE 0 END)
+                 AS BIGINT) AS final_kept
+        FROM j),
+cl AS (SELECT CAST(max(c) AS BIGINT) AS maxc FROM (
+         SELECT count(*) AS c FROM j
+         WHERE exact_keep AND sem_keep GROUP BY cid))
+SELECT 'total' AS stage, total AS value FROM fin
+UNION ALL SELECT 'exact_kept', exact_kept FROM fin
+UNION ALL SELECT 'final_kept', final_kept FROM fin
+UNION ALL SELECT 'max_cluster_share_ppm',
+                 CAST((1000000 * cl.maxc) // fin.final_kept AS BIGINT)
+FROM cl, fin
+"""
+
+
+@query("embedding_dedup_funnel_e2e", _dedup_funnel_oracle())
+def q_embedding_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END embedding dedup funnel (the index-build preamble of an
+    ANN serving stack, the embedding-modality sibling of
+    corpus_curation_e2e): exact-vector dedup (group by the quantized
+    vector, keep min id) → SemDeDup semantic dedup (integer k-means +
+    within-cluster dominance, the verified semantic_dedup machinery) →
+    funnel census plus the survivor set's worst cluster share (the
+    balance number an IVF index builder checks before freezing lists).
+    Every stage is the already-hash-verified construction; the funnel
+    composes them without new primitives. Exact-dedup shuffles only
+    (vkey, id); the semantic stage is the bounded-k kmeans prefix."""
+    from videos_to_tfrecords_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(
+        emb, k="auto", iters=_IVF_ITERS, threshold_scaled=_SEMDEDUP_THR
+    ).select("vec_id", "cid", F.col("kept").alias("sem_keep"))
+    vkey = F.concat_ws(
+        ",",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING))"
+        ),
+    )
+    from pyspark.sql import Window
+
+    keep1 = emb.select("vec_id", vkey.alias("vkey")).select(
+        "vec_id",
+        (
+            F.col("vec_id")
+            == F.min("vec_id").over(Window.partitionBy("vkey"))
+        ).alias("exact_keep"),
+    )
+    j = keep1.join(sem, "vec_id").localCheckpoint(eager=True)
+    fin = j.agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum(F.when(F.col("exact_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_kept"),
+        F.sum(
+            F.when(F.col("exact_keep") & F.col("sem_keep"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_kept"),
+    )
+    cl = (
+        j.filter(F.col("exact_keep") & F.col("sem_keep"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("long").alias("maxc"))
+    )
+    both = F.broadcast(fin).crossJoin(F.broadcast(cl))
+    return (
+        fin.select(F.lit("total").alias("stage"), F.col("total").alias("value"))
+        .unionByName(
+            fin.select(F.lit("exact_kept").alias("stage"), F.col("exact_kept").alias("value"))
+        )
+        .unionByName(
+            fin.select(F.lit("final_kept").alias("stage"), F.col("final_kept").alias("value"))
+        )
+        .unionByName(
+            both.select(
+                F.lit("max_cluster_share_ppm").alias("stage"),
+                F.expr("CAST((1000000 * maxc) div final_kept AS BIGINT)").alias(
+                    "value"
+                ),
+            )
+        )
+    )
