@@ -1845,3 +1845,89 @@ def q_hll_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div exact_distinct AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "daily_anomaly_robust_z",
+    """
+WITH d AS (SELECT CAST((epoch_ns(ts)//1000) // 86400000000 AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+n AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM c),
+m1 AS (SELECT CAST(x AS BIGINT) AS med FROM (
+         SELECT x, t, CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM c), n
+       WHERE cum < (n + 1) // 2 AND cum + t >= (n + 1) // 2),
+dc AS (SELECT abs(x - (SELECT med FROM m1)) AS dx, CAST(sum(t) AS BIGINT) AS t
+       FROM c GROUP BY 1),
+m2 AS (SELECT CAST(dx AS BIGINT) AS mad FROM (
+         SELECT dx, t, CAST(coalesce(sum(t) OVER (ORDER BY dx ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM dc), n
+       WHERE cum < (n + 1) // 2 AND cum + t >= (n + 1) // 2),
+z AS (SELECT day, x,
+             CASE WHEN (SELECT mad FROM m2) = 0 THEN 0
+                  ELSE (6745 * abs(x - (SELECT med FROM m1)))
+                       // (10 * (SELECT mad FROM m2)) END AS z_x1000
+      FROM d)
+SELECT day, x AS n_purchases, CAST(z_x1000 AS BIGINT) AS z_x1000
+FROM z ORDER BY z_x1000 DESC, day LIMIT 10
+""",
+)
+def q_daily_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-day detection via the robust z-score 0.6745·|x − median|
+    / MAD over DAILY purchase counts — the ops-monitoring readout that a
+    mean/σ z-score gets wrong the moment one outage day drags σ (median
+    and MAD need >50% contamination to move). Top-10 days by robust z.
+
+    Both medians are exact census order statistics (the
+    price_mad_robust_scale machinery over the day-count census — the
+    census domain is calendar days, corpus-independent); the z is one
+    integer floor per day (6745·|Δ| // (10·MAD)), and the top-10 is
+    TakeOrderedAndProject. One corpus scan; everything after is
+    calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    c = d.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    n = c.agg(F.sum("t").cast("long").alias("n")).collect()[0]["n"]
+    k = (n + 1) // 2
+
+    def census_median(df, col):
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            df.withColumn(
+                "cum", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+            )
+            .filter((F.col("cum") < k) & (F.col("cum") + F.col("t") >= k))
+            .collect()[0][col]
+        )
+
+    med = int(census_median(c, "x"))
+    dc = (
+        c.select(F.abs(F.col("x") - med).alias("dx"), "t")
+        .groupBy("dx")
+        .agg(F.sum("t").cast("long").alias("t"))
+    )
+    mad = int(census_median(dc, "dx"))
+    z = d.select(
+        "day",
+        F.col("x").alias("n_purchases"),
+        (
+            F.lit(0)
+            if mad == 0
+            else F.expr(f"(6745 * abs(x - {med})) div (10 * {mad})")
+        )
+        .cast("long")
+        .alias("z_x1000"),
+    )
+    return z.orderBy(F.desc("z_x1000"), F.asc("day")).limit(10)
