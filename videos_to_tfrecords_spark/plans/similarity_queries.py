@@ -1215,3 +1215,88 @@ def q_embedding_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _fisher_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS k),
+el AS (SELECT e.label, i.k AS dim, e.v[i.k] AS q FROM e, idx i),
+lg AS (SELECT label, dim, CAST(count(*) AS HUGEINT) AS nl,
+              CAST(sum(q) AS HUGEINT) AS s,
+              CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+       FROM el GROUP BY 1, 2),
+w AS (SELECT dim, CAST(sum((nl * qq - s * s) // nl) AS HUGEINT) AS within_ss,
+             CAST(sum(nl) AS HUGEINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS st,
+             CAST(sum(qq) AS HUGEINT) AS qt
+      FROM lg GROUP BY 1),
+f AS (SELECT dim, within_ss,
+             GREATEST(CAST(0 AS HUGEINT),
+                      (n * qt - st * st) // n - within_ss) AS between_ss
+      FROM w)
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(within_ss AS BIGINT) AS within_ss,
+       CAST(between_ss AS BIGINT) AS between_ss,
+       CAST(CASE WHEN within_ss = 0 THEN 0
+                 ELSE (1000000 * between_ss) // within_ss END AS BIGINT)
+         AS fisher_x1e6
+FROM f
+"""
+
+
+@query("fisher_discriminant_ratio", _fisher_oracle())
+def q_fisher_discriminant_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio (between-class SS over
+    within-class SS — the classic class-separability screen): which
+    embedding dimensions actually carry the label signal. The
+    variance-based complement to embedding_alignment_margin's pairwise
+    view, and the feature-selection input for a cheap linear probe.
+
+    Exactness: per-(label, dim) sufficient statistics are exact int64
+    sums; each within-class sum of squares floors per label
+    ((n_l·Σx² − (Σx)²) // n_l — the n·Σx²−(Σx)² class, closed in
+    HUGEINT/DECIMAL(38,0)); between = total − within, clamped at 0 (the
+    per-label floors can shave ulps). One posexplode scan + one
+    (label, dim) aggregate — label-count-bounded state, map-side
+    partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    lg = el.groupBy("label", "dim").agg(
+        F.count("*").cast("decimal(38,0)").alias("nl"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq"),
+    )
+    w = lg.groupBy("dim").agg(
+        F.sum(F.expr("(nl * qq - s * s) div nl").cast("decimal(38,0)")).alias(
+            "within_ss"
+        ),
+        F.sum("nl").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("qq").alias("qt"),
+    )
+    f = w.select(
+        "dim",
+        "within_ss",
+        F.greatest(
+            F.lit(0).cast("decimal(38,0)"),
+            F.expr("(n * qt - st * st) div n").cast("decimal(38,0)")
+            - F.col("within_ss"),
+        ).alias("between_ss"),
+    )
+    return f.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("within_ss").cast("long").alias("within_ss"),
+        F.col("between_ss").cast("long").alias("between_ss"),
+        F.expr(
+            "CAST(CASE WHEN within_ss = 0 THEN 0"
+            " ELSE (1000000 * between_ss) div within_ss END AS BIGINT)"
+        ).alias("fisher_x1e6"),
+    )
