@@ -1931,3 +1931,49 @@ def q_daily_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_x1000"),
     )
     return z.orderBy(F.desc("z_x1000"), F.asc("day")).limit(10)
+
+
+@query(
+    "event_trigram_topk",
+    """
+WITH o AS (SELECT user_id, event_type,
+                  (epoch_ns(ts)//1000) AS ts_us, event_id
+           FROM events),
+s AS (SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+tri AS (SELECT event_type || '>' || t2 || '>' || t3 AS trigram
+        FROM s WHERE t3 IS NOT NULL)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+""",
+)
+def q_event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-behavior trigrams (ordered event-type 3-sequences per
+    user timeline) — the sequence-mining readout one step past
+    event_markov_transitions' bigrams: which THREE-step journeys dominate
+    (browse>click>purchase vs click>click>click loops). One per-user
+    window (state bounded by the user's event count, ties broken on
+    event_id identically both engines), map-side trigram combine, top-20
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = s.select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
