@@ -1977,3 +1977,108 @@ def q_event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("trigram"))
         .limit(20)
     )
+
+
+@query(
+    "interarrival_exponential_gof",
+    """
+WITH o AS (SELECT user_id, (epoch_ns(ts)//1000) AS ts_us, event_id
+           FROM events),
+g AS (SELECT ts_us - lag(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+      FROM o QUALIFY gap IS NOT NULL AND gap > 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(gap) AS BIGINT) AS s,
+               CAST(max(gap) AS BIGINT) AS mx FROM g),
+c AS (SELECT (gap * 64) // ((SELECT mx FROM tot) + 1) AS b,
+             CAST(count(*) AS BIGINT) AS t
+      FROM g GROUP BY 1),
+spine AS (SELECT unnest(range(0, 64)) AS b),
+f AS (SELECT spine.b, coalesce(c.t, 0) AS t
+      FROM spine LEFT JOIN c ON c.b = spine.b),
+cum AS (SELECT b, sum(t) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ct
+        FROM f),
+gap2 AS (SELECT cum.b,
+                (1000000 * cum.ct) // tot.n AS emp_ppm,
+                CAST(floor(1000000 * (1.0 - exp(
+                  -(CAST(tot.n AS DOUBLE) *
+                    CAST(((cum.b + 1) * (tot.mx + 1)) // 64 - 1 AS DOUBLE))
+                  / CAST(tot.s AS DOUBLE)))) AS BIGINT) AS theo_ppm
+         FROM cum, tot)
+SELECT (SELECT n FROM tot) AS n_gaps,
+       (SELECT s FROM tot) // (SELECT n FROM tot) AS mean_gap_us,
+       CAST(max(abs(emp_ppm - theo_ppm)) AS BIGINT) AS ks_ppm
+FROM gap2
+""",
+)
+def q_interarrival_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit of the exponential (Poisson-process) model to
+    per-user event inter-arrival gaps: fit rate λ = n/Σgaps, then the KS
+    distance between the empirical gap CDF and 1 − e^(−λt) over 64
+    equi-width bucket edges — the burstiness test behind session-gap
+    thresholds and arrival-rate capacity models (a large KS says arrivals
+    are bursty/heavy-tailed and a Poisson-rate capacity plan is wrong).
+
+    Exactness: gaps, bucket census, cumulative counts, and emp_ppm are
+    pure integers; the theoretical CDF needs ONE float expression per
+    bucket edge (64 total) — (n·u)/S as an identical IEEE expression tree
+    then a single exp per edge (the per-row quantized-ln/exp precedent),
+    floored to ppm before the max-fold. One window pass for gaps, one
+    census shuffle; everything after is 64-row."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    g = (
+        ev.select(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap"
+            )
+        )
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.max("gap").cast("long").alias("mx"),
+    )
+    c = g.crossJoin(F.broadcast(tot)).select(
+        F.expr("(gap * 64) div (mx + 1)").alias("b")
+    ).groupBy("b").agg(F.count("*").cast("long").alias("t"))
+    spine = spark.range(64).select(F.col("id").alias("b"))
+    f = spine.join(c, "b", "left").select(
+        "b", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = f.select("b", F.sum("t").over(wc).alias("ct"))
+    gap2 = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("(1000000 * ct) div n").alias("emp_ppm"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(1.0)
+                - F.exp(
+                    -(
+                        F.col("n").cast("double")
+                        * F.expr("((b + 1) * (mx + 1)) div 64 - 1").cast(
+                            "double"
+                        )
+                    )
+                    / F.col("s").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("theo_ppm"),
+        "n",
+        "s",
+    )
+    return gap2.agg(
+        F.first("n").alias("n_gaps"),
+        F.expr("CAST(first(s) div first(n) AS BIGINT)").alias("mean_gap_us"),
+        F.max(F.abs(F.col("emp_ppm") - F.col("theo_ppm")))
+        .cast("long")
+        .alias("ks_ppm"),
+    )
