@@ -2082,3 +2082,61 @@ def q_interarrival_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("ks_ppm"),
     )
+
+
+@query(
+    "capture_recapture_estimate",
+    """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN ((epoch_ns(ts)//1000) // 86400000000) % 2 = 0
+                      THEN 1 ELSE 0 END) AS in_a,
+                  max(CASE WHEN ((epoch_ns(ts)//1000) // 86400000000) % 2 = 1
+                      THEN 1 ELSE 0 END) AS in_b
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+             CAST(sum(in_b) AS BIGINT) AS n2,
+             CAST(sum(in_a * in_b) AS BIGINT) AS m12,
+             CAST(count(*) AS BIGINT) AS n_true
+      FROM u)
+SELECT n1, n2, m12, n_true,
+       CAST((n1 + 1) * (n2 + 1) // (m12 + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST((1000000 * abs((n1 + 1) * (n2 + 1) // (m12 + 1) - 1 - n_true))
+            // n_true AS BIGINT) AS err_ppm
+FROM m
+""",
+)
+def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture population estimate (public ecology /
+    census-statistics estimator): treat even-day and odd-day activity as
+    two capture occasions and estimate the total distinct-user population
+    from the overlap — N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The third
+    distinct-count estimation angle next to HLL (sketch) and exact
+    count(DISTINCT): capture–recapture works when you can't even SCAN
+    the full population, only samples; the err_ppm column scores it
+    against ground truth here. One per-user aggregate (two presence
+    bits), one 4-sum close — pure integers, floor-div on non-negatives."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.expr("(unix_micros(ts) div 86400000000) % 2 = 0"), 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.expr("(unix_micros(ts) div 86400000000) % 2 = 1"), 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    m = u.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m12"),
+        F.count("*").cast("long").alias("n_true"),
+    )
+    return m.select(
+        "n1", "n2", "m12", "n_true",
+        F.expr("CAST((n1 + 1) * (n2 + 1) div (m12 + 1) - 1 AS BIGINT)").alias(
+            "chapman_est"
+        ),
+        F.expr(
+            "CAST((1000000 * abs((n1 + 1) * (n2 + 1) div (m12 + 1) - 1 - n_true))"
+            " div n_true AS BIGINT)"
+        ).alias("err_ppm"),
+    )
