@@ -3395,3 +3395,80 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("z2_x1e6"),
     )
+
+
+@query(
+    "value_drift_qq",
+    """
+WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                  ((epoch_ns(ts) // 1000) // 86400000000) % 2 AS side
+           FROM events),
+c AS (SELECT x, side, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY 1, 2),
+n AS (SELECT side, CAST(sum(t) AS BIGINT) AS n FROM c GROUP BY 1),
+cum AS (SELECT x, side, t,
+               CAST(coalesce(sum(t) OVER (PARTITION BY side ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+        FROM c),
+dec AS (SELECT unnest(range(1, 10)) AS d),
+q AS (SELECT dec.d, cum.side, CAST(min(cum.x) AS BIGINT) AS qv
+      FROM dec, cum JOIN n ON n.side = cum.side
+      WHERE cum.cb < (dec.d * n.n + 9) // 10
+        AND cum.cb + cum.t >= (dec.d * n.n + 9) // 10
+      GROUP BY 1, 2)
+SELECT a.d AS decile, a.qv AS q_even_cents, b.qv AS q_odd_cents,
+       CAST(b.qv - a.qv AS BIGINT) AS delta_cents
+FROM q a JOIN q b ON b.d = a.d AND a.side = 0 AND b.side = 1
+""",
+)
+def q_value_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table between even- and odd-day event
+    values: the nine exact deciles of each side, paired — the
+    WHERE-in-the-distribution detail the scalar drift statistics (χ²,
+    EMD, PSI, KS) compress away; a tail-only shift shows as deltas in
+    d8-d9 with a flat middle. Deciles are exact ⌈d·n/10⌉-th order
+    statistics over the cent-quantized value census (bounded domain —
+    the norm-census quantization lesson), one running-sum window per
+    side, no corpus sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    e = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.expr("(unix_micros(ts) div 86400000000) % 2").alias("side"),
+    )
+    c = e.groupBy("x", "side").agg(F.count("*").cast("long").alias("t"))
+    n = c.groupBy("side").agg(F.sum("t").cast("long").alias("n"))
+    wc = Window.partitionBy("side").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = c.select(
+        "x",
+        "side",
+        "t",
+        F.coalesce(F.sum("t").over(wc), F.lit(0)).cast("long").alias("cb"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").alias("d"))
+    q = (
+        dec.crossJoin(cum.join(n, "side"))
+        .filter(
+            (F.col("cb") < F.expr("(d * n + 9) div 10"))
+            & (F.col("cb") + F.col("t") >= F.expr("(d * n + 9) div 10"))
+        )
+        .groupBy("d", "side")
+        .agg(F.min("x").cast("long").alias("qv"))
+    )
+    a = q.filter(F.col("side") == 0).select(
+        F.col("d").alias("decile"), F.col("qv").alias("q_even_cents")
+    )
+    b = q.filter(F.col("side") == 1).select(
+        F.col("d").alias("decile"), F.col("qv").alias("q_odd_cents")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "q_even_cents",
+        "q_odd_cents",
+        (F.col("q_odd_cents") - F.col("q_even_cents"))
+        .cast("long")
+        .alias("delta_cents"),
+    )
