@@ -2140,3 +2140,43 @@ def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_true AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "count_overdispersion",
+    """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(k) AS HUGEINT) AS sk,
+             CAST(sum(k * k) AS HUGEINT) AS skk
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(sk AS BIGINT) AS n_events,
+       CAST((1000000 * (n * skk - sk * sk)) // (n * sk) AS BIGINT)
+         AS dispersion_x1e6,
+       (1000000 * (n * skk - sk * sk)) // (n * sk) > 1000000 AS overdispersed
+FROM s
+""",
+)
+def q_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance/mean) of per-user event counts — the
+    one-number Poisson-ness test that pairs with
+    interarrival_exponential_gof: Poisson arrivals give dispersion ≈ 1;
+    ≫1 means heavy users dominate (and capacity/sampling plans keyed to
+    the mean are wrong). Cross-multiplied exact: var/mean =
+    (n·Σk² − (Σk)²)/(n·Σk) closed in HUGEINT/DECIMAL(38,0) (the acf
+    lesson — Σk² products exceed int64 at corpus scale). One groupBy,
+    one 3-sum close."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("k"))
+    s = c.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("k").cast("decimal(38,0)").alias("sk"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("skk"),
+    )
+    disp = "(1000000 * (n * skk - sk * sk)) div (n * sk)"
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sk").cast("long").alias("n_events"),
+        F.expr(f"CAST({disp} AS BIGINT)").alias("dispersion_x1e6"),
+        F.expr(f"{disp} > 1000000").alias("overdispersed"),
+    )
