@@ -2180,3 +2180,80 @@ def q_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({disp} AS BIGINT)").alias("dispersion_x1e6"),
         F.expr(f"{disp} > 1000000").alias("overdispersed"),
     )
+
+
+@query(
+    "simpsons_paradox_scan",
+    """
+WITH v AS (SELECT p.p_brand AS brand,
+                  CAST(l.l_quantity AS BIGINT) AS x,
+                  CAST(round(l.l_discount * 100) AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+g AS (SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM v GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n, CAST(sum(sx) AS HUGEINT) AS sx,
+               CAST(sum(sy) AS HUGEINT) AS sy,
+               CAST(sum(sxy) AS HUGEINT) AS sxy
+        FROM g),
+sgn AS (SELECT g.brand,
+               CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+                    WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1 ELSE 0 END
+                 AS grp_sign,
+               CASE WHEN t.n * t.sxy - t.sx * t.sy > 0 THEN 1
+                    WHEN t.n * t.sxy - t.sx * t.sy < 0 THEN -1 ELSE 0 END
+                 AS pooled_sign,
+               CAST(g.n AS BIGINT) AS n_rows
+        FROM g, tot t)
+SELECT brand, CAST(grp_sign AS BIGINT) AS grp_sign,
+       CAST(pooled_sign AS BIGINT) AS pooled_sign, n_rows
+FROM sgn WHERE grp_sign != 0 AND grp_sign != pooled_sign
+ORDER BY n_rows DESC, brand LIMIT 10
+""",
+)
+def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox scan: brands where the within-group
+    quantity↔discount covariance sign CONTRADICTS the pooled sign — the
+    aggregation-bias audit a metrics team runs before trusting any pooled
+    correlation (a positive overall trend can be negative inside every
+    segment when group sizes confound). Signs come from the exact
+    covariance numerator n·Σxy − Σx·Σy in HUGEINT/DECIMAL(38,0) — no
+    division, no float, sign comparison only. One join + two aggregates;
+    top-10 largest contradicting groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    g = v.groupBy("brand").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"), F.sum("sxy").alias("tsxy"),
+    )
+    sgn = g.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+            " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("grp_sign"),
+        F.expr(
+            "CAST(CASE WHEN tn * tsxy - tsx * tsy > 0 THEN 1"
+            " WHEN tn * tsxy - tsx * tsy < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("pooled_sign"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+    return (
+        sgn.filter(
+            (F.col("grp_sign") != 0) & (F.col("grp_sign") != F.col("pooled_sign"))
+        )
+        .orderBy(F.desc("n_rows"), F.asc("brand"))
+        .limit(10)
+    )
