@@ -2649,3 +2649,60 @@ def q_classifier_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f1").cast("long").alias("best_f1_x1e6"),
         )
     )
+
+
+@query(
+    "edit_distance_adjacent",
+    """
+WITH p AS (SELECT source, doc_id AS ref_id, text AS ref_text,
+                  lead(doc_id) OVER w AS cand_id,
+                  lead(text) OVER w AS cand_text
+           FROM documents
+           WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+           QUALIFY cand_id IS NOT NULL),
+d AS (SELECT source,
+             CAST(levenshtein(ref_text, cand_text) AS BIGINT) AS ed,
+             CAST(GREATEST(len(ref_text), len(cand_text), 1) AS BIGINT) AS mx
+      FROM p)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(1000000 * ed // mx) // count(*) AS BIGINT)
+         AS mean_norm_ed_ppm,
+       CAST(min(1000000 * ed // mx) AS BIGINT) AS min_norm_ed_ppm
+FROM d GROUP BY 1
+""",
+)
+def q_edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance between adjacent documents per source
+    (normalized by the longer length): the character-granular sibling of
+    rouge_adjacent_overlap's token view — low normalized edit distance
+    between neighbors flags templated/near-copied runs that survive token
+    shuffling. Uses both engines' BUILT-IN levenshtein (identical DP
+    definition); per-pair normalization floors to ppm before the
+    per-source mean. One lead() window per source; per-pair cost is
+    bounded by document length², never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    p = docs.select(
+        "source",
+        F.col("text").alias("ref_text"),
+        F.lead("doc_id").over(w).alias("cand_id"),
+        F.lead("text").over(w).alias("cand_text"),
+    ).filter(F.col("cand_id").isNotNull())
+    d = p.select(
+        "source",
+        F.levenshtein("ref_text", "cand_text").cast("long").alias("ed"),
+        F.greatest(
+            F.length("ref_text"), F.length("cand_text"), F.lit(1)
+        )
+        .cast("long")
+        .alias("mx"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(1000000 * ed div mx) div count(*) AS BIGINT)"
+        ).alias("mean_norm_ed_ppm"),
+        F.expr("CAST(min(1000000 * ed div mx) AS BIGINT)").alias(
+            "min_norm_ed_ppm"
+        ),
+    )
