@@ -2706,3 +2706,47 @@ def q_edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_norm_ed_ppm"
         ),
     )
+
+
+@query(
+    "hapax_rate_by_source",
+    """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS f
+       FROM tok WHERE t <> '' GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST((1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // count(*)
+         AS BIGINT) AS hapax_ppm
+FROM tf GROUP BY 1
+""",
+)
+def q_hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source (share of the source's vocabulary
+    that occurs exactly once): the lexical-richness companion to
+    heaps_law_fit — a near-zero hapax rate flags templated/synthetic
+    text (vocabulary saturates), an inflated one flags OCR noise or
+    tokenizer breakage (junk one-off 'words'). One (source, token)
+    combine with map-side partials, then a per-source rollup; all
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    from videos_to_tfrecords_spark.functions.textfn import tokens
+
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
