@@ -1144,3 +1144,66 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+_RBO_FINAL = """,
+spine AS (SELECT unnest(range(1, 11)) AS d),
+inter AS (SELECT rr.query_id, spine.d,
+                 CAST(sum(CASE WHEN rr.lr <= spine.d AND rr.er <= spine.d
+                          THEN 1 ELSE 0 END) AS BIGINT) AS i
+          FROM rr, spine GROUP BY 1, 2),
+perq AS (SELECT query_id,
+                CAST(sum((1000000000 * i * (1 << (10 - d))) // (d * 1023))
+                  AS BIGINT) AS rbo
+         FROM inter GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(rbo) // count(*) AS BIGINT) AS mean_rbo_x1e9,
+       CAST(min(rbo) AS BIGINT) AS min_rbo_x1e9
+FROM perq"""
+
+
+@query("ranker_rbo_agreement", _rag_oracle(_RBO_FINAL))
+def q_ranker_rbo_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010 — public) between the RAG
+    core's lexical and vector rankers at p=½, depth 10: the
+    top-weighted agreement number that tells a hybrid-search team whether
+    its two rankers are redundant (RBO→1, fusion adds nothing) or
+    complementary (low RBO, fusion is load-bearing) — the diagnostic
+    BEHIND the hybrid_rrf_fusion design choice, sharing its entire
+    retrieval core and oracle CTE chain.
+
+    p=½ makes every weight a dyadic rational, so each depth term floors
+    exactly: (1e9·|A_d∩B_d|·2^(10−d)) // (d·1023), summed per query then
+    floor-averaged. Prefix intersections come from one 10-row spine
+    crossJoin over the bounded per-query candidate set (≤32 rows) —
+    metadata-scale after the shared core."""
+    rr = _rag_ranked(spark, sf_dir).localCheckpoint(eager=True)
+    spine = spark.range(1, 11).select(F.col("id").alias("d"))
+    inter = (
+        rr.crossJoin(F.broadcast(spine))
+        .groupBy("query_id", "d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lr") <= F.col("d")) & (F.col("er") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("i")
+        )
+    )
+    perq = inter.groupBy("query_id").agg(
+        F.sum(
+            F.expr("(1000000000 * i * shiftleft(1, 10 - d)) div (d * 1023)")
+        )
+        .cast("long")
+        .alias("rbo")
+    )
+    return perq.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.expr("CAST(sum(rbo) div count(*) AS BIGINT)").alias(
+            "mean_rbo_x1e9"
+        ),
+        F.min("rbo").cast("long").alias("min_rbo_x1e9"),
+    )
