@@ -2750,3 +2750,84 @@ def q_hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+@query(
+    "bigram_lm_next_token_accuracy",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+              i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+       FROM tok),
+flat AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+fit AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM flat WHERE doc_id % 97 != 0 GROUP BY 1, 2),
+pred AS (SELECT w1, w2 AS w2_hat FROM (
+           SELECT w1, w2, row_number() OVER (PARTITION BY w1
+                    ORDER BY n DESC, w2) AS rnk FROM fit)
+         WHERE rnk = 1),
+ev AS (SELECT f.w1, f.w2, p.w2_hat
+       FROM flat f LEFT JOIN pred p ON p.w1 = f.w1
+       WHERE f.doc_id % 97 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_eval_bigrams,
+       CAST(sum(CASE WHEN w2_hat IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unseen_context,
+       CAST(sum(CASE WHEN w2_hat = w2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST((1000000 * sum(CASE WHEN w2_hat = w2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS acc_ppm
+FROM ev
+""",
+)
+def q_bigram_lm_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-TOKEN top-1 accuracy of the corpus bigram LM — the
+    token-granularity sibling of markov_next_event_accuracy and the eval
+    side of doc_bigram_lm_nll: fit argmax(P(w₂|w₁)) on the 96/97 hash
+    split, score exact-match next-token prediction on the held-out docs
+    (unseen contexts counted separately — the LM-coverage readout). Ties
+    in the argmax break lexicographically, identical both engines.
+
+    Scale shape: the fit is one (w₁,w₂) combine (map-side partial,
+    Zipf-concentrated); the per-context argmax is a window over the
+    bounded vocabulary domain; the eval is one broadcast-shaped join of
+    held-out bigrams against the prediction table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    flat = (
+        tok.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    fit = (
+        flat.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    pred = (
+        fit.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("w1", F.col("w2").alias("w2_hat"))
+    )
+    ev = flat.filter(F.col("doc_id") % 97 == 0).join(pred, "w1", "left")
+    return ev.agg(
+        F.count("*").cast("long").alias("n_eval_bigrams"),
+        F.sum(F.when(F.col("w2_hat").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen_context"),
+        F.sum(F.when(F.col("w2_hat") == F.col("w2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN w2_hat = w2 THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
