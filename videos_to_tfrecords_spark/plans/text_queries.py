@@ -2831,3 +2831,41 @@ def q_bigram_lm_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             " div count(*) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+
+
+@query(
+    "cross_source_duplication",
+    """
+WITH h AS (SELECT md5(text) AS ch, source FROM documents),
+hs AS (SELECT DISTINCT ch, source FROM h),
+p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT)
+        AS n_shared
+      FROM hs a JOIN hs b ON a.ch = b.ch AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared FROM p
+ORDER BY n_shared DESC, src_a, src_b LIMIT 20
+""",
+)
+def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: source pairs ranked by the
+    number of content hashes they SHARE — the syndication/mirror census a
+    crawl-dedup pipeline reads to decide which domains to collapse before
+    near-dup passes (exact cross-site copies are the cheapest dedup win
+    and also the worst train/test leakage vector when sources are split
+    naively). Only (hash, source) rows shuffle — never text; the pair
+    join fans out per content hash by its distinct-source count (bounded
+    by the source roster, not the corpus); top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        F.md5("text").alias("ch"), "source"
+    ).distinct()
+    a = hs.select("ch", F.col("source").alias("src_a"))
+    b = hs.select("ch", F.col("source").alias("src_b"))
+    p = (
+        a.join(b, "ch")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return p.orderBy(F.desc("n_shared"), F.asc("src_a"), F.asc("src_b")).limit(20)
