@@ -2257,3 +2257,66 @@ def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("brand"))
         .limit(10)
     )
+
+
+@query(
+    "hill_tail_index",
+    """
+WITH v AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM orders GROUP BY 1),
+top AS (SELECT x FROM v ORDER BY x DESC, o_custkey LIMIT 101),
+r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rnk FROM top),
+xmin AS (SELECT CAST(floor(1000000000 * ln(x)) AS BIGINT) AS lq
+         FROM r WHERE rnk = 101),
+s AS (SELECT CAST(sum(CAST(floor(1000000000 * ln(x)) AS BIGINT)
+                     - (SELECT lq FROM xmin)) AS BIGINT) AS d
+      FROM r WHERE rnk <= 100)
+SELECT CAST(100 AS BIGINT) AS k,
+       CAST((CAST(100 AS BIGINT) * 1000000000 * 1000000) // (SELECT d FROM s)
+         AS BIGINT) AS hill_alpha_x1e6
+FROM s
+""",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent of customer lifetime
+    value (public extreme-value statistic: α̂ = k / Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    the top-k order statistics): α ≤ 2 means infinite variance and every
+    mean-based budget/capacity model on this metric is unstable — the
+    tail-risk companion to the Gini concentration and Zipf slope.
+
+    Top-101 is TakeOrderedAndProject (never a global sort); each log is
+    the standard per-row quantized-ln of an exact integer, differenced
+    against the (k+1)-th BEFORE summing so both engines add identical
+    int64 terms; one integer floor-div closes. Everything after the
+    per-customer rollup is 101 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    v = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    top = v.orderBy(F.desc("x"), F.asc("o_custkey")).limit(101)
+    r = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("x")))
+    ).withColumn(
+        "lq",
+        F.floor(F.lit(1000000000) * F.log(F.col("x").cast("double"))).cast(
+            "long"
+        ),
+    )
+    xmin = r.filter(F.col("rnk") == 101).select(F.col("lq").alias("lmin"))
+    s = (
+        r.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(xmin))
+        .agg(F.sum(F.col("lq") - F.col("lmin")).cast("long").alias("d"))
+    )
+    return s.select(
+        F.lit(100).cast("long").alias("k"),
+        F.expr(
+            "CAST((CAST(100 AS BIGINT) * 1000000000 * 1000000) div d AS BIGINT)"
+        ).alias("hill_alpha_x1e6"),
+    )
