@@ -2320,3 +2320,83 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(100 AS BIGINT) * 1000000000 * 1000000) div d AS BIGINT)"
         ).alias("hill_alpha_x1e6"),
     )
+
+
+@query(
+    "price_elasticity_by_brand",
+    """
+WITH v AS (SELECT p.p_brand AS brand,
+                  CAST(floor(10000 * ln(CAST(round(l.l_extendedprice * 100)
+                    AS BIGINT))) AS BIGINT) AS x,
+                  CAST(floor(10000 * ln(CAST(l.l_quantity AS BIGINT)))
+                    AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_quantity >= 1),
+s AS (SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM v GROUP BY 1)
+SELECT brand, CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS elasticity_x1e6
+FROM s ORDER BY brand
+""",
+)
+def q_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price-elasticity proxy: the OLS slope of ln(quantity) on
+    ln(price) within each brand (the log-log regression whose slope IS
+    the elasticity) — the grouped scaling-law fit, heaps_law_fit's
+    econometric sibling, and the readout a pricing/mix analysis consumes
+    per segment. Quantized-ln integer sufficient statistics per group
+    (×1e4 keeps every sum exact int64→HUGEINT at any corpus size), one
+    double close per brand with an identical expression tree. One join +
+    one grouped aggregate; 25-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = (
+        li.filter(F.col("l_quantity") >= 1)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.floor(
+                F.lit(10000)
+                * F.log(
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .cast("double")
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.lit(10000)
+                * F.log(F.col("l_quantity").cast("long").cast("double"))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = v.groupBy("brand").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_rows"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+        .alias("elasticity_x1e6"),
+    ).orderBy("brand")
