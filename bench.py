@@ -115,6 +115,12 @@ def main() -> None:
         return  # solo re-measurement: don't clobber the full-suite snapshot
     round_no = os.environ.get("SPARK_GRAFT_ROUND", "")
     suffix = f"_r{round_no}" if round_no else ""
+    if not suffix and sf != 0.1:
+        # a manual full run at another SF (e.g. the sf1 suite proof) must
+        # not clobber the canonical sf0.1 snapshot — it did once (801 s of
+        # sf1 timings landed in BENCH_FULL.json); suffix such runs via
+        # SPARK_GRAFT_ROUND or keep them on stdout only
+        return
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL{suffix}.json"
     )
