@@ -2400,3 +2400,54 @@ def q_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("elasticity_x1e6"),
     ).orderBy("brand")
+
+
+@query(
+    "event_order_inversions",
+    """
+WITH o AS (SELECT user_id, event_id, (epoch_ns(ts)//1000) AS ts_us
+           FROM events),
+s AS (SELECT user_id,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY event_id)
+                  > ts_us THEN 1 ELSE 0 END AS inv,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY event_id)
+                  IS NULL THEN 0 ELSE 1 END AS cmp
+      FROM o)
+SELECT CAST(sum(cmp) AS BIGINT) AS n_adjacent_pairs,
+       CAST(sum(inv) AS BIGINT) AS n_inversions,
+       CAST(CASE WHEN sum(cmp) = 0 THEN 0
+                 ELSE (1000000 * sum(inv)) // sum(cmp) END AS BIGINT)
+         AS inversion_ppm
+FROM s
+""",
+)
+def q_event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion audit: among adjacent event-id pairs per
+    user, how often does the EVENT TIME go backwards — the one-number
+    check that decides whether streaming consumers need a watermark at
+    all (and how wide): assignment order (event_id) vs event time
+    disagreeing is exactly the late-data a watermark must absorb. One
+    lag() window per user (state bounded by the user's history), three
+    integer sums."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w) > F.unix_micros("ts"), 1
+        )
+        .otherwise(0)
+        .alias("inv"),
+        F.when(F.lag(F.unix_micros("ts")).over(w).isNull(), 0)
+        .otherwise(1)
+        .alias("cmp"),
+    )
+    return s.agg(
+        F.sum("cmp").cast("long").alias("n_adjacent_pairs"),
+        F.sum("inv").cast("long").alias("n_inversions"),
+        F.expr(
+            "CAST(CASE WHEN sum(cmp) = 0 THEN 0"
+            " ELSE (1000000 * sum(inv)) div sum(cmp) END AS BIGINT)"
+        ).alias("inversion_ppm"),
+    )
