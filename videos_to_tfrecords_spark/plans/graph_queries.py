@@ -788,3 +788,66 @@ def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("node") % 2 == 0, 1)).cast("long").alias("n_customers"),
         F.count(F.when(F.col("node") % 2 == 1, 1)).cast("long").alias("n_suppliers"),
     )
+
+
+@query(
+    "graph_rich_club",
+    """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+club AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 64),
+inner_e AS (SELECT CAST(count(*) AS BIGINT) AS m2
+            FROM edges e
+            JOIN club a ON a.node = e.src
+            JOIN club b ON b.node = e.dst),
+n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM club)
+SELECT n.k AS club_size,
+       CAST(inner_e.m2 // 2 AS BIGINT) AS club_edges,
+       CAST((1000000 * (inner_e.m2 // 2)) // (n.k * (n.k - 1) // 2)
+         AS BIGINT) AS rich_club_ppm
+FROM inner_e, n
+""",
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the trade graph (Zhou & Mondragón 2004 —
+    public): density of edges AMONG the 64 highest-degree nodes,
+    φ = E_club / C(k,2) — do the hubs trade with each other (φ→1, a
+    tightly-coupled core that is a systemic-risk/bottleneck signal) or
+    only with the periphery? Completes the macro-structure panel next to
+    assortativity (correlation view) and k-core (cohesion view).
+
+    The club is a TakeOrdered(64) over the degree table (ties to the
+    lower node id); membership joins are broadcast semi-joins against
+    the 64-row club, so the census costs one pass over the edge list —
+    never a pair join. Symmetrized edges count each inner edge twice;
+    halve exactly."""
+    spark_edges = _trade_edges(spark, sf_dir)
+    deg = spark_edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    club = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(64)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    inner = (
+        spark_edges.join(
+            F.broadcast(club.withColumnRenamed("node", "src")), "src"
+        )
+        .join(F.broadcast(club.withColumnRenamed("node", "dst")), "dst")
+        .agg(F.count("*").cast("long").alias("m2"))
+    )
+    k = club.agg(F.count("*").cast("long").alias("k"))
+    return (
+        F.broadcast(k)
+        .crossJoin(inner)
+        .select(
+            F.col("k").alias("club_size"),
+            F.expr("CAST(m2 div 2 AS BIGINT)").alias("club_edges"),
+            F.expr(
+                "CAST((1000000 * (m2 div 2)) div (k * (k - 1) div 2) AS BIGINT)"
+            ).alias("rich_club_ppm"),
+        )
+    )
