@@ -1373,3 +1373,53 @@ def int8_brute_force_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "key8", "rnk")
     )
+
+
+def euclidean_bottom2(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each bounded-probe query the TWO nearest corpus vectors by
+    exact squared euclidean distance (scaled-int64, ties on cand_id) —
+    the kernel under the TwoNN intrinsic-dimension estimator. Same
+    collected-matrix shape as :func:`brute_force_topk` with the min-side
+    total order (d², cand_id): each Arrow batch emits its per-query
+    bottom-2 partials, a window closes the global rank."""
+    (qids,), qmat = _collect_query_matrix(queries, [id_col], vec_col)
+    q2 = np.einsum("rd,rd->r", qmat, qmat)
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            ci = _to_int_matrix(pdf["cv"])
+            cids = pdf["cand_id"].to_numpy()
+            c2 = np.einsum("rd,rd->r", ci, ci)
+            d2 = q2[:, None] + c2[None, :] - 2 * (qmat @ ci.T)
+            out_q, out_c, out_d = [], [], []
+            for r in range(len(qids)):
+                order = np.lexsort((cids, d2[r]))
+                taken = 0
+                for idx in order:
+                    if cids[idx] == qids[r]:
+                        continue
+                    out_q.append(qids[r])
+                    out_c.append(cids[idx])
+                    out_d.append(d2[r, idx])
+                    taken += 1
+                    if taken >= 2:
+                        break
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "dist2": out_d}
+            ).astype("int64")
+
+    scored = c.mapInPandas(partial, "query_id long, cand_id long, dist2 long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("query_id", "cand_id", "dist2", "rnk")
+    )

@@ -1300,3 +1300,80 @@ def q_fisher_discriminant_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (1000000 * between_ss) div within_ss END AS BIGINT)"
         ).alias("fisher_x1e6"),
     )
+
+
+def _twonn_oracle() -> str:
+    lnq = "CAST(floor(1000000000 * ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH kq AS (SELECT GREATEST(2, count(*) // 200) AS m FROM embeddings),
+e AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) = 0),
+t AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM kq) != 0),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+             {_int_dist2('a.v', 'b.v')} AS d2
+      FROM q a, t b),
+r AS (SELECT qid, d2, row_number() OVER
+        (PARTITION BY qid ORDER BY d2, cid) AS rnk FROM s),
+p AS (SELECT qid,
+             max(CASE WHEN rnk = 1 THEN d2 END) AS d1,
+             max(CASE WHEN rnk = 2 THEN d2 END) AS d2_
+      FROM r WHERE rnk <= 2 GROUP BY qid),
+v AS (SELECT {lnq.format(x='d2_')} - {lnq.format(x='d1')} AS diff
+      FROM p WHERE d1 > 0 AND d2_ IS NOT NULL),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(diff) AS BIGINT) AS sd
+        FROM v)
+SELECT n AS n_probes,
+       CAST(CASE WHEN sd = 0 THEN 0
+                 ELSE (2 * n * 1000000000 * CAST(1000 AS BIGINT)) // sd END
+         AS BIGINT) AS intrinsic_dim_x1e3
+FROM agg
+"""
+
+
+@query("embedding_intrinsic_dimension", _twonn_oracle())
+def q_embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold (Facco
+    et al. 2017 — public): ID = 2n / Σ ln(d₂/d₁) over each probe's two
+    exact nearest neighbors — the diagnostic that says how many of the 64
+    ambient dimensions the data actually occupies (a low ID justifies
+    aggressive JL/PCA compression; ID ≈ ambient means the encoder isn't
+    compressing at all). Pairs with embedding_anisotropy (global shape)
+    and fisher_discriminant_ratio (label alignment) as the
+    embedding-geometry panel.
+
+    Probe bounded (~200, corpus-derived modulus); neighbor distances come
+    from the collected-matrix euclidean kernel
+    (operators/similarity.euclidean_bottom2); each log ratio is the
+    difference of per-row quantized-lns of exact int64 squared distances
+    (ln d₂²−ln d₁² = 2 ln(d₂/d₁) — the 2 cancels into the estimator), so
+    both engines sum identical terms; duplicate-point probes (d₁ = 0)
+    are excluded identically."""
+    from videos_to_tfrecords_spark.operators.similarity import euclidean_bottom2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = max(2, int(emb.count()) // 200)
+    probe = emb.filter(F.col("vec_id") % m == 0)
+    corpus = emb.filter(F.col("vec_id") % m != 0)
+    nn = euclidean_bottom2(probe, corpus)
+    p = nn.groupBy("query_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("dist2"))).alias("d1"),
+        F.max(F.when(F.col("rnk") == 2, F.col("dist2"))).alias("d2_"),
+    )
+    lnq = lambda c: F.floor(
+        F.lit(1000000000) * F.log(F.col(c).cast("double"))
+    ).cast("long")
+    v = p.filter((F.col("d1") > 0) & F.col("d2_").isNotNull()).select(
+        (lnq("d2_") - lnq("d1")).alias("diff")
+    )
+    agg = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("diff").cast("long").alias("sd"),
+    )
+    return agg.select(
+        F.col("n").alias("n_probes"),
+        F.expr(
+            "CAST(CASE WHEN sd = 0 THEN 0"
+            " ELSE (2 * n * 1000000000 * CAST(1000 AS BIGINT)) div sd END"
+            " AS BIGINT)"
+        ).alias("intrinsic_dim_x1e3"),
+    )
