@@ -937,3 +937,71 @@ def q_range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp", "day", F.sum("rev").over(w).cast("long").alias("rev_11d")
     )
     return out.orderBy(F.desc("rev_11d"), F.asc("supp"), F.asc("day")).limit(20)
+
+
+@query(
+    "ship_latency_by_priority",
+    """
+WITH v AS (SELECT o.o_orderpriority AS pri,
+                  CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                    AS days
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+c AS (SELECT pri, days, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1, 2),
+n AS (SELECT pri, CAST(sum(t) AS BIGINT) AS n FROM c GROUP BY 1),
+m AS (SELECT c.pri, CAST(min(c.days) AS BIGINT) AS med FROM (
+        SELECT pri, days, t,
+               CAST(coalesce(sum(t) OVER (PARTITION BY pri ORDER BY days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum
+        FROM c) c JOIN n ON n.pri = c.pri
+      WHERE c.cum < (n.n + 1) // 2 AND c.cum + c.t >= (n.n + 1) // 2
+      GROUP BY 1)
+SELECT n.pri AS priority, n.n AS n_lines, m.med AS median_latency_days
+FROM n JOIN m ON m.pri = n.pri
+""",
+)
+def q_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order→ship latency per order priority — the SLA
+    readout next to shipping_survival_curve's full distribution: does
+    URGENT actually ship faster at the median? Per-group exact lower
+    medians over the day-domain census (latency days are a bounded
+    calendar domain, so per-group window state is domain-sized, never
+    corpus-sized — the census order-statistic discipline, grouped). One
+    join + one census shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    from pyspark.sql import Window
+
+    v = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    c = v.groupBy("pri", "days").agg(F.count("*").cast("long").alias("t"))
+    n = c.groupBy("pri").agg(F.sum("t").cast("long").alias("n"))
+    wb = Window.partitionBy("pri").orderBy("days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = c.select(
+        "pri",
+        "days",
+        "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("cum"),
+    )
+    m = (
+        cum.join(n, "pri")
+        .filter(
+            (F.col("cum") < F.expr("(n + 1) div 2"))
+            & (F.col("cum") + F.col("t") >= F.expr("(n + 1) div 2"))
+        )
+        .groupBy("pri")
+        .agg(F.min("days").cast("long").alias("med"))
+    )
+    return n.join(m, "pri").select(
+        F.col("pri").alias("priority"),
+        F.col("n").alias("n_lines"),
+        F.col("med").alias("median_latency_days"),
+    )
