@@ -2451,3 +2451,62 @@ def q_event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (1000000 * sum(inv)) div sum(cmp) END AS BIGINT)"
         ).alias("inversion_ppm"),
     )
+
+
+@query(
+    "event_entropy_rate",
+    """
+WITH o AS (SELECT user_id, event_type, (epoch_ns(ts)//1000) AS ts_us, event_id
+           FROM events),
+bg AS (SELECT event_type AS a,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS b
+       FROM o QUALIFY b IS NOT NULL),
+cij AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+ci AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cij GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cij),
+terms AS (SELECT cij.c * (CAST(floor(1000000000 * ln(ci.ca)) AS BIGINT)
+                        - CAST(floor(1000000000 * ln(cij.c)) AS BIGINT)) AS t
+          FROM cij JOIN ci ON ci.a = cij.a)
+SELECT (SELECT n FROM tot) AS n_transitions,
+       CAST(sum(t) // (SELECT n FROM tot) AS BIGINT) AS entropy_rate_x1e9
+FROM terms
+""",
+)
+def q_event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the user-behavior Markov chain —
+    H = −Σᵢⱼ (cᵢⱼ/N)·ln(cᵢⱼ/cᵢ) in nats ×1e9: the predictability
+    one-number beside markov_next_event_accuracy (low entropy rate means
+    journeys are deterministic and a tiny next-event model suffices; high
+    means sampling/recommendation has real headroom). Each term is
+    cᵢⱼ·(lnq(cᵢ) − lnq(cᵢⱼ)) over exact integer counts — the
+    quantized-ln KL decomposition pattern — summed then one floor-div.
+    One per-user lead() window, one bigram combine over the bounded
+    event-type alphabet."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    bg = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    cij = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+    ci = cij.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+
+    def lnq(c):
+        return F.floor(F.lit(1000000000) * F.log(F.col(c).cast("double"))).cast(
+            "long"
+        )
+
+    terms = cij.join(ci, "a").select(
+        (F.col("c") * (lnq("ca") - lnq("c"))).alias("t"), "c"
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.expr("CAST(sum(t) div sum(c) AS BIGINT)").alias(
+            "entropy_rate_x1e9"
+        ),
+    )
