@@ -3472,3 +3472,82 @@ def q_value_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_cents"),
     )
+
+
+def _aa_test_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(event_id AS VARCHAR)", salt="aa")
+    return f"""
+WITH e AS (SELECT {h} % 2 AS side,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+g AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+             CAST(sum(CASE WHEN side = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+             CAST(sum(CASE WHEN side = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb
+      FROM e),
+m AS (SELECT na, sa, nb, sb, sa * nb - sb * na AS num,
+             na + nb AS n, sa + sb AS s
+      FROM g)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(CASE WHEN s = 0 OR s = n THEN 0
+                 ELSE (1000000 * num * num * n) // (na * nb * s * (n - s))
+            END AS BIGINT) AS z2_x1e6,
+       CASE WHEN s = 0 OR s = n THEN TRUE
+            ELSE (1000000 * num * num * n) // (na * nb * s * (n - s))
+                 < 3841459 END AS null_ok
+FROM m
+"""
+
+
+@query("aa_test_null_check", _aa_test_oracle())
+def q_aa_test_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A null check of the experimentation stack: the SAME two-proportion
+    z² statistic as two_proportion_ztest, but on a pure HASH split of
+    event ids — by construction there is no treatment, so z² should sit
+    under the χ²(1) 95% critical value (3.841459, inlined ×1e6 as the
+    precomputed-constant pattern). A failing A/A means the assignment
+    hash or the metric pipeline is biased and every real experiment
+    readout is suspect — the first gate an experimentation platform
+    ships. Same HUGEINT/DECIMAL close; one map-side aggregate."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (h15(F.col("event_id").cast("string"), salt="aa") % 2).alias("side"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum(F.when(F.col("side") == 0, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+        F.sum(F.when(F.col("side") == 1, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+    )
+    m = g.select(
+        "na", "nb",
+        F.expr("sa * nb - sb * na").alias("num"),
+        F.expr("na + nb").alias("n"),
+        F.expr("sa + sb").alias("s"),
+        "sa", "sb",
+    )
+    z2 = (
+        "CASE WHEN s = 0 OR s = n THEN 0"
+        " ELSE (1000000 * num * num * n) div (na * nb * s * (n - s)) END"
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(f"CAST({z2} AS BIGINT)").alias("z2_x1e6"),
+        F.expr(
+            f"CASE WHEN s = 0 OR s = n THEN TRUE ELSE ({z2}) < 3841459 END"
+        ).alias("null_ok"),
+    )
