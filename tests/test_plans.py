@@ -425,3 +425,34 @@ def test_linreg_single_aggregate_pass(spark, sf_dir):
     plan = plan_of(df)
     # the result itself is driver-materialized (metadata-sized)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_asof_nearest_edge_semantics(spark):
+    """Hand-built fixture pinning the nearest-join contract: exact tie →
+    the BACKWARD (past) match wins; only-forward within tolerance →
+    forward match with positive gap; nothing within tolerance → null
+    match and null gap; equal timestamps count as backward (gap 0)."""
+    from videos_to_tfrecords_spark.operators.relational import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 300), (2, 50)],
+        "k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 901), (1, 110, 902), (1, 210, 903), (2, 500, 904)],
+        "k long, rts long, rid long",
+    )
+    out = {
+        (r["k"], r["lts"]): (r["nearest_rid"], r["gap_us"])
+        for r in asof_nearest_join(
+            left, right, ["k"], "lts", "rts", ["rid"], tolerance=20
+        ).collect()
+    }
+    # lts=100: back 90 (gap 10) vs fwd 110 (gap 10) — tie → backward
+    assert out[(1, 100)] == (901, -10)
+    # lts=205: back 210? no — 210 is forward (gap 5); back is 110 (gap 95 > tol)
+    assert out[(1, 205)] == (903, 5)
+    # lts=300: back 210 gap 90 > tol, no forward → null
+    assert out[(1, 300)] == (None, None)
+    # k=2, lts=50: only a forward at 500, outside tolerance → null
+    assert out[(2, 50)] == (None, None)
