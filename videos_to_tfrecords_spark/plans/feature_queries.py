@@ -1694,3 +1694,50 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * lq div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
         ).alias("psi_term_x1e6"),
     )
+
+
+@query(
+    "traffic_profile_dow_hour",
+    """
+WITH e AS (SELECT (epoch_ns(ts)//1000) AS ts_us FROM events),
+c AS (SELECT CAST(((ts_us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+             CAST((ts_us % 86400000000) // 3600000000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+mx AS (SELECT CAST(max(n) AS BIGINT) AS m FROM c)
+SELECT dow, hour, n,
+       CAST((1000000 * n) // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+       n = (SELECT m FROM mx) AS is_peak
+FROM c
+""",
+)
+def q_traffic_profile_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic profile of the event stream (the capacity /
+    batch-scheduling heatmap: when do users actually arrive, and which
+    cell is the global peak). Day-of-week comes from the portable
+    integer epoch-day formula ((day+4) % 7 — the seasonal_dow convention;
+    epoch day 0 was a Thursday), hour from µs-of-day — no locale or
+    calendar library on either engine. One census shuffle over the fixed
+    168-cell domain; totals and peak are metadata rows."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.unix_micros("ts").alias("ts_us"))
+    c = e.select(
+        F.expr("CAST(((ts_us div 86400000000) + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr("CAST((ts_us % 86400000000) div 3600000000 AS BIGINT)").alias(
+            "hour"
+        ),
+    ).groupBy("dow", "hour").agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    mx = c.agg(F.max("n").cast("long").alias("m"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.expr("CAST((1000000 * n) div t AS BIGINT)").alias("share_ppm"),
+            (F.col("n") == F.col("m")).alias("is_peak"),
+        )
+    )
