@@ -1005,3 +1005,72 @@ def q_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_lines"),
         F.col("med").alias("median_latency_days"),
     )
+
+
+@query(
+    "subscription_regularity_topk",
+    """
+WITH o AS (SELECT o_custkey AS cust,
+                  CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS day,
+                  o_orderkey
+           FROM orders),
+g AS (SELECT cust,
+             day - lag(day) OVER (PARTITION BY cust
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM o QUALIFY gap IS NOT NULL),
+s AS (SELECT cust, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sgg
+      FROM g GROUP BY 1 HAVING count(*) >= 5 AND sum(gap) > 0)
+SELECT cust AS custkey, n AS n_gaps,
+       CAST(sg // n AS BIGINT) AS mean_gap_days,
+       CAST((1000000 * (n * sgg - sg * sg)) // (sg * sg) AS BIGINT)
+         AS cv2_x1e6
+FROM s ORDER BY cv2_x1e6, cust LIMIT 20
+""",
+)
+def q_subscription_regularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-regular repeat customers by order-interval dispersion: squared
+    coefficient of variation of inter-order gaps, cv² = n·Σg²/(Σg)² − 1
+    ×1e6 — near-zero means metronome-regular ordering (the
+    subscription/bot detection readout; high means bursty one-off
+    behavior). Exact integers throughout (gaps are bounded calendar
+    days); one lag() window per customer, one grouped aggregate, top-20
+    lowest-dispersion customers with ≥5 gaps via
+    TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    o = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("cust").orderBy("day", "o_orderkey")
+    g = o.select(
+        "cust", (F.col("day") - F.lag("day").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("cust")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sgg"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("sg") > 0))
+    )
+    return (
+        s.select(
+            F.col("cust").alias("custkey"),
+            F.col("n").alias("n_gaps"),
+            F.expr("CAST(sg div n AS BIGINT)").alias("mean_gap_days"),
+            F.expr(
+                "CAST((1000000 * (n * sgg - sg * sg)) div (sg * sg) AS BIGINT)"
+            ).alias("cv2_x1e6"),
+        )
+        .orderBy(F.asc("cv2_x1e6"), F.asc("custkey"))
+        .limit(20)
+    )
