@@ -204,25 +204,91 @@ _JUDGE_ONLY_R4 = (
 )
 
 
+# The 120 round-5 additions with no driver-of-record row after r05's
+# ~50-entry snapshot (judge verified all out-of-band: "0 failures / 325").
+# Registry order. FRONT of the r06 snapshot prefix (VERDICT r05 item #2),
+# led by curation_funnel_census — r05's one red row, fixed this round by
+# swapping the funnel's near-dedup stage to the lossless
+# ngram_jaccard_pairs (VERDICT r05 item #1).
+_JUDGE_ONLY_R5 = (
+    "curation_funnel_census",
+    "unpivot_part_metrics", "incremental_join_maintenance",
+    "range_window_revenue", "ship_latency_by_priority",
+    "subscription_regularity_topk", "source_quota_sample",
+    "vocab_zipf_slope", "canary_contamination_scan", "fim_transform_census",
+    "incremental_dedup_delta", "source_unigram_kl", "classifier_ece_summary",
+    "rouge_adjacent_overlap", "heaps_law_fit", "brier_decomposition",
+    "isotonic_calibration_fit", "threshold_tuning_max_f1",
+    "coverage_source_selection", "minhash_estimate_calibration",
+    "doc_containment_pairs", "classifier_eval_card",
+    "edit_distance_adjacent", "hapax_rate_by_source",
+    "bigram_lm_next_token_accuracy", "cross_source_duplication",
+    "retrieval_ndcg_eval", "mmr_diversified_retrieval", "kcenter_coreset",
+    "embedding_hubness_topk", "embedding_alignment_margin",
+    "embedding_anisotropy", "quantization_recall_eval",
+    "embedding_dedup_funnel_e2e", "fisher_discriminant_ratio",
+    "embedding_intrinsic_dimension", "text_pipeline_e2e",
+    "streaming_dedup_events", "streaming_session_windows",
+    "label_noise_knn_audit", "value_drift_chisq", "value_drift_psi",
+    "traffic_profile_dow_hour", "streaming_value_drift",
+    "video_scene_segments", "rag_retrieval_e2e", "hybrid_rrf_fusion",
+    "streaming_heavy_hitters", "streaming_hll_distinct",
+    "ranker_rbo_agreement", "benford_first_digit",
+    "mannwhitney_value_by_flag", "price_skewness_by_brand",
+    "shipping_survival_curve", "order_volume_cusum",
+    "trimmed_mean_price_by_flag", "customer_value_gini",
+    "price_mad_robust_scale", "asof_nearest_purchase", "hll_accuracy_eval",
+    "daily_anomaly_robust_z", "event_trigram_topk",
+    "interarrival_exponential_gof", "capture_recapture_estimate",
+    "count_overdispersion", "simpsons_paradox_scan", "hill_tail_index",
+    "price_elasticity_by_brand", "event_order_inversions",
+    "event_entropy_rate", "graph_hits_trade", "graph_degree_assortativity",
+    "graph_bfs_distances", "graph_rich_club", "token_pmi_pairs",
+    "vocab_coverage_curve", "table_profile_lineitem", "snapshot_diff_orders",
+    "tfrecord_source_roundtrip", "k_anonymity_audit",
+    "deletion_cascade_audit", "heavy_hitters_mg", "l_diversity_audit",
+    "bloom_filter_fpr", "t_closeness_audit", "golden_record_survivorship",
+    "value_drift_emd", "sliding_distinct_users", "shard_manifest",
+    "supplier_bt_strength", "annotator_kappa", "preference_pipeline_e2e",
+    "source_loo_value", "mcnemar_model_compare", "compaction_plan",
+    "label_centroid_distances", "mixture_token_budget_plan",
+    "sample_representativeness_audit", "cohort_did_purchase",
+    "dataset_datasheet", "churn_training_frame", "bandit_replay_eval",
+    "conformal_coverage_eval", "cv_fold_balance_audit",
+    "preference_confound_audit", "crossmodal_integrity_audit",
+    "crossmodal_spearman_length_norm", "markov_next_event_accuracy",
+    "naive_bayes_source_eval", "knn_shapley_values", "eval_pass_at_k",
+    "wilson_lower_bound_ranking", "dsir_effective_sample_size",
+    "eval_best_of_k_value", "group_relative_advantage",
+    "preference_transitivity_audit", "value_drift_ks",
+    "copurchase_recommender_eval", "two_proportion_ztest", "value_drift_qq",
+    "aa_test_null_check",
+)
+
+
 def _rotated(mapping: dict) -> dict:
     """Three-tier ordering so the driver's fixed-size snapshot prefix always
-    covers the least-driver-verified queries first: (1) the 64 queries whose
-    only hash check is the judge's round-4 out-of-band run (incl. the
-    reshaped embedding_quantize_int8), (2) brand-new round-5 additions
-    (judge verifies these out-of-band; they rotate to the front next
-    round), (3) queries already green in CORRECTNESS_r01..r04."""
+    covers the least-driver-verified queries first: (1) r05's red row
+    (curation_funnel_census, fixed this round) + the 120 names with no
+    driver-of-record row after r05 — the round-5 additions plus the 14
+    _JUDGE_ONLY_R4 names r05's 50-entry snapshot didn't reach, (2)
+    brand-new round-6 additions, (3) queries already green in
+    CORRECTNESS_r01..r05."""
+    # _JUDGE_ONLY_R4 names the r05 snapshot DID check (all green there);
+    # the unreached rest are inside _JUDGE_ONLY_R5 and stay front
+    checked_r5 = set(_JUDGE_ONLY_R4) - set(_JUDGE_ONLY_R5)
     driver_done = (
         set(_DRIVER_VERIFIED_R1_R2)
         | set(_DRIVER_VERIFIED_R3)
         | set(_DRIVER_VERIFIED_R4)
         | set(_JUDGE_ONLY_R3)
+        | checked_r5
     )
-    judge_only = set(_JUDGE_ONLY_R4)
-    # tier 1 in tuple order: the driver snapshot is a ~50-entry prefix and
-    # _JUDGE_ONLY_R4 leads with the must-verify reshaped query
-    order = [k for k in _JUDGE_ONLY_R4 if k in mapping]
-    order += [k for k in mapping if k not in judge_only and k not in driver_done]
-    order += [k for k in mapping if k in driver_done and k not in judge_only]
+    tier1 = [k for k in _JUDGE_ONLY_R5 if k in mapping]
+    t1 = set(tier1)
+    order = tier1
+    order += [k for k in mapping if k not in t1 and k not in driver_done]
+    order += [k for k in mapping if k in driver_done and k not in t1]
     return {k: mapping[k] for k in order}
 
 

@@ -108,9 +108,33 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # the driver snapshot keeps only the LAST ~2000 chars of stdout
+    # (BENCH_r05.json: tail len == 2000, "parsed": null) — a 325-query
+    # JSON line is ~9 KB, so its head gets cut and the driver can't parse
+    # it. Print the full payload FIRST (for humans / logs), then emit a
+    # compact final line guaranteed to fit the tail buffer: total + the
+    # slowest queries, trimmed until the line is < 1800 chars.
     print(json.dumps(payload))
-    # the driver snapshot keeps only the tail of stdout, which truncated
-    # round 1's totals — persist the complete per-query JSON alongside it
+    compact_q = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
+    )
+    compact = {
+        "metric": "sum_query_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "errors": sorted(n for n, t in timings.items() if t < 0)[:20],
+        "full": "BENCH_FULL.json",
+        "queries": compact_q,
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    while len(line) > 1800 and compact["queries"]:
+        keep = max(1, len(compact["queries"]) // 2)
+        compact["queries"] = dict(list(compact_q.items())[:keep])
+        compact_q = compact["queries"]
+        line = json.dumps(compact)
+    print(line)
     if only is not None:
         return  # solo re-measurement: don't clobber the full-suite snapshot
     round_no = os.environ.get("SPARK_GRAFT_ROUND", "")

@@ -730,3 +730,75 @@ def test_kcenter_radius_monotone_and_covers(spark):
     assert out[6]["center_id"] == -1
     assert out[6]["radius2"] <= out[5]["radius2"]
     assert len({out[s]["center_id"] for s in range(1, 6)}) == 5
+
+
+def test_token_hash_u64_is_portable_and_composition_invariant():
+    """The minhash token hash must be a pure function of the token's UTF-8
+    bytes — never of batch composition, pad width, or host-library hashing
+    internals (the r5 curation_funnel_census red row was an LSH miss-set
+    that differed between environments via pd.util.hash_array). Golden
+    values pin the exact FNV-1a fold so any future drift screams here."""
+    import numpy as np
+
+    from videos_to_tfrecords_spark.operators.dedup import token_hash_u64
+
+    # batch-composition invariance: a token hashes identically whether it
+    # arrives alone, with short neighbors, or with a 100-byte neighbor
+    # (which changes the batch's pad width)
+    solo = token_hash_u64(["hello"])[0]
+    mixed = token_hash_u64(["a", "hello", "x" * 100])[1]
+    assert solo == mixed
+    # pure-Python reference of the specified algorithm
+    def ref(tok: str) -> int:
+        b = tok.encode("utf-8")
+        h = 14695981039346656037
+        for c in b[:32]:
+            h = ((h ^ c) * 1099511628211) % (1 << 64)
+        return ((h ^ len(b)) * 1099511628211) % (1 << 64)
+
+    toks = ["hello", "", "a", "ü", "x" * 31, "x" * 32, "x" * 33, "x" * 40]
+    got = token_hash_u64(toks)
+    assert [int(v) for v in got] == [ref(t) for t in toks]
+    # >32-byte tokens sharing the 32-byte prefix still differ (length fold)
+    assert got[6] != got[7]
+    assert got.dtype == np.uint64
+
+
+def test_funnel_near_dedup_pairs_equal_exact_ground_truth(spark, sf_dir):
+    """VERDICT r5 #1 done-criterion: at the funnel threshold the engine's
+    near-dedup pair set must cover the oracle's EXACT all-pairs set. The
+    funnel now uses the lossless prefix-filtered ngram_jaccard_pairs, so
+    equality (not just ⊇) must hold against brute-force ground truth over
+    the funnel's own stage-4 survivor set on real testdata."""
+    from videos_to_tfrecords_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    s3 = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .filter((F.col("n_chars") >= 50) & (n_toks >= 10))
+        .filter(F.col("lang").isin("en", "de", "fr"))
+    )
+    ex = exact_dedup(s3).filter(~F.col("is_duplicate")).select("doc_id")
+    s4 = s3.join(ex, "doc_id").select("doc_id", "text")
+    engine = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(s4, threshold_x1000=500).collect()
+    }
+    # brute-force exact ground truth in plain Python over string shingles
+    rows = s4.collect()
+    sh = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        sh[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and 1000 * inter // (len(sh[a]) + len(sh[b]) - inter) >= 500:
+                truth.add((a, b))
+    assert truth <= engine  # the contract: engine never misses a true pair
+    assert engine == truth  # and the verify step kills every false positive

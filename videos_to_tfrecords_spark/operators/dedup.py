@@ -224,6 +224,46 @@ def jaccard_verify_from_texts(
     return out
 
 
+def token_hash_u64(flat: list) -> "object":
+    """Portable vectorized FNV-1a over each token's UTF-8 bytes.
+
+    Fully specified by THIS function — no dependence on pandas/numpy
+    hashing internals, so the value of every token hash (and therefore the
+    LSH candidate set downstream) is identical in every environment. The
+    r5 ``curation_funnel_census`` red row was a banded-LSH miss-set that
+    differed between the driver box and local — possible only because the
+    old ``pd.util.hash_array`` is a host-library implementation detail.
+
+    Mechanics: tokens' first ≤32 bytes scatter into one (n_tokens × cap)
+    uint8 matrix via a flat-buffer index assignment; columns fold with the
+    FNV-1a step masked to each token's own length (pad bytes and the
+    batch's pad width cannot influence the result); the exact byte length
+    folds in last, distinguishing long tokens that share a 32-byte prefix.
+    C-speed: ~cap vectorized ops per batch, zero per-token Python beyond
+    the encode."""
+    import numpy as np
+
+    fnv = np.uint64(1099511628211)
+    if not flat:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in flat]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    cap = int(min(lens.max(), 32))
+    clipped = np.minimum(lens, cap)
+    mat = np.zeros((len(bs), max(cap, 1)), dtype=np.uint8)
+    if clipped.sum() > 0:
+        buf = np.frombuffer(b"".join(b[:cap] for b in bs), dtype=np.uint8)
+        row = np.repeat(np.arange(len(bs), dtype=np.int64), clipped)
+        starts = np.concatenate(([0], np.cumsum(clipped)[:-1]))
+        col = np.arange(len(buf), dtype=np.int64) - np.repeat(starts, clipped)
+        mat[row, col] = buf
+    h = np.full(len(bs), 14695981039346656037, dtype=np.uint64)
+    for j in range(cap):
+        active = j < clipped
+        h = np.where(active, (h ^ mat[:, j].astype(np.uint64)) * fnv, h)
+    return (h ^ lens.astype(np.uint64)) * fnv
+
+
 def minhash_signatures_mapside(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, n_perm: int = N_PERM
 ) -> DataFrame:
@@ -235,14 +275,20 @@ def minhash_signatures_mapside(
 
     Hash family (round-2 fix — the md5-per-shingle Python inner loop was
     the slowest query's hot path): every TOKEN is hashed exactly once per
-    batch with ``pd.util.hash_array`` (C-speed keyed siphash, fixed key ⇒
-    run-to-run deterministic), shingle hashes are a vectorized rolling
-    FNV-style polynomial over n consecutive token hashes (order-sensitive,
-    uint64 wraparound), and per-document permutation minima come from
-    ``np.minimum.reduceat`` over the batch-flat shingle array. Zero
-    per-shingle Python. Signatures are internal — correctness is judged on
-    exact-Jaccard-verified pairs — so no portable hash is required (see
-    minhash_signatures), only determinism."""
+    batch with a SELF-SPECIFIED vectorized FNV-1a over its UTF-8 bytes
+    (round-6 fix: the previous ``pd.util.hash_array`` is an implementation
+    detail of the host's pandas build — a different build on the driver box
+    changes the LSH miss set, which is exactly the shape of the r5
+    ``curation_funnel_census`` red row; a hash defined by THIS module is
+    bit-identical in every environment). Shingle hashes are a vectorized
+    rolling FNV-style polynomial over n consecutive token hashes
+    (order-sensitive, uint64 wraparound), and per-document permutation
+    minima come from ``np.minimum.reduceat`` over the batch-flat shingle
+    array. Zero per-shingle Python. Signatures are internal — correctness
+    is judged on exact-Jaccard-verified pairs — so no ORACLE-portable hash
+    is required (see minhash_signatures), but cross-ENVIRONMENT determinism
+    is: the banded candidate set (and therefore any near-threshold miss)
+    must be a pure function of the corpus, never of the pandas version."""
     import numpy as np
 
     cols = ", ".join(f"sig{i} long" for i in range(n_perm))
@@ -258,11 +304,7 @@ def minhash_signatures_mapside(
         for pdf in batches:
             tok_lists = [t.split(" ") for t in pdf[text_col]]
             flat = [tok for tl in tok_lists for tok in tl]
-            th = (
-                pd.util.hash_array(np.asarray(flat, dtype=object))
-                if flat
-                else np.empty(0, dtype=np.uint64)
-            )
+            th = token_hash_u64(flat)  # portable — see its docstring
             # rolling combine: shingle j of a doc = Σ-poly of token hashes
             # j..j+n-1; duplicates within a doc are harmless (min-invariant)
             sh_chunks, starts, off, pos = [], [], 0, 0

@@ -184,8 +184,8 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END LLM corpus curation — the composition a pretraining data
     team actually runs, as ONE oracle-checked query: hold out the eval
     slice (id%97) → quality gate (length + word count) → language gate →
-    EXACT dedup (md5 keep-first) → NEAR dedup (MinHash-LSH pairs →
-    connected components, keep the min-id representative) → benchmark
+    EXACT dedup (md5 keep-first) → NEAR dedup (lossless prefix-filtered
+    Jaccard pairs → connected components, keep the min-id rep) → benchmark
     DECONTAMINATION (drop docs sharing any 3-shingle with the eval slice)
     → per-language doc/token census. id_sum pins the exact surviving doc
     SET. Every stage is the registry's individually-verified operator;
@@ -199,7 +199,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         decontaminate_overlap,
         exact_dedup,
-        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -215,7 +215,12 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-joins, final census) — materialize once per stage boundary, the
     # 100 TB analog being an intermediate parquet table between stages
     kept1 = q.join(ex, "doc_id").localCheckpoint(eager=True)
-    pairs = minhash_lsh_dedup_pairs(kept1).select("id_a", "id_b")
+    # near-dedup stage uses the LOSSLESS prefix-filtered similarity join
+    # (r6 contract fix): this query's oracle computes ALL ≥-threshold pairs
+    # exactly, and banded LSH can miss a true near-threshold pair — the r5
+    # curation_funnel_census red row. Exact candidate generation makes
+    # engine pairs ≡ oracle pairs by theorem, not by band luck.
+    pairs = ngram_jaccard_pairs(kept1).select("id_a", "id_b")
     cc = connected_components(pairs)
     dropped = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -627,7 +632,7 @@ def q_curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         decontaminate_overlap,
         exact_dedup,
-        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -637,7 +642,12 @@ def q_curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.filter(F.col("lang").isin("en", "de", "fr"))
     ex = exact_dedup(s3).filter(~F.col("is_duplicate")).select("doc_id")
     s4 = s3.join(ex, "doc_id").localCheckpoint(eager=True)
-    pairs = minhash_lsh_dedup_pairs(s4).select("id_a", "id_b")
+    # r6 contract fix: the oracle's near-dedup stage is the EXACT all-pairs
+    # ≥0.5 Jaccard set, so the engine must generate candidates losslessly
+    # (prefix-filter theorem) — banded LSH misses a true near-threshold
+    # pair with probability (1−J^r)^b per pair, which is how this query
+    # went red on the r5 driver box while staying green locally.
+    pairs = ngram_jaccard_pairs(s4).select("id_a", "id_b")
     cc = connected_components(pairs)
     dropped = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
