@@ -251,3 +251,22 @@ def test_common_neighbor_pairs_guards_ids_beyond_32_bits(spark):
     )
     with pytest.raises(Exception, match="2\\^32"):
         common_neighbor_pairs(und, cap=8, topk=10).collect()
+
+
+def test_common_neighbor_pairs_ids_between_2_31_and_2_32(spark):
+    """r6 ADVICE fix: ids in [2^31, 2^32) are inside the guard's claimed
+    domain, but the old arithmetic pack (y * 2^32) wrapped negative and the
+    signed div/% decode corrupted pa/pb. The shift/mask pack-decode must
+    return the correct pairs for the full guarded domain."""
+    from videos_to_tfrecords_spark.operators.graph import common_neighbor_pairs
+
+    hi = 2**31 + 7  # in [2^31, 2^32)
+    lo = 2**31 + 3
+    # hub 1 connects {lo, hi}; hub 2 connects {lo, hi}: pair (lo, hi) has
+    # n_common = 2 and is not itself an edge
+    und = spark.createDataFrame(
+        [(1, lo), (1, hi), (2, lo), (2, hi)], "a long, b long"
+    )
+    rows = [tuple(r) for r in common_neighbor_pairs(und, cap=8, topk=10).collect()]
+    assert (lo, hi, 2) in rows
+    assert all(pa >= 0 and pb >= 0 for pa, pb, _ in rows)
