@@ -802,3 +802,27 @@ def test_funnel_near_dedup_pairs_equal_exact_ground_truth(spark, sf_dir):
                 truth.add((a, b))
     assert truth <= engine  # the contract: engine never misses a true pair
     assert engine == truth  # and the verify step kills every false positive
+
+
+def test_duplicate_span_stats_interval_merge(spark):
+    """Hand-computed ExactSubstr census: a 10-token span shared by docs 1
+    and 2 yields 3 flagged 8-windows (positions 1..3) that merge into ONE
+    span of 10 tokens; doc 3 shares nothing and must not appear."""
+    from videos_to_tfrecords_spark.operators.dedup import duplicate_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared span
+    d1 = shared + " a1 a2 a3"               # 13 tokens, dup region = [1,10]
+    d2 = "b1 b2 " + shared                  # 12 tokens, dup region = [3,12]
+    d3 = " ".join(f"z{i}" for i in range(15))
+    df = _docs(spark, [(1, d1), (2, d2), (3, d3)])
+    out = {r.doc_id: r for r in duplicate_span_stats(df, n=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+    assert out[1].n_tokens == 13 and out[1].kept_tokens == 3
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+    assert out[2].kept_tokens == 2
+    # two DISJOINT shared spans (gap > 8) stay two spans
+    far = shared + " " + " ".join(f"m{i}" for i in range(9)) + " " + shared
+    df2 = _docs(spark, [(1, far), (2, shared)])
+    out2 = {r.doc_id: r for r in duplicate_span_stats(df2, n=8).collect()}
+    assert out2[1].n_dup_spans == 2 and out2[1].dup_tokens == 20

@@ -511,6 +511,88 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return agg.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level (suffix-style) cross-document dedup census — the
+    ExactSubstr mode of deduplicate-text-datasets at n-token granularity:
+    any span of ≥ n tokens duplicated across documents necessarily contains
+    a duplicated n-token window, so flagging every window whose n-shingle
+    occurs in ≥ ``min_docs`` DISTINCT documents and merging
+    overlapping/adjacent flagged windows yields exactly the maximal
+    duplicated regions a span-removal pass would cut.
+
+    Returns one row per AFFECTED document:
+    (id, n_dup_spans, dup_tokens, n_tokens, kept_tokens) where dup_tokens
+    is the size of the union of flagged windows (the removed region under
+    the remove-all policy) and kept_tokens = n_tokens − dup_tokens.
+
+    Scale shape (no suffix array needed): inverted-index over window
+    hashes — explode n-windows with positions (codegen slice/array_join,
+    the exploded_shingles lesson), one (hash → distinct-doc count)
+    aggregate, one join back, then a PER-DOCUMENT running-frame window to
+    merge intervals (new span iff pos − prev_pos > n; merged span length
+    = last_pos − first_pos + n, exact because within-run gaps ≤ n keep the
+    union contiguous). Everything is shuffle-∝-corpus-windows; nothing
+    pairwise, nothing driver-side, no unbounded-following frames. Windows
+    group on the portable 60-bit h15 so the DuckDB oracle mirrors the
+    grouping bit-for-bit."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    pos = base.select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    )
+    sh = pos.select(
+        id_col,
+        "n_tokens",
+        "p",
+        h15(F.array_join(F.slice("_toks", F.col("p"), F.lit(n)), " ")).alias("h"),
+    )
+    multi = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = sh.join(multi, "h").select(id_col, "n_tokens", "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    run = Window.partitionBy(id_col).orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagp = F.lag("p").over(w)
+    spans = (
+        flagged.withColumn(
+            "ns",
+            F.when(lagp.isNull() | (F.col("p") - lagp > n), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("ns").over(run))
+        .groupBy(id_col, "n_tokens", "sid")
+        .agg((F.max("p") - F.min("p") + n).alias("span_tokens"))
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    ).select(
+        id_col,
+        "n_dup_spans",
+        "dup_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.col("dup_tokens")).cast("long").alias("kept_tokens"),
+    )
+
+
 def decontaminate_overlap(
     train: DataFrame,
     evalset: DataFrame,

@@ -709,7 +709,7 @@ def knn_loo_accuracy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    query_mod: int | str | None = None,
+    query_mod: int | str | None = "auto",
 ) -> DataFrame:
     """Leave-one-out 1-NN label agreement per class — the embedding-quality
     probe an LLM pipeline runs on a new encoder before trusting its
@@ -730,7 +730,11 @@ def knn_loo_accuracy(
     evaluation set stays ~:data:`_EVAL_QUERY_TARGET` queries at ANY scale
     — a FIXED modulus makes |queries| ∝ corpus and the pair volume
     quadratic (the ann_recall_at_k lesson; the sf1 suite measured 78×
-    at 10× rows on the fixed-mod form).
+    at 10× rows on the fixed-mod form). "auto" is the DEFAULT (r6 ADVICE
+    fix): brute_force_topk collects its query side to the driver, so a
+    None default would collect the entire corpus — every registry caller
+    already passed "auto"; pass ``query_mod=None`` only for corpora you
+    know are driver-sized.
     """
     if query_mod == "auto":
         query_mod = max(1, int(df.count()) // _EVAL_QUERY_TARGET)

@@ -2869,3 +2869,49 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
     return p.orderBy(F.desc("n_shared"), F.asc("src_a"), F.asc("src_b")).limit(20)
+
+
+@query(
+    "cross_doc_span_removal",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, len(t) AS n_tokens, t,
+               unnest(CASE WHEN len(t) >= 8
+                      THEN range(1, len(t) - 6) ELSE [] END) AS p
+        FROM tok),
+sh AS (SELECT doc_id, n_tokens, p,
+              {h15_sql("array_to_string(list_slice(t, p, p + 7), ' ')")} AS h
+       FROM pos),
+multi AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT doc_id, n_tokens, p FROM sh JOIN multi USING (h)),
+g AS (SELECT doc_id, n_tokens, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+s AS (SELECT doc_id, n_tokens, p,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+spans AS (SELECT doc_id, n_tokens, sid,
+                 max(p) - min(p) + 8 AS span_tokens
+          FROM s GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - sum(span_tokens) AS BIGINT) AS kept_tokens
+FROM spans GROUP BY doc_id, n_tokens
+""",
+)
+def q_cross_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-corpus span removal (VERDICT r5 #7 — the
+    ExactSubstr dedup mode): per affected document, the maximal duplicated
+    regions an 8-token-granularity span-removal pass would cut — merged
+    span count, removed-token total, and surviving token count. Complements
+    doc_duplicate_spans (which counts flagged WINDOWS) with the actual
+    interval-union REMOVAL semantics. Inverted-index + per-doc running
+    window; see operators/dedup.duplicate_span_stats for the scale story."""
+    from videos_to_tfrecords_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, n=8, min_docs=2)

@@ -51,7 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would hide scan pruning from the bench and from plan-assertion tests.
     """
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
-        key = (id(spark), sf_dir, name)
+        # keyed on applicationId, not id(spark): a stopped session's id()
+        # can be reused by a new SparkSession object, which would hand out
+        # persisted DataFrames bound to the dead session (r6 ADVICE fix)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
         hit = _TABLE_CACHE.get(key)
         if hit is not None:
             return hit
