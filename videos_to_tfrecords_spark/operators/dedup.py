@@ -511,6 +511,64 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return agg.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
+def window_hash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, n_tokens, p, h) — every n-token window with its 1-based start
+    position and portable h15 hash. The shared scan shape of the
+    substring-dedup family: positions explode via codegen sequence/slice
+    (the exploded_shingles lesson — no interpreted higher-order lambdas),
+    and the hash is oracle-mirrorable bit-for-bit."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    pos = base.select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    )
+    return pos.select(
+        id_col,
+        "n_tokens",
+        "p",
+        h15(F.array_join(F.slice("_toks", F.col("p"), F.lit(n)), " ")).alias("h"),
+    )
+
+
+def merge_flagged_spans(
+    flagged: DataFrame, id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Merge flagged (id, n_tokens, p) windows into maximal duplicated
+    regions: new span iff p − prev_p > n (within-run gaps ≤ n keep the
+    interval union contiguous, so a merged run covers exactly
+    last_p − first_p + n tokens). Per-id running-frame window — O(n log n)
+    in flagged rows per id, never an unbounded-following frame. Returns
+    (id, n_tokens, n_dup_spans, dup_tokens)."""
+    w = Window.partitionBy(id_col).orderBy("p")
+    run = Window.partitionBy(id_col).orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagp = F.lag("p").over(w)
+    spans = (
+        flagged.withColumn(
+            "ns",
+            F.when(lagp.isNull() | (F.col("p") - lagp > n), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("ns").over(run))
+        .groupBy(id_col, "n_tokens", "sid")
+        .agg((F.max("p") - F.min("p") + n).alias("span_tokens"))
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -541,25 +599,7 @@ def duplicate_span_stats(
     pairwise, nothing driver-side, no unbounded-following frames. Windows
     group on the portable 60-bit h15 so the DuckDB oracle mirrors the
     grouping bit-for-bit."""
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), toks.alias("_toks"))
-    pos = base.select(
-        id_col,
-        "_toks",
-        F.size("_toks").alias("n_tokens"),
-        F.explode(
-            F.when(
-                F.size("_toks") >= n,
-                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("p"),
-    )
-    sh = pos.select(
-        id_col,
-        "n_tokens",
-        "p",
-        h15(F.array_join(F.slice("_toks", F.col("p"), F.lit(n)), " ")).alias("h"),
-    )
+    sh = window_hash_table(df, id_col, text_col, n)
     multi = (
         sh.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -567,24 +607,7 @@ def duplicate_span_stats(
         .select("h")
     )
     flagged = sh.join(multi, "h").select(id_col, "n_tokens", "p")
-    w = Window.partitionBy(id_col).orderBy("p")
-    run = Window.partitionBy(id_col).orderBy("p").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    lagp = F.lag("p").over(w)
-    spans = (
-        flagged.withColumn(
-            "ns",
-            F.when(lagp.isNull() | (F.col("p") - lagp > n), 1).otherwise(0),
-        )
-        .withColumn("sid", F.sum("ns").over(run))
-        .groupBy(id_col, "n_tokens", "sid")
-        .agg((F.max("p") - F.min("p") + n).alias("span_tokens"))
-    )
-    return spans.groupBy(id_col, "n_tokens").agg(
-        F.count("*").cast("long").alias("n_dup_spans"),
-        F.sum("span_tokens").cast("long").alias("dup_tokens"),
-    ).select(
+    return merge_flagged_spans(flagged, id_col, n).select(
         id_col,
         "n_dup_spans",
         "dup_tokens",

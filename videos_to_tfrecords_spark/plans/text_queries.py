@@ -2915,3 +2915,135 @@ def q_cross_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_stats(docs, n=8, min_docs=2)
+
+
+@query(
+    "span_dedup_keep_first",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, len(t) AS n_tokens, t,
+               unnest(CASE WHEN len(t) >= 8
+                      THEN range(1, len(t) - 6) ELSE [] END) AS p
+        FROM tok),
+sh AS (SELECT doc_id, n_tokens, p,
+              {h15_sql("array_to_string(list_slice(t, p, p + 7), ' ')")} AS h
+       FROM pos),
+own AS (SELECT h, min(doc_id) AS o FROM sh GROUP BY h),
+fl AS (SELECT doc_id, n_tokens, p FROM sh JOIN own USING (h)
+       WHERE doc_id > o),
+g AS (SELECT doc_id, n_tokens, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+s AS (SELECT doc_id, n_tokens, p,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+spans AS (SELECT doc_id, sid, max(p) - min(p) + 8 AS span_tokens
+          FROM s GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(span_tokens) AS removed FROM spans GROUP BY 1)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs_affected,
+       CAST(sum(per.removed) AS BIGINT) AS removed_tokens
+FROM per JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q_span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy span dedup savings by source: under the keep-first
+    policy (the earliest document owns each duplicated 8-token window; all
+    later occurrences are removed), how many tokens each SOURCE loses and
+    how many of its docs are touched — the per-feed savings report a
+    crawl-curation team reads to find which sources are mostly syndicated
+    copy. Same inverted-index + interval-merge machinery as
+    cross_doc_span_removal; the only change is the flag predicate
+    (doc_id > per-window min owner instead of distinct-doc count ≥ 2)."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        merge_flagged_spans,
+        window_hash_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = window_hash_table(docs, n=8)
+    own = sh.groupBy("h").agg(F.min("doc_id").alias("o"))
+    flagged = (
+        sh.join(own, "h")
+        .filter(F.col("doc_id") > F.col("o"))
+        .select("doc_id", "n_tokens", "p")
+    )
+    per = merge_flagged_spans(flagged, n=8).select("doc_id", "dup_tokens")
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_affected"),
+            F.sum("dup_tokens").cast("long").alias("removed_tokens"),
+        )
+    )
+
+
+@query(
+    "eval_span_contamination",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, len(t) AS n_tokens, t,
+               unnest(CASE WHEN len(t) >= 6
+                      THEN range(1, len(t) - 4) ELSE [] END) AS p
+        FROM tok),
+sh AS (SELECT doc_id, n_tokens, p,
+              {h15_sql("array_to_string(list_slice(t, p, p + 5), ' ')")} AS h
+       FROM pos),
+train AS (SELECT DISTINCT h FROM sh WHERE doc_id % 13 != 0),
+fl AS (SELECT doc_id, n_tokens, p FROM sh
+       WHERE doc_id % 13 = 0 AND h IN (SELECT h FROM train)),
+g AS (SELECT doc_id, n_tokens, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 6
+                  THEN 1 ELSE 0 END AS ns
+      FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+s AS (SELECT doc_id, n_tokens, p,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+spans AS (SELECT doc_id, n_tokens, sid, max(p) - min(p) + 6 AS span_tokens
+          FROM s GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(sum(span_tokens) AS BIGINT) AS contaminated_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(1000.0 * sum(span_tokens) / n_tokens) AS BIGINT)
+         AS contaminated_frac_x1000
+FROM spans GROUP BY doc_id, n_tokens
+""",
+)
+def q_eval_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-contamination report: for each held-out eval doc
+    (doc_id % 13 = 0 — a wider audit slice than the %97 training holdout,
+    sized so the report stays non-degenerate at small SFs), the exact token
+    mass covered by 6-token windows that also occur ANYWHERE in the train
+    slice — the per-example report a benchmark audit publishes, one level
+    finer than the boolean decontamination drop list. Train-side windows
+    reduce to a DISTINCT hash set (corpus-windows-sized, equi-join on the
+    hash); eval-side flagged windows interval-merge per doc."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        merge_flagged_spans,
+        window_hash_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = window_hash_table(docs, n=6)
+    train_h = (
+        sh.filter(F.col("doc_id") % 13 != 0).select("h").distinct()
+    )
+    flagged = (
+        sh.filter(F.col("doc_id") % 13 == 0)
+        .join(train_h, "h")
+        .select("doc_id", "n_tokens", "p")
+    )
+    merged = merge_flagged_spans(flagged, n=6)
+    return merged.select(
+        "doc_id",
+        F.col("dup_tokens").alias("contaminated_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(1000.0 * F.col("dup_tokens") / F.col("n_tokens"))
+        .cast("long")
+        .alias("contaminated_frac_x1000"),
+    )
