@@ -750,11 +750,18 @@ def test_token_hash_u64_is_portable_and_composition_invariant():
     assert solo == mixed
     # pure-Python reference of the specified algorithm
     def ref(tok: str) -> int:
+        M = (1 << 64) - 1
         b = tok.encode("utf-8")
-        h = 14695981039346656037
-        for c in b[:32]:
-            h = ((h ^ c) * 1099511628211) % (1 << 64)
-        return ((h ^ len(b)) * 1099511628211) % (1 << 64)
+        h = 0
+        for i, c in enumerate(b[:32]):
+            h = (h + c * pow(1099511628211, i, 1 << 64)) & M
+        h = ((h ^ len(b)) * 1099511628211) & M
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & M
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & M
+        h ^= h >> 33
+        return h
 
     toks = ["hello", "", "a", "ü", "x" * 31, "x" * 32, "x" * 33, "x" * 40]
     got = token_hash_u64(toks)
