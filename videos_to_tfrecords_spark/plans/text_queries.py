@@ -3047,3 +3047,263 @@ def q_eval_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contaminated_frac_x1000"),
     )
+
+
+@query(
+    "boilerplate_prefix_census",
+    f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+pre AS (SELECT doc_id, source,
+               array_to_string(list_slice(t, 1, 6), ' ') AS prefix
+        FROM tok WHERE len(t) >= 6),
+g AS (SELECT prefix,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM pre GROUP BY prefix HAVING count(*) >= 2)
+SELECT {h15_sql("prefix")} AS prefix_h, n_docs, n_sources, first_doc
+FROM g ORDER BY n_docs DESC, prefix_h LIMIT 20
+""",
+)
+def q_boilerplate_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate header detection: the top-20 shared 6-token document
+    PREFIXES (by doc count, with source spread and earliest doc) — the
+    signal a crawl-cleaning pass uses to strip templated headers/footers
+    before dedup (shared prefixes inflate near-dup candidates and skew
+    n-gram stats). One slice+hash per doc, one aggregate; prefix reported
+    as its portable hash so no text column crosses the compare boundary."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pre = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.size(toks) >= 6, F.array_join(F.slice(toks, 1, 6), " ")).alias(
+            "prefix"
+        ),
+    ).filter(F.col("prefix").isNotNull())
+    g = (
+        pre.groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        g.select(
+            h15(F.col("prefix")).alias("prefix_h"),
+            "n_docs",
+            "n_sources",
+            "first_doc",
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix_h"))
+        .limit(20)
+    )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY component)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS removable_docs
+FROM cs GROUP BY cluster_size
+""",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the shape report a dedup run
+    publishes (how much duplication is pairwise vs deep template families,
+    and the total doc count a keep-one policy removes per size class).
+    Exact-Jaccard pairs → connected components → size histogram; the
+    histogram is component-count-sized."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    cs = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return cs.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
+    )
+
+
+@query(
+    "truncation_loss_census",
+    """
+WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tok
+           FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(greatest(n_tok - 256, 0)) AS BIGINT) AS tokens_lost,
+       CAST(floor(1000.0 * sum(greatest(n_tok - 256, 0)) / sum(n_tok))
+            AS BIGINT) AS loss_frac_x1000
+FROM t GROUP BY source
+""",
+)
+def q_truncation_loss_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation loss by source: at a 256-token window, how
+    many docs get cut and what token mass is lost — the report that decides
+    between truncation, chunking, and packing for each feed before
+    tokenizer-budget planning. One narrow scan + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    t = docs.select("source", n_tok.alias("n_tok"))
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tok") > 256, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(F.greatest(F.col("n_tok") - 256, F.lit(0)))
+        .cast("long")
+        .alias("tokens_lost"),
+        F.floor(
+            1000.0
+            * F.sum(F.greatest(F.col("n_tok") - 256, F.lit(0)))
+            / F.sum("n_tok")
+        )
+        .cast("long")
+        .alias("loss_frac_x1000"),
+    )
+
+
+@query(
+    "token_burstiness_topk",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+stats AS (SELECT w,
+                 CAST(count(*) AS BIGINT) AS cf,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY w),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT w AS token, cf, df,
+       CAST((cf * 1000) // df AS BIGINT) AS burstiness_x1000
+FROM stats, n
+WHERE df >= 10
+ORDER BY burstiness_x1000 DESC, cf DESC, token
+LIMIT 20
+""",
+)
+def q_token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale token burstiness: collection frequency over document
+    frequency for tokens seen in ≥10 docs — bursty tokens (high cf/df)
+    concentrate in few docs (names, boilerplate markers) while function
+    words spread evenly; the lexical-stats signal behind stopword lists
+    and tf-idf damping choices. One token explode + one aggregate +
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    stats = tok.groupBy("w").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= 10)
+        .select(
+            F.col("w").alias("token"),
+            "cf",
+            "df",
+            F.expr("(cf * 1000) div df").cast("long").alias("burstiness_x1000"),
+        )
+        .orderBy(F.desc("burstiness_x1000"), F.desc("cf"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "dup_span_length_histogram",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(CASE WHEN len(t) >= 8
+                      THEN range(1, len(t) - 6) ELSE [] END) AS p
+        FROM tok),
+sh AS (SELECT doc_id, p,
+              {h15_sql("array_to_string(list_slice(t, p, p + 7), ' ')")} AS h
+       FROM pos),
+multi AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT doc_id, p FROM sh JOIN multi USING (h)),
+g AS (SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+s AS (SELECT doc_id, p,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+spans AS (SELECT doc_id, sid, max(p) - min(p) + 8 AS span_len
+          FROM s GROUP BY 1, 2)
+SELECT CAST(span_len AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM spans GROUP BY span_len
+""",
+)
+def q_dup_span_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution of maximal cross-doc duplicated regions — tells
+    a dedup policy whether duplication is short quoted phrases (spans near
+    the 8-token floor) or wholesale copied passages (long spans), which
+    decides span-removal vs doc-level dedup. Same flag+merge machinery;
+    the histogram is span-count-sized."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        merge_flagged_spans,
+        window_hash_table,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = window_hash_table(docs, n=8)
+    multi = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = sh.join(multi, "h").select("doc_id", "n_tokens", "p")
+    w = W.partitionBy("doc_id").orderBy("p")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lagp = F.lag("p").over(w)
+    spans = (
+        flagged.withColumn(
+            "ns", F.when(lagp.isNull() | (F.col("p") - lagp > 8), 1).otherwise(0)
+        )
+        .withColumn("sid", F.sum("ns").over(run))
+        .groupBy("doc_id", "sid")
+        .agg((F.max("p") - F.min("p") + 8).alias("span_len"))
+    )
+    return spans.groupBy("span_len").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    ).select(F.col("span_len").cast("long").alias("span_len"), "n_spans", "n_docs")
