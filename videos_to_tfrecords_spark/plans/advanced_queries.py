@@ -2510,3 +2510,83 @@ def q_event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_x1e9"
         ),
     )
+
+
+_HOLT_C = 1 << 40  # shift-to-nonnegative offset for the trend term
+
+
+@query(
+    "holt_linear_order_forecast",
+    f"""
+WITH RECURSIVE
+d AS MATERIALIZED (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+r AS MATERIALIZED (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM d),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM r),
+hw(rn, l, B) AS (
+  SELECT CAST(1 AS BIGINT), y, CAST({_HOLT_C} AS BIGINT) FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn,
+         (r.y + hw.l + hw.B + {_HOLT_C}) // 2 - {_HOLT_C},
+         (hw.B + ((r.y + hw.l + hw.B + {_HOLT_C}) // 2 - {_HOLT_C})
+          - hw.l + {_HOLT_C}) // 2
+  FROM hw JOIN r ON r.rn = hw.rn + 1)
+SELECT CAST(rn AS BIGINT) AS n_days,
+       CAST(l AS BIGINT) AS level,
+       CAST(B - {_HOLT_C} AS BIGINT) AS trend,
+       CAST(l + 7 * (B - {_HOLT_C}) AS BIGINT) AS forecast_7d
+FROM hw WHERE rn = (SELECT nd FROM n)
+""",
+)
+def q_holt_linear_order_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (α=β=1/2, integer-quantized) over
+    the daily order-count series, closing with the 7-day-ahead linear
+    forecast — the capacity-planning recursion next to the registry's EWMA
+    / CUSUM / seasonal anomaly family. Exactness: the level/trend updates
+    are integer floor-halvings with the trend SHIFTED by 2^40 so every
+    division argument stays nonnegative (DuckDB's // floors, Spark's div
+    truncates — they agree only on nonnegative ints; the alignment-margin
+    lesson). Scale: the recursion is DAY-DOMAIN-bounded (sequence length =
+    distinct days, independent of corpus rows), so after the one
+    daily-count aggregate it runs in a single bounded applyInPandas group;
+    the oracle is a depth-=-days recursive CTE."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    C = _HOLT_C
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        l = int(pdf["y"].iloc[0])
+        B = C
+        for i in range(1, len(pdf)):
+            y = int(pdf["y"].iloc[i])
+            l_new = (y + l + B + C) // 2 - C
+            B = (B + l_new - l + C) // 2
+            l = l_new
+        return pd.DataFrame(
+            {
+                "n_days": [len(pdf)],
+                "level": [l],
+                "trend": [B - C],
+                "forecast_7d": [l + 7 * (B - C)],
+            }
+        )
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: holt(pdf),
+            "n_days long, level long, trend long, forecast_7d long",
+        )
+    )

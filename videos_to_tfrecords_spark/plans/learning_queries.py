@@ -3561,3 +3561,127 @@ def q_aa_test_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN s = 0 OR s = n THEN TRUE ELSE ({z2}) < 3841459 END"
         ).alias("null_ok"),
     )
+
+
+@query(
+    "purchase_attribution_time_decay",
+    """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  (epoch_ns(ts) // 1000) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type IN ('purchase', 'view', 'click')),
+tch AS (SELECT user_id, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS seq
+        FROM e WHERE event_type IN ('view', 'click')),
+pur AS (SELECT event_id, user_id, cents,
+               CAST(count(CASE WHEN event_type IN ('view', 'click')
+                          THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT) AS tc
+        FROM e),
+p AS (SELECT event_id, user_id, cents, coalesce(tc, 0) AS tc
+      FROM pur WHERE event_id IN
+        (SELECT event_id FROM e WHERE event_type = 'purchase')),
+org AS (SELECT 'organic' AS channel,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(sum(cents) * 1000000 AS HUGEINT) AS credited_microcents
+        FROM p WHERE tc = 0),
+ex AS (SELECT p.event_id, p.user_id, p.cents, p.tc,
+              least(p.tc, 8) AS kk,
+              unnest(range(1, CAST(least(p.tc, 8) AS INTEGER) + 1)) AS k
+       FROM p WHERE tc >= 1),
+cr AS (SELECT t.channel,
+              CAST((ex.cents * 1000000 * (1 << CAST(ex.kk - ex.k AS INTEGER)))
+                   // ((1 << CAST(ex.kk AS INTEGER)) - 1) AS HUGEINT)
+                AS credited
+       FROM ex JOIN tch t
+         ON t.user_id = ex.user_id AND t.seq = ex.tc - ex.k + 1),
+ch AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+              CAST(sum(credited) AS HUGEINT) AS credited_microcents
+       FROM cr GROUP BY channel)
+SELECT channel, n_credits, credited_microcents FROM ch
+UNION ALL
+SELECT channel, n_credits, credited_microcents FROM org
+WHERE n_credits > 0
+""",
+)
+def q_purchase_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay (positional halving) multi-touch attribution — the third
+    classic attribution mode beside the registry's first/last-touch: each
+    purchase splits credit across its last ≤8 preceding touches, the k-th
+    most recent weighted 2^(K−k)/(2^K − 1) (exact integer ppm — weights sum
+    to 1 up to floor). Touchless purchases census as 'organic'. Engine: one
+    per-user window pass numbers touches and counts precedents, an explode
+    of k=1..min(tc,8) turns the lookback into an EQUI-join on
+    (user, seq = tc−k+1) — never an inequality join — and credited
+    micro-cents close in DECIMAL(38,0)/HUGEINT (corpus-sized sum of
+    cents×1e6). Shuffle ∝ purchases×8 + touches."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("event_type").isin("purchase", "view", "click"))
+    wt = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tch = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("seq", F.row_number().over(wt).cast("long"))
+        .select("user_id", F.col("event_type").alias("channel"), "seq")
+    )
+    wp = wt.rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = F.when(F.col("event_type").isin("view", "click"), 1)
+    pur = (
+        e.withColumn("tc", F.coalesce(F.count(is_touch).over(wp), F.lit(0)).cast("long"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "cents", "tc")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    org = (
+        pur.filter(F.col("tc") == 0)
+        .agg(
+            F.lit("organic").alias("channel"),
+            F.count("*").cast("long").alias("n_credits"),
+            F.sum(d38(F.col("cents") * F.lit(1_000_000))).alias(
+                "credited_microcents"
+            ),
+        )
+        .filter(F.col("n_credits") > 0)
+    )
+    ex = (
+        pur.filter(F.col("tc") >= 1)
+        .withColumn("kk", F.least(F.col("tc"), F.lit(8)))
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(1).cast("long"), F.col("kk")))
+        )
+    )
+    credited = (
+        d38(F.col("cents"))
+        * F.lit(1_000_000)
+        * d38(F.expr("shiftleft(1L, cast(kk - k AS int))"))
+        / d38(F.expr("shiftleft(1L, cast(kk AS int)) - 1L"))
+    )
+    cr = (
+        ex.join(
+            tch,
+            (tch["user_id"] == ex["user_id"])
+            & (tch["seq"] == ex["tc"] - ex["k"] + 1),
+        )
+        .select(
+            "channel",
+            F.floor(credited).cast("decimal(38,0)").alias("credited"),
+        )
+    )
+    ch = cr.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_credits"),
+        F.sum("credited").cast("decimal(38,0)").alias("credited_microcents"),
+    )
+    return ch.unionByName(org)
