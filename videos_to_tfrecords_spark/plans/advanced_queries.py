@@ -2590,3 +2590,60 @@ def q_holt_linear_order_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days long, level long, trend long, forecast_7d long",
         )
     )
+
+
+_RECURSIVE_ROLLUP_SPARK = """
+WITH RECURSIVE anc(s, a) AS (
+  SELECT s_suppkey, s_suppkey FROM supplier
+  UNION ALL
+  SELECT s, a DIV 2 FROM anc WHERE a > 1
+),
+rev AS (SELECT l_suppkey AS s,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM lineitem GROUP BY l_suppkey)
+SELECT a.a AS ancestor,
+       CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(sum(coalesce(rev.cents, 0)) AS BIGINT) AS subtree_cents
+FROM anc a LEFT JOIN rev ON rev.s = a.s
+GROUP BY a.a
+ORDER BY subtree_cents DESC, ancestor
+LIMIT 20
+"""
+
+
+@query(
+    "sql_frontend_recursive_rollup",
+    """
+WITH RECURSIVE anc(s, a) AS (
+  SELECT s_suppkey, s_suppkey FROM supplier
+  UNION ALL
+  SELECT s, a // 2 FROM anc WHERE a > 1
+),
+rev AS (SELECT l_suppkey AS s,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM lineitem GROUP BY l_suppkey)
+SELECT a.a AS ancestor,
+       CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(sum(coalesce(rev.cents, 0)) AS BIGINT) AS subtree_cents
+FROM anc a LEFT JOIN rev ON rev.s = a.s
+GROUP BY a.a
+ORDER BY subtree_cents DESC, ancestor
+LIMIT 20
+""",
+)
+def q_sql_frontend_recursive_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITH RECURSIVE through the SQL front-end (Spark 4's recursive CTE —
+    new §2.7 surface): hierarchical subtree rollup where each supplier
+    reports up a binary-tree ancestry (parent = key halved), and every
+    ancestor aggregates its subtree's revenue — the org-chart/BOM rollup
+    pattern, expressed as the SAME recursive SQL text in both engines
+    (Spark spells floor-div DIV, DuckDB //; keys are positive so they
+    agree). The recursion walks a FUNCTIONAL graph (one parent per node) —
+    unique root paths, so UNION ALL (Spark's only recursive mode) cannot
+    explode: exactly depth ≈ log₂(max key) rows per supplier."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ROLLUP_SPARK)
