@@ -958,6 +958,164 @@ def kmeans_profile(
     )
 
 
+def pq_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Product-quantization codebook training + encode-distortion profile —
+    the PQ leg of the ANN family (IVF-PQ's fine quantizer): the embedding
+    splits into ``m`` contiguous subspaces, each trained with the
+    deterministic integer kmeans-lite (:func:`kmeans_lite` — h15-seeded
+    init, exact integer Lloyd), and every vector's subvector is encoded to
+    its nearest codeword (exact int64 dist², ties → lowest code). Output:
+    one row per (subspace, code) with member count and quantization
+    distortion (Σ ‖subv − codeword‖² div 1000) — the codebook-quality
+    report that decides m/k before committing a 100 TB encode.
+
+    Scale: codebooks are m·k·(dim/m) driver-side ints (planning metadata);
+    training is iters+1 scans per subspace with only k rows/batch
+    shuffling; the encode profile is one scan per subspace aggregating
+    map-side. Fully deterministic ⇒ the unrolled-SQL oracle hash-checks
+    even the trained codebooks."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m != 0:
+        raise ValueError(f"pq_profile: dim {dim} not divisible by m {m}")
+    width = dim // m
+    out: DataFrame | None = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * width + 1, width).alias("_subv"),
+        )
+        prof = kmeans_profile(sub, id_col, "_subv", k=k, iters=iters).select(
+            F.lit(s).cast("long").alias("subspace"),
+            F.col("cid").alias("code"),
+            "n_vecs",
+            F.col("inertia_k").alias("distortion_k"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+def pq_adc_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search vs exact search — the
+    accuracy contract a team measures before replacing exact vectors with
+    PQ codes at 100 TB. Per-subspace codebooks come from the deterministic
+    integer kmeans-lite; every corpus vector is encoded (nearest codeword,
+    ties → lowest code); each of a BOUNDED query set (id % qmod = 0 with
+    qmod = max(1, n div 80) — the ann_topk_bruteforce convention) ranks the
+    corpus by ADC (Σ_s dist²(q_s, codeword(code_s)), an (m × k_codes) LUT
+    gather) and by exact int64 dist², both self-excluded, ties → lowest
+    cand. Output: one row (n_queries, hits, recall_x1000).
+
+    Scale: the query LUT is nq·m·k_codes ints broadcast in the task
+    closure; one corpus scan computes codes + ADC + exact scores per Arrow
+    batch and emits only per-batch top-k rows per (metric, query) —
+    shuffle ∝ nq·k·batches, never the corpus."""
+    n = df.count()
+    qmod = max(1, n // 80)
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m != 0:
+        raise ValueError(f"pq_adc_recall: dim {dim} not divisible by m {m}")
+    width = dim // m
+    books = [
+        kmeans_lite(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * width + 1, width).alias("_subv"),
+            ),
+            id_col,
+            "_subv",
+            k=k_codes,
+            iters=iters,
+        )
+        for s in range(m)
+    ]
+    qrows = (
+        df.filter(F.col(id_col) % qmod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _to_int_matrix(pd.Series([r[1] for r in qrows]))
+    nq = len(q_ids)
+    # LUT[s]: (nq, k_codes) exact int64 dist² from each query's subvector
+    lut = [
+        _dist2_matrix(q_mat[:, s * width : (s + 1) * width], books[s])
+        for s in range(m)
+    ]
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vi = _to_int_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            adc = np.zeros((nq, len(vi)), dtype=np.int64)
+            for s in range(m):
+                sub = vi[:, s * width : (s + 1) * width]
+                codes = np.argmin(_dist2_matrix(sub, books[s]), axis=1)
+                adc += lut[s][:, codes]
+            exact = _dist2_matrix(q_mat, vi)
+            self_mask = q_ids[:, None] == ids[None, :]
+            out_q, out_c, out_d, out_kind = [], [], [], []
+            for kind, mat in (("adc", adc), ("exact", exact)):
+                mm = np.where(self_mask, np.iinfo(np.int64).max, mat)
+                kk = min(k, mm.shape[1])
+                # per-batch partial top-k per query, ties → lowest cand id
+                order = np.lexsort((ids[None, :].repeat(nq, 0), mm), axis=1)[
+                    :, :kk
+                ]
+                for qi in range(nq):
+                    sel = order[qi]
+                    keep = mm[qi, sel] < np.iinfo(np.int64).max
+                    sel = sel[keep]
+                    out_q.extend([q_ids[qi]] * len(sel))
+                    out_c.extend(ids[sel])
+                    out_d.extend(mm[qi, sel])
+                    out_kind.extend([kind] * len(sel))
+            yield pd.DataFrame(
+                {
+                    "kind": out_kind,
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "cand_id": np.array(out_c, dtype=np.int64),
+                    "metric": np.array(out_d, dtype=np.int64),
+                }
+            )
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        scan, "kind string, query_id long, cand_id long, metric long"
+    )
+    w = Window.partitionBy("kind", "query_id").orderBy("metric", "cand_id")
+    topk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    ann = topk.filter(F.col("kind") == "adc").select("query_id", "cand_id")
+    ex = topk.filter(F.col("kind") == "exact").select("query_id", "cand_id")
+    hits = ann.join(ex, ["query_id", "cand_id"]).agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    return hits.select(
+        F.lit(nq).cast("long").alias("n_queries"),
+        "hits",
+        F.expr(f"(1000 * hits) div {max(nq * k, 1)}")
+        .cast("long")
+        .alias("recall_x1000"),
+    )
+
+
 def _jl_matrix(n_out: int, dim: int) -> np.ndarray:
     """Deterministic Rademacher (±1) projection matrix for the database-
     friendly Johnson–Lindenstrauss transform (Achlioptas 2001): sign for

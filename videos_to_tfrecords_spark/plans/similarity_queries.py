@@ -415,51 +415,59 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_assign_parts(
-    k: int | str = _IVF_K, iters: int = _IVF_ITERS
+    k: int | str = _IVF_K,
+    iters: int = _IVF_ITERS,
+    prefix: str = "",
+    iv_expr: str | None = None,
 ) -> list[str]:
     """Shared CTE prefix: kmeans-lite init + unrolled integer Lloyd,
-    ending in ``af(vec_id, cid, d2)`` — the assignment every kmeans-based
-    oracle (profile, semantic dedup) builds on. ``k="auto"`` derives
-    k = max(8, ⌈n/256⌉) from the table itself (integer ceil — the exact
-    twin of semantic_dedup's auto-k)."""
+    ending in ``{prefix}af(vec_id, cid, d2)`` — the assignment every
+    kmeans-based oracle (profile, semantic dedup, PQ) builds on.
+    ``k="auto"`` derives k = max(8, ⌈n/256⌉) from the table itself
+    (integer ceil — the exact twin of semantic_dedup's auto-k).
+    ``prefix`` namespaces every CTE so several independent chains (one per
+    PQ subspace) can coexist in one statement; ``iv_expr`` overrides the
+    int-vector expression (e.g. a list_slice for a PQ subspace)."""
     hk = h15_sql("CAST(vec_id AS VARCHAR)")
-    parts = [f"WITH e AS (SELECT vec_id, {_IV} AS iv FROM embeddings)"]
+    iv = iv_expr or _IV
+    parts = [f"WITH {prefix}e AS (SELECT vec_id, {iv} AS iv FROM embeddings)"]
+    P = prefix
     if k == "auto":
         parts.append(
-            "kk AS (SELECT GREATEST(8, (count(*) + 255) // 256) AS k FROM e)"
+            f"{P}kk AS (SELECT GREATEST(8, (count(*) + 255) // 256) AS k FROM {P}e)"
         )
-        k_expr = "(SELECT k FROM kk)"
+        k_expr = f"(SELECT k FROM {P}kk)"
     else:
         k_expr = str(k)
     parts.append(
-        f"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
-  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM e) WHERE rn <= {k_expr})"""
+        f"""{P}c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
+  (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM {P}e) WHERE rn <= {k_expr})"""
     )
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{P}c{it - 1}"
         parts += [
-            f"""s{it} AS (SELECT cid, i, x FROM
+            f"""{P}s{it} AS (SELECT cid, i, x FROM
   (SELECT cid, unnest(iv) AS x, unnest(range(1, len(iv) + 1)) AS i
    FROM (SELECT a.cid, e.iv FROM
          (SELECT vec_id, cid FROM
           (SELECT e.vec_id, c.cid,
                   row_number() OVER (PARTITION BY e.vec_id
                                      ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
-           FROM e, {prev} c) WHERE rn = 1) a JOIN e ON e.vec_id = a.vec_id)))""",
-            f"""u{it} AS (SELECT cid,
+           FROM {P}e e, {prev} c) WHERE rn = 1) a JOIN {P}e e ON e.vec_id = a.vec_id)))""",
+            f"""{P}u{it} AS (SELECT cid,
   list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) ORDER BY i) AS civ FROM
   (SELECT cid, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS cnt
-   FROM s{it} GROUP BY cid, i) GROUP BY cid)""",
-            f"""c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
-  FROM {prev} p LEFT JOIN u{it} u USING (cid))""",
+   FROM {P}s{it} GROUP BY cid, i) GROUP BY cid)""",
+            f"""{P}c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
+  FROM {prev} p LEFT JOIN {P}u{it} u USING (cid))""",
         ]
-    final = f"c{iters}"
+    final = f"{P}c{iters}"
     parts.append(
-        f"""af AS (SELECT vec_id, cid, d2 FROM
+        f"""{P}af AS (SELECT vec_id, cid, d2 FROM
   (SELECT e.vec_id, c.cid, {_int_dist2("e.iv", "c.civ")} AS d2,
           row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
-   FROM e, {final} c) WHERE rn = 1)"""
+   FROM {P}e e, {final} c) WHERE rn = 1)"""
     )
     return parts
 
@@ -1377,3 +1385,134 @@ def q_embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFra
             " AS BIGINT)"
         ).alias("intrinsic_dim_x1e3"),
     )
+
+
+_PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 1
+
+
+def _pq_profile_oracle(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """SQL twin of operators/similarity.pq_profile: m independent
+    prefix-namespaced kmeans chains over list_slice subspaces (dim read
+    from the table at oracle-build time is avoided — the slice bounds use
+    a fixed dim/m of the 64-dim embeddings table), unioned into one
+    (subspace, code, n_vecs, distortion_k) profile."""
+    dim, width = 64, 64 // m
+    parts: list[str] = []
+    selects: list[str] = []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        iv = (
+            f"list_transform(list_slice(embedding::DOUBLE[], {lo}, {hi}),"
+            " x -> CAST(round(x * 1000000) AS BIGINT))"
+        )
+        chain = _kmeans_assign_parts(k, iters, prefix=f"q{s}", iv_expr=iv)
+        if s > 0:
+            chain[0] = chain[0].removeprefix("WITH ")
+        parts += chain
+        selects.append(
+            f"""SELECT CAST({s} AS BIGINT) AS subspace,
+       CAST(cid AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2 // 1000) AS BIGINT) AS distortion_k
+FROM q{s}af GROUP BY cid"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("pq_codebook_profile", _pq_profile_oracle())
+def q_pq_codebook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces × k=16 codewords over the 64-dim
+    embeddings): train per-subspace codebooks with deterministic integer
+    kmeans-lite and profile the encode — per (subspace, code) member count
+    and quantization distortion. The PQ leg of the ANN surface
+    (IVF/LSH/multiprobe/brute-force already covered); hash-exact down to
+    the trained codebooks because init and Lloyd are integer-deterministic."""
+    from videos_to_tfrecords_spark.operators.similarity import pq_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_profile(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+
+
+def _pq_adc_recall_oracle(
+    m: int = _PQ_M, k_codes: int = _PQ_K, iters: int = _PQ_ITERS, k: int = 3
+) -> str:
+    """SQL twin of operators/similarity.pq_adc_recall: the same m
+    namespaced kmeans chains give per-subspace codes (q{s}af) and
+    codebooks (q{s}c{iters}); ADC sums the per-subspace dist² between each
+    bounded query's subvector and every candidate's codeword; recall
+    compares ADC top-k against exact full-dim int dist² top-k."""
+    dim, width = 64, 64 // m
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        iv = (
+            f"list_transform(list_slice(embedding::DOUBLE[], {lo}, {hi}),"
+            " x -> CAST(round(x * 1000000) AS BIGINT))"
+        )
+        chain = _kmeans_assign_parts(k_codes, iters, prefix=f"q{s}", iv_expr=iv)
+        if s > 0:
+            chain[0] = chain[0].removeprefix("WITH ")
+        parts += chain
+    parts.append(f"fe AS (SELECT vec_id, {_IV} AS iv FROM embeddings)")
+    parts.append(
+        "qm AS (SELECT GREATEST(1, count(*) // 80) AS qmod FROM embeddings)"
+    )
+    parts.append(
+        "qs AS (SELECT vec_id AS query_id FROM embeddings, qm"
+        " WHERE vec_id % qmod = 0)"
+    )
+    terms = []
+    for s in range(m):
+        terms.append(
+            f"""SELECT qq.vec_id AS query_id, a.vec_id AS cand_id,
+       {_int_dist2("qq.iv", "cw.civ")} AS d
+FROM q{s}e qq
+JOIN qs ON qs.query_id = qq.vec_id
+JOIN q{s}af a ON a.vec_id != qq.vec_id
+JOIN q{s}c{iters} cw ON cw.cid = a.cid"""
+        )
+    parts.append(
+        "adc AS (SELECT query_id, cand_id, CAST(sum(d) AS BIGINT) AS adc FROM ("
+        + "\nUNION ALL\n".join(terms)
+        + ") GROUP BY 1, 2)"
+    )
+    parts.append(
+        f"""ann AS (SELECT query_id, cand_id FROM (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+  FROM adc) WHERE rn <= {k})"""
+    )
+    parts.append(
+        f"""ex AS (SELECT query_id, cand_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_int_dist2("q.iv", "c.iv")}, c.vec_id) AS rn
+  FROM fe q JOIN qs ON qs.query_id = q.vec_id
+  JOIN fe c ON c.vec_id != q.vec_id) WHERE rn <= {k})"""
+    )
+    parts.append(
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM ann"
+        " JOIN ex USING (query_id, cand_id))"
+    )
+    parts.append("nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT nq.n AS n_queries, h.hits AS hits,
+       CAST((1000 * h.hits) // (nq.n * {k}) AS BIGINT) AS recall_x1000
+FROM nq, h"""
+    )
+
+
+@query("pq_adc_recall", _pq_adc_recall_oracle())
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search accuracy: recall@3 of ADC ranking
+    (m=4 × k=16 integer codebooks, LUT-gather scoring) against exact
+    full-dimension distance for a bounded query set — the measurement that
+    gates swapping exact vectors for 4-byte PQ codes. One corpus scan
+    computes codes, ADC, and exact scores; only per-batch top-k rows
+    shuffle."""
+    from videos_to_tfrecords_spark.operators.similarity import pq_adc_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_recall(emb, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS, k=3)
