@@ -851,3 +851,42 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rich_club_ppm"),
         )
     )
+
+
+@query(
+    "graph_adamic_adar_topk",
+    f"""
+WITH und AS ({_UND_SQL}),
+bidir AS (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
+ranked AS (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+           FROM bidir),
+capped AS (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
+deg AS (SELECT x, count(*) AS dcap FROM capped GROUP BY x),
+wdeg AS (SELECT x,
+                CAST(1000000000000
+                     // CAST(floor(1000000 * ln(dcap)) AS BIGINT) AS BIGINT)
+                  AS w
+         FROM deg),
+wedges AS (SELECT l.y AS pa, r.y AS pb, w.w
+           FROM capped l JOIN capped r ON l.x = r.x AND l.y < r.y
+           JOIN wdeg w ON w.x = l.x),
+scored AS (SELECT pa, pb, CAST(sum(w) AS BIGINT) AS aa_score,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM wedges GROUP BY pa, pb),
+cand AS (SELECT s.* FROM scored s
+         LEFT JOIN und u ON u.pa = s.pa AND u.pb = s.pb
+         WHERE u.pa IS NULL)
+SELECT pa, pb, aa_score, n_common
+FROM cand ORDER BY aa_score DESC, pa ASC, pb ASC LIMIT 100
+""",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar top-100 predicted links over capped co-purchase
+    adjacency (operators/graph.adamic_adar_pairs): shared neighbors are
+    discounted by 1/ln(capped degree) in exact quantized integers, so
+    hub-mediated coincidences rank below selective affinities — the
+    degree-aware upgrade of graph_link_prediction, same wedge volume and
+    the same repartitioned single-pass count."""
+    from videos_to_tfrecords_spark.operators.graph import adamic_adar_pairs
+
+    return adamic_adar_pairs(_copurchase_und(spark, sf_dir), cap=_CN_CAP, topk=100)

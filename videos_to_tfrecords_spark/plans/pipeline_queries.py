@@ -1207,3 +1207,29 @@ def q_ranker_rbo_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("rbo").cast("long").alias("min_rbo_x1e9"),
     )
+
+
+@query(
+    "streaming_stream_static_join",
+    """
+SELECT ((epoch_ns(e.ts) // 1000) // 86400000000) * 86400 AS win_start_s,
+       c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def q_streaming_stream_static_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static dimension enrichment (§7 streaming surface): the event
+    stream joins the bounded customer dim map-side (broadcast — the static
+    side adds NO stream state), then daily tumbling revenue per market
+    segment. Hash-matches the batch join+window twin."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_static_enrich,
+    )
+
+    return streaming_static_enrich(spark, sf_dir)

@@ -783,3 +783,48 @@ def streaming_hll_registers(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select("idx", "m")
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment shape missing between the
+    stream-stream join and the dimension tables: the unbounded event
+    stream joins a bounded customer dimension (broadcast-able; Spark plans
+    it map-side, no stream state grows from the static side), then a daily
+    tumbling revenue rollup per market segment. Complete-mode memory sink,
+    drained synchronously; hash-matches the batch join+window oracle."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        (F.unix_micros("w.start") / 1_000_000).cast("long").alias("win_start_s"),
+        "c_mktsegment",
+        "n_events",
+        "value_cents",
+    )
