@@ -2647,3 +2647,106 @@ def q_sql_frontend_recursive_rollup(
     explode: exactly depth ≈ log₂(max key) rows per supplier."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_ROLLUP_SPARK)
+
+
+@query(
+    "kendall_tau_value_hour",
+    """
+WITH e AS (SELECT ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS x,
+                  CAST(round(value) AS BIGINT) AS y
+           FROM events),
+cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+xs AS (SELECT DISTINCT x FROM cells),
+ys AS (SELECT DISTINCT y FROM cells),
+grid AS (SELECT xs.x, ys.y, coalesce(c.n, 0) AS n
+         FROM xs CROSS JOIN ys LEFT JOIN cells c USING (x, y)),
+u AS (SELECT x, y, n,
+             coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ux
+      FROM grid),
+lg AS (SELECT x, y, n,
+              coalesce(sum(ux) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS low,
+              coalesce(sum(ux) OVER (PARTITION BY x ORDER BY y DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS hig
+       FROM u),
+s AS (SELECT CAST(sum(CAST(n AS HUGEINT) * low) AS HUGEINT) AS concordant,
+             CAST(sum(CAST(n AS HUGEINT) * hig) AS HUGEINT) AS discordant
+      FROM lg),
+mx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT) AS tie_x
+      FROM (SELECT sum(n) AS t FROM cells GROUP BY x)),
+my AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT) AS tie_y
+      FROM (SELECT sum(n) AS t FROM cells GROUP BY y)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e)
+SELECT nn.n_rows, s.concordant, s.discordant, mx.tie_x, my.tie_y
+FROM nn, s, mx, my
+""",
+)
+def q_kendall_tau_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b sufficient statistics between event value and
+    hour-of-day — the rank-correlation completion of the Pearson/Spearman
+    family, EXACT at any scale: pair counting runs over the (hour ×
+    rounded-value) contingency grid (bounded domain — the
+    distinct-value-census discipline), concordant/discordant pairs come
+    from 2-D dominance prefix sums (two running-frame windows over the
+    densified grid — never an unbounded-following frame), ties from the
+    marginals, all closing in DECIMAL(38,0)/HUGEINT because C and D are
+    O(N²). The caller derives tau-b = (C−D)/√((n0−n1)(n0−n2)); the query
+    reports the integer statistics so no cross-engine sqrt is needed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("x"),
+        F.round("value").cast("long").alias("y"),
+    )
+    cells = e.groupBy("x", "y").agg(F.count("*").cast("long").alias("n"))
+    cells = cells.localCheckpoint(eager=True)  # feeds grid + both marginals
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wux = W.partitionBy("y").orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    u = grid.withColumn("ux", F.coalesce(F.sum("n").over(wux), F.lit(0)))
+    wlo = W.partitionBy("x").orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    whi = (
+        W.partitionBy("x")
+        .orderBy(F.desc("y"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lg = u.select(
+        "n",
+        F.coalesce(F.sum("ux").over(wlo), F.lit(0)).alias("low"),
+        F.coalesce(F.sum("ux").over(whi), F.lit(0)).alias("hig"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = lg.agg(
+        F.sum(d38(F.col("n")) * d38(F.col("low"))).alias("concordant"),
+        F.sum(d38(F.col("n")) * d38(F.col("hig"))).alias("discordant"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(d38(F.col("t")) * d38(F.col("t") - 1) / F.lit(2))
+            .cast("decimal(38,0)")
+            .alias("tie_x")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(d38(F.col("t")) * d38(F.col("t") - 1) / F.lit(2))
+            .cast("decimal(38,0)")
+            .alias("tie_y")
+        )
+    )
+    nn = e.agg(F.count("*").cast("long").alias("n_rows"))
+    return nn.crossJoin(s).crossJoin(tx).crossJoin(ty)

@@ -1741,3 +1741,83 @@ def q_traffic_profile_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") == F.col("m")).alias("is_peak"),
         )
     )
+
+
+@query(
+    "value_drift_psi_weekly",
+    """
+WITH e AS (SELECT ((epoch_ns(ts) // 1000) // 86400000000) // 7 AS week,
+                  LEAST(GREATEST(CAST(round(value * 100) AS BIGINT) // 1000,
+                                 0), 9) AS bin
+           FROM events),
+w0 AS (SELECT min(week) AS w0 FROM e),
+c AS (SELECT week, bin, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+tot AS (SELECT week, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+ref AS (SELECT c.bin, c.n AS r, t.nt AS nr
+        FROM c JOIN tot t USING (week) WHERE c.week = (SELECT w0 FROM w0)),
+cur AS (SELECT c.week, c.bin, c.n AS cc, t.nt AS nc
+        FROM c JOIN tot t USING (week) WHERE c.week != (SELECT w0 FROM w0)),
+q AS (SELECT cur.week, cur.bin, cur.cc, cur.nc, ref.r, ref.nr,
+             CAST(floor(1000000 * ln(cur.cc)) AS BIGINT)
+             + CAST(floor(1000000 * ln(ref.nr)) AS BIGINT)
+             - CAST(floor(1000000 * ln(ref.r)) AS BIGINT)
+             - CAST(floor(1000000 * ln(cur.nc)) AS BIGINT) AS lq
+      FROM cur JOIN ref USING (bin)
+      WHERE cur.cc > 0 AND ref.r > 0)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum((CAST(cc AS HUGEINT) * nr - CAST(r AS HUGEINT) * nc) * lq
+                // (CAST(nr AS HUGEINT) * nc)) AS BIGINT) AS psi_x1e6
+FROM q GROUP BY week
+""",
+)
+def q_value_drift_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling PSI drift monitor: every week's value histogram scored
+    against the FIRST week (the deployment-time reference) — the
+    time-series view of value_drift_psi that operations dashboards
+    actually chart (alarm when a week's Σ psi crosses 0.25·1e6). Same
+    exact-integer decomposition: quantized-ln of integer counts for the
+    log-ratio, HUGEINT cross-products for (p−q), per-bin floor then sum.
+    One scan + (weeks × 10 bins) aggregate — state constant in corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("(unix_micros(ts) div 86400000000) div 7").alias("week"),
+        F.least(
+            F.greatest(
+                F.expr("CAST(round(value * 100) AS BIGINT) div 1000"), F.lit(0)
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    c = e.groupBy("week", "bin").agg(F.count("*").cast("long").alias("n"))
+    c = c.localCheckpoint(eager=True)  # feeds totals + ref + cur branches
+    tot = c.groupBy("week").agg(F.sum("n").cast("long").alias("nt"))
+    w0 = c.agg(F.min("week").alias("w0"))
+    cj = c.join(tot, "week").crossJoin(F.broadcast(w0))
+    ref = cj.filter(F.col("week") == F.col("w0")).select(
+        "bin", F.col("n").alias("r"), F.col("nt").alias("nr")
+    )
+    cur = cj.filter(F.col("week") != F.col("w0")).select(
+        "week", "bin", F.col("n").alias("cc"), F.col("nt").alias("nc")
+    )
+    lnq = lambda col: F.floor(F.lit(1000000) * F.log(col)).cast("long")  # noqa: E731
+    q = (
+        cur.join(F.broadcast(ref), "bin")
+        .filter((F.col("cc") > 0) & (F.col("r") > 0))
+        .withColumn(
+            "lq",
+            lnq(F.col("cc")) + lnq(F.col("nr")) - lnq(F.col("r")) - lnq(F.col("nc")),
+        )
+    )
+    return q.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(
+            F.expr(
+                "(CAST(cc AS DECIMAL(38,0)) * nr - CAST(r AS DECIMAL(38,0)) * nc)"
+                " * lq div (CAST(nr AS DECIMAL(38,0)) * nc)"
+            )
+        )
+        .cast("long")
+        .alias("psi_x1e6"),
+    )
