@@ -3685,3 +3685,179 @@ def q_purchase_attribution_time_decay(
         F.sum("credited").cast("decimal(38,0)").alias("credited_microcents"),
     )
     return ch.unionByName(org)
+
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_ITERS = 8
+
+
+def _markov_trans_sql() -> str:
+    """Transition-count CTEs shared by the removal-effect oracle: per-user
+    event order, journeys segmented at purchases, start/null boundary
+    states."""
+    return """
+ev AS MATERIALIZED (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS rn,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS jid
+  FROM events),
+nx AS MATERIALIZED (
+  SELECT user_id, event_type, rn, coalesce(jid, 0) AS jid,
+         lead(event_type) OVER w AS nxt_type,
+         lead(coalesce(jid, 0)) OVER w AS nxt_jid,
+         row_number() OVER (PARTITION BY user_id, coalesce(jid, 0)
+                            ORDER BY rn) AS jrn
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+tr AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS src,
+           CASE WHEN nxt_type IS NULL OR nxt_jid != jid THEN 'null'
+                ELSE nxt_type END AS dst
+    FROM nx WHERE event_type != 'purchase'
+    UNION ALL
+    SELECT 'start' AS src, event_type AS dst FROM nx WHERE jrn = 1)
+  GROUP BY 1, 2),
+outs AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+                      FROM tr GROUP BY src)"""
+
+
+def _markov_removal_oracle() -> str:
+    scens = [("base", None)] + [(f"r{c}", c) for c in _MK_CHANNELS]
+    parts = ["WITH RECURSIVE " + _markov_trans_sql().strip()]
+    for name, removed in scens:
+        rm = f"WHEN t.dst = '{removed}' THEN 0 " if removed else ""
+        prev = None
+        for k in range(1, _MK_ITERS + 1):
+            cte = f"p_{name}_{k}"
+            pp = (
+                "0"
+                if prev is None
+                else f"coalesce((SELECT ppm FROM {prev} pp WHERE pp.state = t.dst), 0)"
+            )
+            parts.append(
+                f"""{cte} AS MATERIALIZED (
+  SELECT o.src AS state,
+         CAST(coalesce(sum(t.n * CASE WHEN t.dst = 'purchase' THEN 1000000
+                                      WHEN t.dst = 'null' THEN 0
+                                      {rm}ELSE {pp} END), 0) // o.tot
+              AS BIGINT) AS ppm
+  FROM outs o LEFT JOIN tr t ON t.src = o.src
+  GROUP BY o.src, o.tot)"""
+            )
+            prev = cte
+    finals = ",\n".join(
+        f"(SELECT '{c}' AS channel, (SELECT ppm FROM p_base_{_MK_ITERS} WHERE state = 'start') AS base_conv_ppm, (SELECT ppm FROM p_r{c}_{_MK_ITERS} WHERE state = 'start') AS removed_conv_ppm)"
+        for c in _MK_CHANNELS
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT channel, CAST(base_conv_ppm AS BIGINT) AS base_conv_ppm,
+       CAST(removed_conv_ppm AS BIGINT) AS removed_conv_ppm,
+       CAST(base_conv_ppm - removed_conv_ppm AS BIGINT) AS removal_effect_ppm
+FROM ({finals.replace("),", ") UNION ALL ", 99)})
+"""
+    )
+
+
+@query("markov_removal_attribution", _markov_removal_oracle())
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to the first/last/time-decay heuristics: user journeys
+    (segmented at purchases) define a 6-state transition matrix
+    (start, 4 touch channels, purchase/null absorbing); conversion
+    probability is the K=8-step absorption fixpoint in exact integer ppm;
+    each channel's credit is the conversion drop when reaching that
+    channel is redirected to null. The DISTRIBUTED work is the transition
+    count (one per-user window pass over the event log); the matrix is
+    ≤36 rows of planning metadata, iterated exactly in Python — the same
+    bounded-collect discipline as kmeans-lite centroids. Oracle: the same
+    iteration unrolled as 40 MATERIALIZED micro-CTEs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    ).withColumn(
+        "jid",
+        F.coalesce(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).over(wp),
+            F.lit(0),
+        ),
+    )
+    nxt = (
+        base.withColumn("nxt_type", F.lead("event_type").over(w))
+        .withColumn("nxt_jid", F.lead("jid").over(w))
+        .withColumn(
+            "jrn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "jid").orderBy("ts_us", "event_id")
+            ),
+        )
+    )
+    steps = nxt.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("src"),
+        F.when(
+            F.col("nxt_type").isNull() | (F.col("nxt_jid") != F.col("jid")),
+            F.lit("null"),
+        )
+        .otherwise(F.col("nxt_type"))
+        .alias("dst"),
+    )
+    starts = nxt.filter(F.col("jrn") == 1).select(
+        F.lit("start").alias("src"), F.col("event_type").alias("dst")
+    )
+    tr = (
+        steps.unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()  # ≤ (channels+1)·(channels+2) rows — planning metadata
+    )
+    cnt = {(r.src, r.dst): r.n for r in tr}
+    outs: dict[str, int] = {}
+    for (s, _), n in cnt.items():
+        outs[s] = outs.get(s, 0) + n
+    states = ["start", *_MK_CHANNELS]
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in states}
+        for _ in range(_MK_ITERS):
+            nxt_p = {}
+            for s in states:
+                tot = outs.get(s, 0)
+                if tot == 0:
+                    nxt_p[s] = 0
+                    continue
+                acc = 0
+                for (src, dst), n in cnt.items():
+                    if src != s:
+                        continue
+                    if dst == "purchase":
+                        q = 1_000_000
+                    elif dst == "null" or dst == removed:
+                        q = 0
+                    else:
+                        q = p.get(dst, 0)
+                    acc += n * q
+                nxt_p[s] = acc // tot
+            p = nxt_p
+        return p["start"]
+
+    basep = absorb(None)
+    rows = [
+        (c, basep, absorb(c), basep - absorb(c)) for c in _MK_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_ppm long, removed_conv_ppm long,"
+        " removal_effect_ppm long",
+    )
