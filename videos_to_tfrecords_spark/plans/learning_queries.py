@@ -3861,3 +3861,136 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv_ppm long, removed_conv_ppm long,"
         " removal_effect_ppm long",
     )
+
+
+def _cuped_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    h = h15_sql("CAST(user_id AS VARCHAR)", salt="cuped")
+    return f"""
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+            FROM events),
+u AS (SELECT user_id,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) < (SELECT mm FROM mm)
+                      THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) >= (SELECT mm FROM mm)
+                      THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id),
+v AS (SELECT user_id, x, y, {h} % 2 AS variant FROM u),
+g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM v),
+c AS (SELECT n, sx, sy, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS vxx
+      FROM g),
+pv AS (SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+              CAST(sum(x) AS HUGEINT) AS sxv, CAST(sum(y) AS HUGEINT) AS syv
+       FROM v GROUP BY variant),
+r AS (SELECT pv.variant, pv.nv, pv.sxv, pv.syv, c.n, c.sx, c.cxy, c.vxx,
+             CASE WHEN c.vxx = 0 THEN 1000000 * pv.syv * c.n
+                  ELSE 1000000 * (pv.syv * c.vxx * c.n
+                                  - c.cxy * (pv.sxv * c.n - c.sx * pv.nv))
+             END AS num,
+             CASE WHEN c.vxx = 0 THEN pv.nv * c.n
+                  ELSE pv.nv * c.vxx * c.n END AS den
+      FROM pv, c)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(nv AS BIGINT) AS n_users,
+       CAST(syv AS BIGINT) AS sum_y,
+       CAST((1000000 * syv) // nv AS BIGINT) AS raw_mean_x1e6,
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+         AS cuped_mean_x1e6,
+       CAST(CASE WHEN vxx = 0 THEN 0 ELSE
+            (1000000 * cxy - ((1000000 * cxy % vxx) + vxx) % vxx) / vxx END
+            AS BIGINT) AS theta_x1e6
+FROM r
+"""
+
+
+@query("cuped_adjusted_lift", _cuped_oracle())
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout — the industry-standard
+    pre-period adjustment beside the registry's A/A, two-proportion and
+    DID checks: per user, x = pre-period value (first half of global
+    time), y = experiment-period value; θ = Cxy/Vxx from exact integer
+    covariance moments; each hash-variant's adjusted mean
+    ȳᵥ − θ(x̄ᵥ − x̄) closes as ONE exact rational — numerator and
+    denominator in DECIMAL(38,0)/HUGEINT, floored via the
+    subtract-floor-mod identity so a negative numerator floors
+    identically cross-engine (truncating div would round toward zero).
+    One scan → per-user aggregate (users-sized) → two 1-row/2-row
+    aggregates: experiment readouts at any event volume."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    dollars = F.round("value").cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(2 * F.unix_micros("ts") < F.col("mm"), dollars).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(2 * F.unix_micros("ts") >= F.col("mm"), dollars).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    v = u.withColumn(
+        "variant", h15(F.col("user_id").cast("string"), salt="cuped") % 2
+    ).localCheckpoint(eager=True)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = v.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+    )
+    c = g.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("cxy"),
+        F.expr("n * sxx - sx * sx").alias("vxx"),
+    )
+    pv = v.groupBy("variant").agg(
+        F.count("*").cast("decimal(38,0)").alias("nv"),
+        F.sum("x").cast("decimal(38,0)").alias("sxv"),
+        F.sum("y").cast("decimal(38,0)").alias("syv"),
+    )
+    r = pv.crossJoin(F.broadcast(c)).selectExpr(
+        "variant",
+        "nv",
+        "syv",
+        "cxy",
+        "vxx",
+        "CASE WHEN vxx = 0 THEN 1000000 * syv * n"
+        " ELSE 1000000 * (syv * vxx * n - cxy * (sxv * n - sx * nv)) END AS num",
+        "CASE WHEN vxx = 0 THEN nv * n ELSE nv * vxx * n END AS den",
+    )
+    return r.selectExpr(
+        "CAST(variant AS BIGINT) AS variant",
+        "CAST(nv AS BIGINT) AS n_users",
+        "CAST(syv AS BIGINT) AS sum_y",
+        "CAST((1000000 * syv) div nv AS BIGINT) AS raw_mean_x1e6",
+        "CAST((num - ((num % den) + den) % den) div den AS BIGINT)"
+        " AS cuped_mean_x1e6",
+        "CAST(CASE WHEN vxx = 0 THEN 0 ELSE"
+        " (1000000 * cxy - ((1000000 * cxy % vxx) + vxx) % vxx) div vxx END"
+        " AS BIGINT) AS theta_x1e6",
+    )

@@ -1635,3 +1635,162 @@ def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.src), ',')"
         ).alias("sources"),
     )
+
+
+_EM_M0 = 900_000  # initial m (per-field agreement prob among matches), ppm
+_EM_L0 = 10_000   # initial λ (match prevalence among blocked pairs), ppm
+
+
+def _em_linkage_oracle() -> str:
+    ufs = ",\n".join(
+        f"""euf_{f} AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS u_num
+  FROM (SELECT count(*) AS c FROM p GROUP BY {f}))"""
+        for f in _FS_FIELDS
+    )
+    uppm = ",\n       ".join(
+        f"CAST((1000000 * (euf_{f}.u_num + 1)) // (ud.u_den + 1) AS BIGINT)"
+        f" AS u_{f}"
+        for f in _FS_FIELDS
+    )
+    gam = ", ".join(
+        f"CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END AS g_{f}"
+        for f in _FS_FIELDS
+    )
+    mprod = " * ".join(
+        f"CAST(CASE WHEN g_{f} = 1 THEN {_EM_M0} ELSE {1_000_000 - _EM_M0} END"
+        " AS HUGEINT)"
+        for f in _FS_FIELDS
+    )
+    uprod = " * ".join(
+        f"CAST(CASE WHEN g_{f} = 1 THEN u.u_{f} ELSE 1000000 - u.u_{f} END"
+        " AS HUGEINT)"
+        for f in _FS_FIELDS
+    )
+    msel = ",\n".join(
+        f"""(SELECT CAST((1000000 * sum(w_ppm * n * g_{f}))
+            // sum(w_ppm * n) AS BIGINT) FROM e) AS m1_{f}"""
+        for f in _FS_FIELDS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field" for f in _FS_FIELDS
+    )
+    m1_case = " ".join(
+        f"WHEN '{f}' THEN m.m1_{f}" for f in _FS_FIELDS
+    )
+    u_case = " ".join(f"WHEN '{f}' THEN u.u_{f}" for f in _FS_FIELDS)
+    return f"""
+WITH p AS (SELECT p_partkey AS pk, p_brand AS brand, p_size AS sz, p_type AS ty,
+                  CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS pb,
+                  CAST(round(p_retailprice * 10) AS BIGINT) AS pd,
+                  string_split(p_name, ' ')[1] AS tok0
+           FROM part),
+ud AS (SELECT CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) AS u_den
+       FROM p),
+eww AS (SELECT GREATEST(1, (count(*) + 19999) // 20000) AS w FROM p),
+{ufs},
+u AS (SELECT {uppm} FROM ud, {", ".join(f"euf_{f}" for f in _FS_FIELDS)}),
+pat AS (SELECT {gam}, CAST(count(*) AS BIGINT) AS n
+        FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz
+          AND a.pd % (SELECT w FROM eww) = b.pd % (SELECT w FROM eww)
+          AND a.pk < b.pk
+        GROUP BY 1, 2, 3),
+e AS (SELECT pat.*,
+             CAST((1000000 * CAST({_EM_L0} AS HUGEINT) * ({mprod}))
+                  // (CAST({_EM_L0} AS HUGEINT) * ({mprod})
+                      + CAST({1_000_000 - _EM_L0} AS HUGEINT) * ({uprod}))
+                  AS BIGINT) AS w_ppm
+      FROM pat, u),
+m AS (SELECT {msel}),
+l AS (SELECT CAST(sum(w_ppm * n) // sum(n) AS BIGINT) AS l1 FROM e)
+SELECT field,
+       CAST({_EM_M0} AS BIGINT) AS m0_ppm,
+       CAST(CASE field {m1_case} END AS BIGINT) AS m1_ppm,
+       CAST(CASE field {u_case} END AS BIGINT) AS u_ppm,
+       l.l1 AS lambda1_ppm
+FROM ({rows}) f, m, u, l
+"""
+
+
+@query("em_linkage_weights", _em_linkage_oracle())
+def q_em_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style EM parameter estimation for probabilistic record
+    linkage — the UNSUPERVISED upgrade of record_linkage_scores' fixed
+    m = 0.9: over the same blocked pair space, one exact E-step scores
+    each of the 2³ comparison patterns with the posterior match
+    probability (integer ppm, HUGEINT products of per-field m/u terms)
+    and one M-step re-estimates every field's m and the match prevalence
+    λ from the pattern-weighted counts. The DISTRIBUTED work is the
+    blocked pair join + 8-row pattern census; EM runs exactly on that
+    bounded table. Output: per field (m0, m1, u, λ₁) in ppm."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("sz"),
+        F.col("p_type").alias("ty"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000").alias("pb"),
+        F.expr("CAST(round(p_retailprice * 10) AS BIGINT)").alias("pd"),
+        F.element_at(F.split("p_name", " "), 1).alias("tok0"),
+    ).localCheckpoint(eager=True)
+    n_rows = int(p.count())
+    u_den = n_rows * (n_rows - 1)
+    u_ppm: dict[str, int] = {}
+    for f in _FS_FIELDS:
+        u_num = (
+            p.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("u"))
+            .first()["u"]
+        )
+        u_ppm[f] = (1_000_000 * (int(u_num) + 1)) // (u_den + 1)
+    wmod = max(1, (n_rows + 19_999) // 20_000)
+    pw = p.withColumn("pbw", F.col("pd") % wmod)
+    a, b = pw.alias("a"), pw.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.sz") == F.col("b.sz"))
+            & (F.col("a.pbw") == F.col("b.pbw"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(
+            *[
+                F.when(F.col(f"a.{f}") == F.col(f"b.{f}"), 1)
+                .otherwise(0)
+                .alias(f"g_{f}")
+                for f in _FS_FIELDS
+            ]
+        )
+        .groupBy(*[f"g_{f}" for f in _FS_FIELDS])
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()  # ≤ 2^3 rows — bounded pattern census
+    )
+    lam = _EM_L0
+    num_w = den_w = 0
+    m_num = {f: 0 for f in _FS_FIELDS}
+    for r in pat:
+        mp = up = 1
+        for f in _FS_FIELDS:
+            g = r[f"g_{f}"]
+            mp *= _EM_M0 if g == 1 else 1_000_000 - _EM_M0
+            up *= u_ppm[f] if g == 1 else 1_000_000 - u_ppm[f]
+        w = (1_000_000 * lam * mp) // (lam * mp + (1_000_000 - lam) * up)
+        num_w += w * r["n"]
+        den_w += r["n"]
+        for f in _FS_FIELDS:
+            if r[f"g_{f}"] == 1:
+                m_num[f] += w * r["n"]
+    lam1 = num_w // den_w if den_w else 0
+    rows = [
+        (
+            f,
+            _EM_M0,
+            (1_000_000 * m_num[f]) // num_w if num_w else 0,
+            u_ppm[f],
+            lam1,
+        )
+        for f in _FS_FIELDS
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m0_ppm long, m1_ppm long, u_ppm long, lambda1_ppm long"
+    )

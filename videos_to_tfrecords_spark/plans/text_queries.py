@@ -3307,3 +3307,53 @@ def q_dup_span_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_spans"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     ).select(F.col("span_len").cast("long").alias("span_len"), "n_spans", "n_docs")
+
+
+@query(
+    "temperature_mixture_weights",
+    """
+WITH s AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM s),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(sum(n_tokens) AS BIGINT) AS nt
+      FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST((1000000 * n_tokens) // t.nt AS BIGINT) AS raw_share_ppm,
+       CAST((1000000 * w) // t.wt AS BIGINT) AS temp_share_ppm,
+       CAST((1000000 * w) // t.wt - (1000000 * n_tokens) // t.nt AS BIGINT)
+         AS upweight_ppm
+FROM w, t
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (T = 2, the mT5/XLM-R
+    multilingual recipe): share ∝ n_tokens^(1/T) = ⌊√n_tokens⌋ — exact
+    because sqrt of an int64 < 2⁵³ is IEEE-exact in both engines (the
+    mixture-weights precedent). Reports each source's raw vs
+    temperature-flattened share and the up/down-weighting the flattening
+    applies — the knob that keeps low-resource sources from vanishing.
+    One scan + source-domain aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    t = w.agg(
+        F.sum("w").cast("long").alias("wt"),
+        F.sum("n_tokens").cast("long").alias("nt"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div nt").cast("long").alias("raw_share_ppm"),
+        F.expr("(1000000 * w) div wt").cast("long").alias("temp_share_ppm"),
+        F.expr("(1000000 * w) div wt - (1000000 * n_tokens) div nt")
+        .cast("long")
+        .alias("upweight_ppm"),
+    )
