@@ -2750,3 +2750,152 @@ def q_kendall_tau_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = e.agg(F.count("*").cast("long").alias("n_rows"))
     return nn.crossJoin(s).crossJoin(tx).crossJoin(ty)
+
+
+@query(
+    "seasonal_decomposition_dow",
+    """
+WITH d AS (SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+mm AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (SELECT unnest(range((SELECT lo FROM mm), (SELECT hi FROM mm) + 1))
+            AS day),
+f AS (SELECT spine.day, coalesce(d.y, 0) AS y
+      FROM spine LEFT JOIN d USING (day)),
+t AS (SELECT day, y,
+             CAST(sum(y) OVER w // 7 AS BIGINT) AS trend,
+             count(*) OVER w AS wn
+      FROM f WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+r AS (SELECT day, y, trend, y - trend AS resid, day % 7 AS dow7
+      FROM t WHERE wn = 7),
+s AS (SELECT dow7, CAST(count(*) AS BIGINT) AS n_days,
+             CAST((sum(resid) + 1000000 * count(*)) // count(*) - 1000000
+                  AS BIGINT) AS seasonal
+      FROM r GROUP BY dow7),
+e AS (SELECT r.dow7, r.resid - s.seasonal AS rem FROM r JOIN s USING (dow7))
+SELECT s.dow7, s.n_days, s.seasonal,
+       CAST(sum(CAST(e.rem AS HUGEINT) * e.rem) AS BIGINT) AS remainder_ss
+FROM s JOIN e ON e.dow7 = s.dow7
+GROUP BY s.dow7, s.n_days, s.seasonal
+""",
+)
+def q_seasonal_decomposition_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily order series:
+    trend = centered 7-day moving average (integer floor, full windows
+    only on the gap-densified spine), seasonal = per-day-of-week floor-mean
+    of the detrended residual (shifted nonnegative before the floor
+    division — residuals can be negative and truncating div would differ),
+    and the per-dow remainder sum-of-squares as the decomposition-quality
+    readout. Day-domain bounded end to end: the census is days-sized no
+    matter the corpus."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    mm = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = mm.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    f = spine.join(d, "day", "left").select(
+        "day", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    t = f.select(
+        "day",
+        "y",
+        F.expr("sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)")
+        .alias("wsum"),
+        F.count("*").over(w).alias("wn"),
+    )
+    r = (
+        t.filter(F.col("wn") == 7)
+        .select(
+            "day",
+            "y",
+            F.expr("wsum div 7").cast("long").alias("trend"),
+            (F.col("day") % 7).alias("dow7"),
+        )
+        .withColumn("resid", F.col("y") - F.col("trend"))
+    ).localCheckpoint(eager=True)  # feeds the seasonal agg + remainder join
+    s = r.groupBy("dow7").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("(sum(resid) + 1000000 * count(*)) div count(*) - 1000000")
+        .cast("long")
+        .alias("seasonal"),
+    )
+    e = r.join(F.broadcast(s), "dow7").withColumn(
+        "rem", F.col("resid") - F.col("seasonal")
+    )
+    return e.groupBy("dow7", "n_days", "seasonal").agg(
+        F.sum(F.col("rem").cast("decimal(38,0)") * F.col("rem"))
+        .cast("long")
+        .alias("remainder_ss")
+    )
+
+
+@query(
+    "theil_sen_order_trend",
+    """
+WITH d AS MATERIALIZED (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+p AS (SELECT (1000000 * (b.y - a.y)
+              - (((1000000 * (b.y - a.y)) % (b.day - a.day))
+                 + (b.day - a.day)) % (b.day - a.day))
+             / (b.day - a.day) AS slope_x1e6
+      FROM d a JOIN d b ON b.day > a.day),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+SELECT n.n_pairs,
+       CAST(quantile_disc(p.slope_x1e6, 0.5) AS BIGINT) AS ts_slope_x1e6,
+       CAST(min(p.slope_x1e6) AS BIGINT) AS min_slope_x1e6,
+       CAST(max(p.slope_x1e6) AS BIGINT) AS max_slope_x1e6
+FROM p, n GROUP BY n.n_pairs
+""",
+)
+def q_theil_sen_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order volume: the exact MEDIAN of
+    all pairwise day-to-day slopes (quantized ×1e6 with the
+    subtract-floor-mod identity so negative slopes floor identically in
+    both engines) — the outlier-immune alternative to the OLS trend the
+    registry already fits. The pair space is DAY-domain-bounded
+    (days²/2 ≈ 2.9M pairs at ~2400 days regardless of corpus rows), so the
+    exact median is a percentile_disc over a bounded table."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("y"))
+    ).localCheckpoint(eager=True)
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.expr(
+            "(1000000 * (b.y - a.y)"
+            " - (((1000000 * (b.y - a.y)) % (b.day - a.day))"
+            "    + (b.day - a.day)) % (b.day - a.day))"
+            " div (b.day - a.day)"
+        )
+        .cast("long")
+        .alias("slope_x1e6")
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_x1e6)")
+        .cast("long")
+        .alias("ts_slope_x1e6"),
+        F.min("slope_x1e6").cast("long").alias("min_slope_x1e6"),
+        F.max("slope_x1e6").cast("long").alias("max_slope_x1e6"),
+    )
