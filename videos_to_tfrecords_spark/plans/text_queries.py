@@ -3357,3 +3357,143 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("upweight_ppm"),
     )
+
+
+_BLOCKTERMS = ("casino", "viagra", "xxx", "lottery", "winner", "prize",
+               "click", "free", "offer", "deal")
+
+
+@query(
+    "blocklist_filter_census",
+    f"""
+WITH tok AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+                    list_filter(string_split(lower(text), ' '),
+                                x -> x IN ({", ".join(f"'{t}'" for t in _BLOCKTERMS)}))
+                      AS hits
+             FROM documents),
+per AS (SELECT doc_id, source, n_tok, len(hits) AS n_hits,
+               CAST(floor(10000.0 * len(hits) / n_tok) AS BIGINT) AS rate_x1e4
+        FROM tok WHERE n_tok > 0)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN rate_x1e4 >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_flagged,
+       CAST(sum(CASE WHEN rate_x1e4 >= 100 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS flagged_id_sum
+FROM per GROUP BY source
+""",
+)
+def q_blocklist_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist filter census (the Dolma/C4 'bad words' stage): per
+    source, total blocklisted-token hits and the documents whose hit RATE
+    crosses 1% (the drop rule), with the exact flagged-id sum pinning the
+    drop set. The term list is an inlined constant (the stopword-list
+    pattern); one scan + source-domain aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _BLOCKTERMS])
+    toks = F.split(F.lower(F.col("text")), " ")
+    per = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda x: F.array_contains(terms, x))).alias(
+            "n_hits"
+        ),
+    ).filter(F.col("n_tok") > 0)
+    per = per.withColumn(
+        "rate_x1e4",
+        F.floor(10000.0 * F.col("n_hits") / F.col("n_tok")).cast("long"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.sum(F.when(F.col("rate_x1e4") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_flagged"),
+        F.sum(F.when(F.col("rate_x1e4") >= 100, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("flagged_id_sum"),
+    )
+
+
+@query(
+    "leakage_free_split_audit",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+comp0 AS (
+  WITH RECURSIVE cc(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, cc.r FROM edges e JOIN cc ON e.dst = cc.node)
+  SELECT node, min(r) AS component FROM cc GROUP BY node),
+lbl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp0 c ON c.node = d.doc_id),
+naive AS (SELECT id_a, id_b FROM dup
+          WHERE ({h15_sql("CAST(id_a AS VARCHAR)", salt="spl")} % 5 = 0)
+             != ({h15_sql("CAST(id_b AS VARCHAR)", salt="spl")} % 5 = 0)),
+grouped AS (
+  SELECT d.id_a, d.id_b FROM dup d
+  JOIN lbl la ON la.doc_id = d.id_a JOIN lbl lb ON lb.doc_id = d.id_b
+  WHERE ({h15_sql("CAST(la.grp AS VARCHAR)", salt="spl")} % 5 = 0)
+     != ({h15_sql("CAST(lb.grp AS VARCHAR)", salt="spl")} % 5 = 0))
+SELECT CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_dup_pairs,
+       CAST((SELECT count(*) FROM naive) AS BIGINT) AS naive_cross_pairs,
+       CAST((SELECT count(*) FROM grouped) AS BIGINT) AS grouped_cross_pairs,
+       CAST((SELECT count(*) FROM lbl
+             WHERE {h15_sql("CAST(grp AS VARCHAR)", salt="spl")} % 5 = 0)
+            AS BIGINT) AS n_test_docs
+""",
+)
+def q_leakage_free_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split audit — the leakage gate an eval
+    team runs before trusting held-out numbers: under a NAIVE per-doc hash
+    split, how many near-dup pairs straddle the boundary (train/test
+    leakage), versus the GROUP-AWARE split that hashes the near-dup
+    COMPONENT id instead (provably zero crossing pairs — both members
+    share the group key). Reports both counts, the dup-pair total, and
+    the group-split test-set size. Composition: lossless pair generation →
+    connected components → two hash-split censuses."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = ngram_jaccard_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    dup = dup.localCheckpoint(eager=True)  # feeds CC + both censuses
+    comp = connected_components(dup)
+    lbl = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("grp")
+        )
+    ).localCheckpoint(eager=True)
+    tst = lambda c: h15(c.cast("string"), salt="spl") % 5 == 0  # noqa: E731
+    naive = dup.filter(
+        tst(F.col("id_a")) != tst(F.col("id_b"))
+    ).agg(F.count("*").cast("long").alias("naive_cross_pairs"))
+    la = lbl.select(F.col("doc_id").alias("id_a"), F.col("grp").alias("ga"))
+    lb = lbl.select(F.col("doc_id").alias("id_b"), F.col("grp").alias("gb"))
+    grouped = (
+        dup.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(tst(F.col("ga")) != tst(F.col("gb")))
+        .agg(F.count("*").cast("long").alias("grouped_cross_pairs"))
+    )
+    nd = dup.agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    nt = lbl.filter(tst(F.col("grp"))).agg(
+        F.count("*").cast("long").alias("n_test_docs")
+    )
+    return nd.crossJoin(naive).crossJoin(grouped).crossJoin(nt)
