@@ -2899,3 +2899,138 @@ def q_theil_sen_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("slope_x1e6").cast("long").alias("min_slope_x1e6"),
         F.max("slope_x1e6").cast("long").alias("max_slope_x1e6"),
     )
+
+
+@query(
+    "chisq_independence_source_lang",
+    """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT source, CAST(sum(n) AS BIGINT) AS nr FROM c GROUP BY 1),
+l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+grid AS (SELECT r.source, l.lang, r.nr, l.nl, coalesce(c.n, 0) AS n
+         FROM r CROSS JOIN l LEFT JOIN c USING (source, lang)),
+q AS (SELECT CAST(sum(
+         ((CAST(n AS HUGEINT) * t.nt - CAST(nr AS HUGEINT) * nl)
+          * (CAST(n AS HUGEINT) * t.nt - CAST(nr AS HUGEINT) * nl) * 1000000)
+         // (CAST(nr AS HUGEINT) * nl * t.nt)) AS HUGEINT) AS chi_num,
+      CAST(count(*) AS BIGINT) AS n_cells
+      FROM grid, t)
+SELECT CAST(q.chi_num AS BIGINT) AS chi2_x1e6,
+       q.n_cells,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS n_sources,
+       CAST((SELECT count(*) FROM l) AS BIGINT) AS n_langs
+FROM q
+""",
+)
+def q_chisq_independence_source_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square test of independence between source and language — the
+    categorical-association audit beside the drift chisq (which compares
+    time halves): Σ (n·N − nr·nl)² / (nr·nl·N) over the densified
+    contingency grid, every term an exact HUGEINT/DECIMAL(38,0) rational
+    floored at 1e6 (expected counts never materialize as floats). Domain
+    is sources × langs — bounded at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    r = c.groupBy("source").agg(F.sum("n").cast("long").alias("nr"))
+    l = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    t = c.agg(F.sum("n").cast("long").alias("nt"))
+    grid = (
+        r.crossJoin(l)
+        .join(c, ["source", "lang"], "left")
+        .select("source", "lang", "nr", "nl", F.coalesce("n", F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(t))
+    )
+    term = (
+        "((CAST(n AS DECIMAL(38,0)) * nt - CAST(nr AS DECIMAL(38,0)) * nl)"
+        " * (CAST(n AS DECIMAL(38,0)) * nt - CAST(nr AS DECIMAL(38,0)) * nl)"
+        " * 1000000) div (CAST(nr AS DECIMAL(38,0)) * nl * nt)"
+    )
+    q = grid.agg(
+        F.sum(F.expr(term)).cast("decimal(38,0)").alias("chi_num"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    nr = r.agg(F.count("*").cast("long").alias("n_sources"))
+    nl = l.agg(F.count("*").cast("long").alias("n_langs"))
+    return (
+        q.select(
+            F.col("chi_num").cast("long").alias("chi2_x1e6"), "n_cells"
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nl))
+    )
+
+
+@query(
+    "customer_value_lorenz",
+    """
+WITH u AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM u),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot
+      FROM u),
+c AS (SELECT rn, sum(cents) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM r),
+d AS (SELECT CAST(d AS BIGINT) AS decile,
+             (SELECT max(cum) FROM c WHERE rn <= (d * n.n) // 10) AS cum
+      FROM generate_series(1, 10) AS g(d), n)
+SELECT decile,
+       CAST((1000000 * CAST(cum AS HUGEINT)) // n.tot AS BIGINT)
+         AS cum_share_ppm,
+       CAST(decile * 100000 - (1000000 * CAST(cum AS HUGEINT)) // n.tot
+            AS BIGINT) AS equality_gap_ppm
+FROM d, n
+""",
+)
+def q_customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer order value (the curve UNDER the Gini the
+    registry already reports): cumulative value share of the poorest
+    10%..100% of customers, plus each decile's gap to perfect equality —
+    the concentration chart a revenue or data-contribution audit reads.
+    Exact: per-customer cents census, deterministic (cents, custkey)
+    order, running-frame cumulative, ppm floor division."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = u.withColumn(
+        "rn", F.row_number().over(W.orderBy("cents", "o_custkey")).cast("long")
+    ).localCheckpoint(eager=True)
+    n = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    c = r.withColumn(
+        "cum",
+        F.sum("cents").over(W.orderBy("rn").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    dec = spark.range(1, 11).select(F.col("id").alias("decile"))
+    d = (
+        dec.crossJoin(F.broadcast(n))
+        .join(c, c["rn"] <= F.expr("(decile * n) div 10"))
+        .groupBy("decile", "tot")
+        .agg(F.max("cum").alias("cum"))
+    )
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.expr("(1000000 * CAST(cum AS DECIMAL(38,0))) div tot")
+        .cast("long")
+        .alias("cum_share_ppm"),
+        F.expr(
+            "decile * 100000 - (1000000 * CAST(cum AS DECIMAL(38,0))) div tot"
+        )
+        .cast("long")
+        .alias("equality_gap_ppm"),
+    ).orderBy("decile")
