@@ -3994,3 +3994,90 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (1000000 * cxy - ((1000000 * cxy % vxx) + vxx) % vxx) div vxx END"
         " AS BIGINT) AS theta_x1e6",
     )
+
+
+def _kripp_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    def lab(noise_salt: str, flip_salt: str) -> str:
+        return (
+            f"CASE WHEN {h15_sql('text', flip_salt)} % 10 < 2"
+            f" THEN {h15_sql('text', noise_salt)} % 3"
+            f" ELSE {h15_sql('text', 'kap-sig')} % 3 END"
+        )
+
+    return f"""
+WITH lab AS (
+  SELECT lang, {lab('kap-na', 'kap-fa')} AS a, {lab('kap-nb', 'kap-fb')} AS b
+  FROM documents),
+agg AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a != b THEN 1 ELSE 0 END) AS HUGEINT) AS d,
+         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS p0,
+         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS p1,
+         CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS p2
+  FROM lab GROUP BY lang),
+m AS (SELECT lang, n, d, (2*n)*(2*n) - (p0*p0 + p1*p1 + p2*p2) AS de_num
+      FROM agg)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS n_disagree,
+       CAST(CASE WHEN de_num = 0 OR n <= 0 THEN 0 ELSE
+            (1000000 * (de_num * n - d * (2*n) * (2*n - 1)))
+            // (de_num * n) END AS BIGINT) AS alpha_ppm
+FROM m
+"""
+
+
+@query("krippendorff_alpha", _kripp_oracle())
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, 2 coders) per language — the
+    chance-corrected agreement metric that, unlike Cohen's kappa beside
+    it, draws expected disagreement from the POOLED label marginals
+    (the content-analysis standard, and the one that generalizes to
+    missing data). Same deterministic hash labelers as annotator_kappa so
+    the two metrics are directly comparable; α = 1 − Do/De closes as ONE
+    exact integer rational: ⌊1e6·(Deₙ·n − d·2n(2n−1)) / (Deₙ·n)⌋ with
+    Deₙ = (2n)² − Σ_k pooled_k², everything DECIMAL(38,0)/HUGEINT."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    sig = h15(F.col("text"), "kap-sig") % 3
+
+    def lab(noise_salt: str, flip_salt: str):
+        return F.when(
+            h15(F.col("text"), flip_salt) % 10 < 2,
+            h15(F.col("text"), noise_salt) % 3,
+        ).otherwise(sig)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", lab("kap-na", "kap-fa").alias("a"), lab("kap-nb", "kap-fb").alias("b")
+    )
+    d38 = "decimal(38,0)"
+    pooled = lambda k: (  # noqa: E731
+        F.sum(F.when(F.col("a") == k, 1).otherwise(0))
+        + F.sum(F.when(F.col("b") == k, 1).otherwise(0))
+    ).cast(d38)
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0))
+        .cast(d38)
+        .alias("d"),
+        *[pooled(k).alias(f"p{k}") for k in range(3)],
+    )
+    m = agg.select(
+        "lang",
+        "n",
+        "d",
+        F.expr("(2*n)*(2*n) - (p0*p0 + p1*p1 + p2*p2)").alias("de_num"),
+    )
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("n_disagree"),
+        F.expr(
+            "CAST(CASE WHEN de_num = 0 OR n <= 0 THEN 0 ELSE"
+            " (1000000 * (de_num * n - d * (2*n) * (2*n - 1)))"
+            " div (de_num * n) END AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )
