@@ -148,11 +148,36 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL{suffix}.json"
     )
+    # MIN-MERGE into the existing snapshot instead of overwriting it: the
+    # in-repo convention is per-query MIN across runs (machine noise between
+    # whole-suite runs is 1.1-1.5×), and a driver full run used to clobber
+    # the curated snapshot with one noisy pass. Plan-changed queries that
+    # must RESET upward are edited manually with a BASELINE.md adjudication.
+    merged_q, merged_runs = dict(timings), dict(raw_runs)
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as f:
+                prev = json.load(f)
+            for k, v in prev.get("queries", {}).items():
+                if k in merged_q and v >= 0 and merged_q[k] >= 0:
+                    merged_q[k] = min(merged_q[k], v)
+                elif k not in merged_q:
+                    merged_q[k] = v
+            for k, rs in prev.get("runs", {}).items():
+                merged_runs[k] = rs + merged_runs.get(k, [])
+        except (json.JSONDecodeError, OSError):
+            pass  # corrupt/absent snapshot: write fresh
+    merged = {
+        **payload,
+        "queries": merged_q,
+        "value": round(sum(t for t in merged_q.values() if t >= 0), 3),
+        "runs": merged_runs,
+    }
     with open(full_path, "w") as f:
         # the one-line stdout payload keeps the driver's schema; the full
         # file additionally records every raw run so cross-round deltas
         # can be attributed to code vs machine noise
-        json.dump({**payload, "runs": raw_runs}, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
