@@ -4081,3 +4081,178 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (de_num * n) END AS BIGINT)"
         ).alias("alpha_ppm"),
     )
+
+
+def _experiment_e2e_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    ha = h15_sql("CAST(event_id AS VARCHAR)", salt="aa")
+    hu = h15_sql("CAST(user_id AS VARCHAR)", salt="cuped")
+    return f"""
+WITH e AS (SELECT {ha} % 2 AS side,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+g AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+             CAST(sum(CASE WHEN side = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+             CAST(sum(CASE WHEN side = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb
+      FROM e),
+aa AS (SELECT CASE WHEN (sa + sb) = 0 OR (sa + sb) = (na + nb) THEN TRUE
+              ELSE (1000000 * (sa*nb - sb*na) * (sa*nb - sb*na) * (na+nb))
+                   // (na * nb * (sa+sb) * (na+nb-sa-sb)) < 3841459 END
+                AS aa_ok
+       FROM g),
+mm AS (SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mm
+       FROM events),
+u AS (SELECT user_id,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) < (SELECT mm FROM mm)
+                      THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) >= (SELECT mm FROM mm)
+                      THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id),
+v AS (SELECT user_id, x, y, {hu} % 2 AS variant FROM u),
+cg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(x AS HUGEINT) * y) AS sxy
+       FROM v),
+cc AS (SELECT n, sx, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS vxx
+       FROM cg),
+pv AS (SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+              CAST(sum(x) AS HUGEINT) AS sxv, CAST(sum(y) AS HUGEINT) AS syv
+       FROM v GROUP BY variant),
+r AS (SELECT pv.variant,
+             CASE WHEN cc.vxx = 0 THEN 1000000 * pv.syv * cc.n
+                  ELSE 1000000 * (pv.syv * cc.vxx * cc.n
+                                  - cc.cxy * (pv.sxv * cc.n - cc.sx * pv.nv))
+             END AS num,
+             CASE WHEN cc.vxx = 0 THEN pv.nv * cc.n
+                  ELSE pv.nv * cc.vxx * cc.n END AS den
+      FROM pv, cc),
+adj AS (SELECT variant,
+               CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS m
+        FROM r),
+lift AS (SELECT (SELECT m FROM adj WHERE variant = 1)
+               - (SELECT m FROM adj WHERE variant = 0) AS lift_x1e6)
+SELECT aa.aa_ok,
+       CAST((SELECT m FROM adj WHERE variant = 0) AS BIGINT)
+         AS control_mean_x1e6,
+       CAST((SELECT m FROM adj WHERE variant = 1) AS BIGINT)
+         AS treat_mean_x1e6,
+       CAST(lift.lift_x1e6 AS BIGINT) AS lift_x1e6,
+       (aa.aa_ok AND lift.lift_x1e6 > 0) AS ship_decision
+FROM aa, lift
+"""
+
+
+@query("experiment_readout_e2e", _experiment_e2e_oracle())
+def q_experiment_readout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END experimentation readout — the seventh mainline: the A/A
+    bias gate on a pure event-hash split (same χ² statistic and 3.84
+    critical value as aa_test_null_check) feeding the CUPED
+    variance-reduced per-variant means and the ship/hold decision
+    (A/A clean AND positive adjusted lift). Every stage is the registry's
+    individually-verified operator; this pins the COMPOSITION (the gate
+    boolean, both adjusted means, the lift, and the decision) in one
+    hash-checked row."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (h15(F.col("event_id").cast("string"), salt="aa") % 2).alias("side"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    g = e.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast(d38).alias("na"),
+        F.sum(F.when(F.col("side") == 0, F.col("y")).otherwise(0))
+        .cast(d38)
+        .alias("sa"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast(d38).alias("nb"),
+        F.sum(F.when(F.col("side") == 1, F.col("y")).otherwise(0))
+        .cast(d38)
+        .alias("sb"),
+    )
+    aa = g.selectExpr(
+        "CASE WHEN (sa + sb) = 0 OR (sa + sb) = (na + nb) THEN TRUE"
+        " ELSE (1000000 * (sa*nb - sb*na) * (sa*nb - sb*na) * (na+nb))"
+        "      div (na * nb * (sa+sb) * (na+nb-sa-sb)) < 3841459 END AS aa_ok"
+    )
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("long")
+        .alias("mm")
+    )
+    dollars = F.round("value").cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(2 * F.unix_micros("ts") < F.col("mm"), dollars).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(2 * F.unix_micros("ts") >= F.col("mm"), dollars).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    v = u.withColumn(
+        "variant", h15(F.col("user_id").cast("string"), salt="cuped") % 2
+    ).localCheckpoint(eager=True)
+    cg = v.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+    )
+    cc = cg.selectExpr(
+        "n", "sx", "n * sxy - sx * sy AS cxy", "n * sxx - sx * sx AS vxx"
+    )
+    pv = v.groupBy("variant").agg(
+        F.count("*").cast(d38).alias("nv"),
+        F.sum("x").cast(d38).alias("sxv"),
+        F.sum("y").cast(d38).alias("syv"),
+    )
+    adj = (
+        pv.crossJoin(F.broadcast(cc))
+        .selectExpr(
+            "variant",
+            "CASE WHEN vxx = 0 THEN 1000000 * syv * n"
+            " ELSE 1000000 * (syv * vxx * n - cxy * (sxv * n - sx * nv)) END"
+            " AS num",
+            "CASE WHEN vxx = 0 THEN nv * n ELSE nv * vxx * n END AS den",
+        )
+        .selectExpr(
+            "variant",
+            "CAST((num - ((num % den) + den) % den) div den AS BIGINT) AS m",
+        )
+    )
+    a0 = adj.filter(F.col("variant") == 0).select(
+        F.col("m").alias("control_mean_x1e6")
+    )
+    a1 = adj.filter(F.col("variant") == 1).select(
+        F.col("m").alias("treat_mean_x1e6")
+    )
+    return (
+        aa.crossJoin(a0)
+        .crossJoin(a1)
+        .select(
+            "aa_ok",
+            "control_mean_x1e6",
+            "treat_mean_x1e6",
+            (F.col("treat_mean_x1e6") - F.col("control_mean_x1e6"))
+            .cast("long")
+            .alias("lift_x1e6"),
+            (
+                F.col("aa_ok")
+                & (F.col("treat_mean_x1e6") > F.col("control_mean_x1e6"))
+            ).alias("ship_decision"),
+        )
+    )
