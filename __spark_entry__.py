@@ -266,26 +266,111 @@ _JUDGE_ONLY_R5 = (
 )
 
 
+# Names green in CORRECTNESS_r06.json (48 full hash passes) — back of the
+# line with the other driver-verified tiers.
+_DRIVER_VERIFIED_R6 = (
+    "bigram_lm_next_token_accuracy", "brier_decomposition",
+    "canary_contamination_scan", "classifier_ece_summary",
+    "classifier_eval_card", "coverage_source_selection",
+    "cross_source_duplication", "doc_containment_pairs",
+    "edit_distance_adjacent", "embedding_alignment_margin",
+    "embedding_anisotropy", "embedding_dedup_funnel_e2e",
+    "embedding_hubness_topk", "embedding_intrinsic_dimension",
+    "fim_transform_census", "fisher_discriminant_ratio",
+    "hapax_rate_by_source", "heaps_law_fit", "hybrid_rrf_fusion",
+    "incremental_dedup_delta", "incremental_join_maintenance",
+    "isotonic_calibration_fit", "kcenter_coreset",
+    "label_noise_knn_audit", "minhash_estimate_calibration",
+    "mmr_diversified_retrieval", "quantization_recall_eval",
+    "rag_retrieval_e2e", "range_window_revenue", "ranker_rbo_agreement",
+    "retrieval_ndcg_eval", "rouge_adjacent_overlap",
+    "ship_latency_by_priority", "source_quota_sample",
+    "source_unigram_kl", "streaming_dedup_events",
+    "streaming_heavy_hitters", "streaming_hll_distinct",
+    "streaming_session_windows", "streaming_value_drift",
+    "subscription_regularity_topk", "threshold_tuning_max_f1",
+    "traffic_profile_dow_hour", "unpivot_part_metrics",
+    "value_drift_chisq", "value_drift_psi", "video_scene_segments",
+    "vocab_zipf_slope",
+)
+
+# FRONT of the r07 snapshot prefix (VERDICT r06 items #1/#2/#4): the
+# 2-round red row curation_funnel_census (oracle dtype coercion fixed this
+# round — outer BIGINT cast), corpus_curation_e2e (green in r05 but its
+# near-dedup stage was rewritten in r6, and it shares every stage with the
+# red query), all 29 round-6 additions (never driver-checked; includes the
+# two dtype-parity latents kendall_tau_value_hour and
+# purchase_attribution_time_decay, both fixed this round),
+# text_pipeline_e2e (newly given a hash-checked oracle), then the 71
+# round-5-tail names with no driver-of-record row in any
+# CORRECTNESS_r01–r06.
+_TIER1_R7 = (
+    "curation_funnel_census", "corpus_curation_e2e",
+    "cross_doc_span_removal", "span_dedup_keep_first",
+    "eval_span_contamination", "boilerplate_prefix_census",
+    "dup_cluster_size_histogram", "truncation_loss_census",
+    "token_burstiness_topk", "dup_span_length_histogram",
+    "temperature_mixture_weights", "blocklist_filter_census",
+    "leakage_free_split_audit", "pq_codebook_profile", "pq_adc_recall",
+    "value_drift_psi_weekly", "streaming_stream_static_join",
+    "holt_linear_order_forecast", "sql_frontend_recursive_rollup",
+    "kendall_tau_value_hour", "seasonal_decomposition_dow",
+    "theil_sen_order_trend", "chisq_independence_source_lang",
+    "customer_value_lorenz", "graph_adamic_adar_topk",
+    "em_linkage_weights", "purchase_attribution_time_decay",
+    "markov_removal_attribution", "cuped_adjusted_lift",
+    "krippendorff_alpha", "experiment_readout_e2e", "text_pipeline_e2e",
+    "benford_first_digit", "mannwhitney_value_by_flag",
+    "price_skewness_by_brand", "shipping_survival_curve",
+    "order_volume_cusum", "trimmed_mean_price_by_flag",
+    "customer_value_gini", "price_mad_robust_scale",
+    "asof_nearest_purchase", "hll_accuracy_eval",
+    "daily_anomaly_robust_z", "event_trigram_topk",
+    "interarrival_exponential_gof", "capture_recapture_estimate",
+    "count_overdispersion", "simpsons_paradox_scan", "hill_tail_index",
+    "price_elasticity_by_brand", "event_order_inversions",
+    "event_entropy_rate", "graph_hits_trade",
+    "graph_degree_assortativity", "graph_bfs_distances",
+    "graph_rich_club", "token_pmi_pairs", "vocab_coverage_curve",
+    "table_profile_lineitem", "snapshot_diff_orders",
+    "tfrecord_source_roundtrip", "k_anonymity_audit",
+    "deletion_cascade_audit", "heavy_hitters_mg", "l_diversity_audit",
+    "bloom_filter_fpr", "t_closeness_audit", "golden_record_survivorship",
+    "value_drift_emd", "sliding_distinct_users", "shard_manifest",
+    "supplier_bt_strength", "annotator_kappa", "preference_pipeline_e2e",
+    "source_loo_value", "mcnemar_model_compare", "compaction_plan",
+    "label_centroid_distances", "mixture_token_budget_plan",
+    "sample_representativeness_audit", "cohort_did_purchase",
+    "dataset_datasheet", "churn_training_frame", "bandit_replay_eval",
+    "conformal_coverage_eval", "cv_fold_balance_audit",
+    "preference_confound_audit", "crossmodal_integrity_audit",
+    "crossmodal_spearman_length_norm", "markov_next_event_accuracy",
+    "naive_bayes_source_eval", "knn_shapley_values", "eval_pass_at_k",
+    "wilson_lower_bound_ranking", "dsir_effective_sample_size",
+    "eval_best_of_k_value", "group_relative_advantage",
+    "preference_transitivity_audit", "value_drift_ks",
+    "copurchase_recommender_eval", "two_proportion_ztest",
+    "value_drift_qq", "aa_test_null_check",
+)
+
+
 def _rotated(mapping: dict) -> dict:
     """Three-tier ordering so the driver's fixed-size snapshot prefix always
-    covers the least-driver-verified queries first: (1) r05's red row
-    (curation_funnel_census, fixed this round) + the 120 names with no
-    driver-of-record row after r05 — the round-5 additions plus the 14
-    _JUDGE_ONLY_R4 names r05's 50-entry snapshot didn't reach, (2)
-    brand-new round-6 additions, (3) queries already green in
-    CORRECTNESS_r01..r05."""
-    # _JUDGE_ONLY_R4 names the r05 snapshot DID check (all green there);
-    # the unreached rest are inside _JUDGE_ONLY_R5 and stay front
-    checked_r5 = set(_JUDGE_ONLY_R4) - set(_JUDGE_ONLY_R5)
+    covers the least-driver-verified queries first: (1) _TIER1_R7 — the
+    re-fixed red row, its sibling E2E, every name with no driver-of-record
+    row in CORRECTNESS_r01–r06; (2) brand-new round-7 additions (in no
+    list yet); (3) queries already green in some CORRECTNESS_r01..r06."""
+    tier1 = [k for k in _TIER1_R7 if k in mapping]
+    t1 = set(tier1)
     driver_done = (
         set(_DRIVER_VERIFIED_R1_R2)
         | set(_DRIVER_VERIFIED_R3)
         | set(_DRIVER_VERIFIED_R4)
+        | set(_DRIVER_VERIFIED_R6)
         | set(_JUDGE_ONLY_R3)
-        | checked_r5
-    )
-    tier1 = [k for k in _JUDGE_ONLY_R5 if k in mapping]
-    t1 = set(tier1)
+        | set(_JUDGE_ONLY_R4)
+        | set(_JUDGE_ONLY_R5)
+    ) - t1
     order = tier1
     order += [k for k in mapping if k not in t1 and k not in driver_done]
     order += [k for k in mapping if k in driver_done and k not in t1]

@@ -100,6 +100,73 @@ def main() -> None:
 
         gc.collect()
 
+    # ---- automated drift adjudication (VERDICT r6 #7) ----------------
+    # r6 spent real manual time solo-re-measuring 12 in-suite >10× flags
+    # and still missed four 2.7–5.9× regressions. Automate the protocol:
+    # on a FULL canonical-SF run, any query whose in-suite min exceeds 3×
+    # its snapshot value (and by >2 s absolute, so sub-second queries
+    # don't flag on scheduler jitter) is re-run solo right here, free of
+    # suite contention; the solo time joins the min-merge and the
+    # adjudication table lands in BENCH_FULL.json for SCALE.md to cite.
+    adjudications: list[dict] = []
+    if only is None and sf == 0.1:
+        snap_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        snap_q: dict[str, float] = {}
+        if os.path.exists(snap_path):
+            try:
+                with open(snap_path) as f:
+                    snap_q = json.load(f).get("queries", {})
+            except (json.JSONDecodeError, OSError):
+                snap_q = {}
+        flagged = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if t >= 0
+                and snap_q.get(n, -1.0) > 0
+                and t > 3 * snap_q[n]
+                and t - snap_q[n] > 2.0
+            ),
+            key=lambda n: -timings[n],
+        )[:12]
+        qmap = entrymod.queries() if flagged else {}
+        for n in flagged:
+            solo_runs: list[float] = []
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    qmap[n](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    solo_runs.append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001
+                print(f"adjudication re-run failed for {n}: {e}", file=sys.stderr)
+                continue
+            solo = round(min(solo_runs), 3)
+            verdict = "noise" if solo <= 3 * snap_q[n] else "regression"
+            adjudications.append(
+                {
+                    "query": n,
+                    "snapshot": snap_q[n],
+                    "in_suite": timings[n],
+                    "solo": solo,
+                    "verdict": verdict,
+                }
+            )
+            print(
+                f"adjudicate {n}: snapshot={snap_q[n]} in_suite={timings[n]} "
+                f"solo={solo} -> {verdict}",
+                file=sys.stderr,
+            )
+            if solo < timings[n]:
+                timings[n] = solo
+                raw_runs[n] = raw_runs.get(n, []) + solo_runs
+            import gc
+
+            gc.collect()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "sum_query_sec",
@@ -108,6 +175,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if adjudications:
+        payload["adjudications"] = adjudications
     # the driver snapshot keeps only the LAST ~2000 chars of stdout
     # (BENCH_r05.json: tail len == 2000, "parsed": null) — a 325-query
     # JSON line is ~9 KB, so its head gets cut and the driver can't parse
@@ -124,12 +193,19 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "errors": sorted(n for n, t in timings.items() if t < 0)[:20],
+        "n_adjudicated": len(adjudications),
         "full": "BENCH_FULL.json",
         "queries": compact_q,
         "sf": sf,
     }
     line = json.dumps(compact)
     while len(line) > 1800 and compact["queries"]:
+        if len(compact["queries"]) == 1:
+            # r7 ADVICE fix: keep = max(1, 1//2) re-selects the same single
+            # entry forever — drop "queries" entirely instead of spinning
+            compact["queries"] = {}
+            line = json.dumps(compact)
+            break
         keep = max(1, len(compact["queries"]) // 2)
         compact["queries"] = dict(list(compact_q.items())[:keep])
         compact_q = compact["queries"]
@@ -158,13 +234,19 @@ def main() -> None:
         try:
             with open(full_path) as f:
                 prev = json.load(f)
+            # r7 ADVICE fix: intersect the previous snapshot with the
+            # CURRENT registry before merging — carrying deleted/renamed
+            # queries forward forever inflates "value" relative to
+            # n_queries and makes the snapshot unfalsifiable
+            current = set(timings)
             for k, v in prev.get("queries", {}).items():
-                if k in merged_q and v >= 0 and merged_q[k] >= 0:
+                if k not in current:
+                    continue
+                if v >= 0 and merged_q[k] >= 0:
                     merged_q[k] = min(merged_q[k], v)
-                elif k not in merged_q:
-                    merged_q[k] = v
             for k, rs in prev.get("runs", {}).items():
-                merged_runs[k] = rs + merged_runs.get(k, [])
+                if k in current:
+                    merged_runs[k] = rs + merged_runs.get(k, [])
         except (json.JSONDecodeError, OSError):
             pass  # corrupt/absent snapshot: write fresh
     merged = {

@@ -270,3 +270,24 @@ def test_common_neighbor_pairs_ids_between_2_31_and_2_32(spark):
     rows = [tuple(r) for r in common_neighbor_pairs(und, cap=8, topk=10).collect()]
     assert (lo, hi, 2) in rows
     assert all(pa >= 0 and pb >= 0 for pa, pb, _ in rows)
+
+
+def test_adamic_adar_tolerates_degree_one_hubs(spark):
+    """r7 ADVICE fix: a degree-1 hub's weight divisor is
+    floor(1e6·ln(1)) = 0, and the weight used to be computed for EVERY hub
+    before the wedge join could filter it — DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode. Degree-1 hubs can never produce a wedge, so the
+    query must succeed and score only the genuine wedge."""
+    from videos_to_tfrecords_spark.operators.graph import adamic_adar_pairs
+
+    # hub 4 connects {1, 2} (a real wedge); edges (3, 5) gives BOTH 3 and
+    # 5 capped degree 1 — the reproduction in the advice report
+    und = spark.createDataFrame(
+        [(4, 1), (4, 2), (3, 5)], "a long, b long"
+    )
+    rows = [tuple(r) for r in adamic_adar_pairs(und, cap=8, topk=10).collect()]
+    # exact integer weight of a degree-2 hub: 1e12 div floor(1e6·ln 2)
+    import math
+
+    w2 = 10**12 // math.floor(10**6 * math.log(2))
+    assert rows == [(1, 2, w2, 1)]

@@ -866,3 +866,25 @@ def test_pq_profile_and_adc_recall_invariants(spark):
     # recall is partial BY CONSTRUCTION here; it must still clear chance:
     # picking 3 of the 19 same-blob candidates at random ≈ 158/1000.
     assert out.recall_x1000 >= 400
+
+
+def test_ngram_jaccard_integer_bounds_exact_at_threshold_100(spark):
+    """r7 ADVICE fix: with t = 0.1 (the double 0.10000000000000000555…),
+    ALL THREE float-form candidate filters prune a true boundary pair —
+    ceil(0.1·10) = 2 shortens the prefix past the shared shingle,
+    0.1·10 > 1 fails the length filter at exact equality, and
+    ceil(0.1/1.1·11) = 2 exceeds the achievable overlap 1. The exact
+    integer forms (a+b−1) div b must keep it. Pair: |A|=10 shingles,
+    |B|=1, overlap 1 → J = 1/10 = threshold exactly; the shared shingle is
+    A's highest-df (last-ranked) one, so only a full-length prefix emits
+    it."""
+    a_text = " ".join([f"a{i}" for i in range(1, 10)] + ["x", "y", "z"])
+    b_text = "x y z"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold_x1000=100).collect()
+    }
+    assert got == {(1, 2)}

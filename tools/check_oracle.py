@@ -32,9 +32,77 @@ TABLES = (
 ).split()
 
 
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def duck_num_class(type_str: str, has_null: bool) -> str | None:
+    """Driver-visible pandas numeric class of a DuckDB column.
+
+    DuckDB's ``.df()`` fetches plain integer types to int64 (float64 when
+    NULLs are present), and HUGEINT / DECIMAL / DOUBLE / FLOAT all to
+    float64 — empirically verified on this box (DuckDB 1.0.0). The r5/r6
+    ``curation_funnel_census`` red row was exactly this: an uncast
+    ``sum(BIGINT)`` branch widened the UNION column to HUGEINT → float64,
+    while the engine emitted int64."""
+    t = type_str.upper()
+    if t in _DUCK_INT_TYPES:
+        return "float" if has_null else "int"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    return None
+
+
+def spark_num_class(simple: str, has_null: bool) -> str | None:
+    """Driver-visible pandas numeric class of a Spark column (Arrow
+    ``toPandas``): integral types → int64 (float64 with NULLs), floats →
+    float64, DECIMAL → object-of-Decimal, which NEVER matches a DuckDB
+    numeric class — decimal outputs must be cast before returning."""
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return "float" if has_null else "int"
+    if simple in ("double", "float"):
+        return "float"
+    if simple.startswith("decimal"):
+        return "decimal"
+    return None
+
+
+def dtype_mismatches(
+    scols: list[str],
+    stypes: dict[str, str],
+    srows: list[tuple],
+    dcols: list[str],
+    dtypes: dict[str, str],
+    drows: list[tuple],
+) -> list[str]:
+    """STRICT dtype parity (VERDICT r6 #1c): the driver's canonicalizer
+    distinguishes int64 from float64 from object-of-Decimal, so any query
+    whose two engines disagree on the numeric class of an output column is
+    a latent driver red row even when the values hash equal after the old
+    int-float collapse. Returns human-readable mismatch descriptions."""
+    si = {c: i for i, c in enumerate(scols)}
+    di = {c: i for i, c in enumerate(dcols)}
+    out = []
+    for c in scols:
+        if c not in di:
+            continue
+        snull = any(r[si[c]] is None for r in srows)
+        dnull = any(r[di[c]] is None for r in drows)
+        sc = spark_num_class(stypes[c], snull)
+        dc = duck_num_class(dtypes[c], dnull)
+        if sc is not None and dc is not None and sc != dc:
+            out.append(
+                f"dtype[{c}] spark {stypes[c]}->{sc} vs duck {dtypes[c]}->{dc}"
+            )
+    return out
+
+
 def canon(v) -> str:
     """Canonical string for a cell value, tolerant of float representation
-    and int-vs-float dtype drift between engines."""
+    and int-vs-float dtype drift between engines (the dtype-parity check
+    above enforces class agreement separately and strictly)."""
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -142,6 +210,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -151,9 +220,10 @@ def main() -> int:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -163,6 +233,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        problems += dtype_mismatches(scols, stypes, srows, dcols, dtypes, drows)
         if not problems:
             sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
             if sh != dh:

@@ -415,32 +415,46 @@ def ngram_jaccard_pairs(
     # order); everything else stays agg-shaped.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("d_len"))
     worder = Window.partitionBy(id_col).orderBy("df_s", "s")
+    # ALL three candidate filters below use EXACT INTEGER arithmetic on
+    # tx = threshold_x1000 (r7 ADVICE fix): the float forms ceil(t·d) /
+    # ceil(t/(1+t)·(la+lb)) / lb·t ≤ la are one-ulp hazards — e.g.
+    # t = 0.1 is the double 0.1000000000000000055…, so ceil(0.1·10) = 2,
+    # shortening the prefix by one token and silently breaking the
+    # losslessness theorem for thresholds whose exact bound is integral
+    # (t = 0.5 happened to be safe; 0.1/0.7/0.9 are not). Integer ceil of
+    # a/b for positive ints is (a + b − 1) div b — no rounding, any tx.
+    tx = int(threshold_x1000)
+    prefix_keep = F.expr(f"d_len - ((d_len * {tx} + 999) div 1000) + 1")
     prefix = (
         sh.join(freq, "s")
         .join(sizes, id_col)
         .withColumn("rn", F.row_number().over(worder))
-        .filter(F.col("rn") <= F.col("d_len") - F.ceil(F.lit(t) * F.col("d_len")) + 1)
+        .filter(F.col("rn") <= prefix_keep)
         .select(id_col, "s", "d_len", "rn")
     )
     sa, sb = prefix.alias("sa"), prefix.alias("sb")
-    # length filter (also lossless): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t.
+    # length filter (also lossless): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t —
+    # as integers, tx·|b| ≤ 1000·|a| and tx·|a| ≤ 1000·|b|.
     # POSITION filter (PPJoin, also lossless, r6): a shared prefix token at
     # rarest-first ranks (ra, rb) bounds the achievable overlap by
-    # 1 + min(la−ra, lb−rb); J ≥ t needs overlap ≥ ⌈t/(1+t)·(la+lb)⌉, so
-    # occurrence-pairs below that bound can't certify the pair — keeping a
-    # pair if ANY occurrence passes is a superset of PPJoin's candidate
-    # set (hence still lossless) and cut sf1 candidates 30.9M → 12.1M
-    # before the distinct+verify (the query's dominant cost).
+    # 1 + min(la−ra, lb−rb); J ≥ t needs overlap ≥ ⌈t/(1+t)·(la+lb)⌉ =
+    # ⌈tx·(la+lb) / (1000+tx)⌉, so occurrence-pairs below that bound can't
+    # certify the pair — keeping a pair if ANY occurrence passes is a
+    # superset of PPJoin's candidate set (hence still lossless) and cut
+    # sf1 candidates 30.9M → 12.1M before the distinct+verify (the
+    # query's dominant cost).
     pos_ok = F.lit(1) + F.least(
         F.col("sa.d_len") - F.col("sa.rn"), F.col("sb.d_len") - F.col("sb.rn")
-    ) >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("sa.d_len") + F.col("sb.d_len")))
+    ) >= F.expr(
+        f"((sa.d_len + sb.d_len) * {tx} + {1000 + tx - 1}) div {1000 + tx}"
+    )
     pairs = (
         sa.join(
             sb,
             (F.col("sa.s") == F.col("sb.s"))
             & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
-            & (F.col("sb.d_len") * F.lit(t) <= F.col("sa.d_len"))
-            & (F.col("sa.d_len") * F.lit(t) <= F.col("sb.d_len"))
+            & (F.col("sb.d_len") * tx <= F.col("sa.d_len") * 1000)
+            & (F.col("sa.d_len") * tx <= F.col("sb.d_len") * 1000)
             & pos_ok,
         )
         .select(F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b"))

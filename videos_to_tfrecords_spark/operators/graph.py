@@ -496,7 +496,7 @@ def common_neighbor_pairs(
     fl, fr = flat.alias("fl"), flat.alias("fr")
     wedges = fl.join(
         fr, (F.col("fl.x") == F.col("fr.x")) & (F.col("fl.y") < F.col("fr.y"))
-    ).select(F.expr("shiftleft(fl.y, 32) | fr.y").alias("pk"))
+    ).select(F.expr("shiftleft(cast(fl.y AS bigint), 32) | cast(fr.y AS bigint)").alias("pk"))
     # count via repartition-then-complete-aggregate, NOT a plain groupBy:
     # wedge counts are nearly flat (the sf1 co-purchase graph has 403M
     # wedges over 302M distinct pairs), so the partial aggregate compresses
@@ -524,7 +524,7 @@ def common_neighbor_pairs(
     # broadcast makes edge removal map-side; the count shuffle stays the
     # query's only large exchange. Bigger edge sets fall through to the
     # shuffle anti-join (same result, AQE-planned).
-    packed_e = e.select(F.expr("shiftleft(x, 32) | y").alias("pk"))
+    packed_e = e.select(F.expr("shiftleft(cast(x AS bigint), 32) | cast(y AS bigint)").alias("pk"))
     anti_side = (
         F.broadcast(packed_e) if n_edges <= 32_000_000 else packed_e
     )
@@ -571,8 +571,15 @@ def adamic_adar_pairs(
             F.lit("adamic_adar_pairs: packed wedge key requires node ids < 2^32"),
         ).isNull()
     ).persist()
+    # r7 ADVICE fix: a degree-1 hub makes the divisor floor(1e6·ln(1)) = 0
+    # and crashes the whole query under Spark 4's default ANSI mode — and
+    # the weight is evaluated on EVERY hub, before the wedge join filters
+    # anything. Degree-1 hubs can never produce a wedge (a wedge needs two
+    # distinct neighbors of the hub), so dropping them here changes no
+    # output row; it also shrinks the weighted adjacency the quadratic
+    # expansion reads.
     deg = flat.groupBy("x").agg(F.count("*").alias("dcap"))
-    wdeg = deg.select(
+    wdeg = deg.filter(F.col("dcap") >= 2).select(
         F.col("x").alias("hub"),
         F.expr("1000000000000L div floor(1000000 * ln(dcap))")
         .cast("long")
@@ -588,7 +595,7 @@ def adamic_adar_pairs(
     fl, fr = flw.alias("fl"), flat.alias("fr")
     wedges = fl.join(
         fr, (F.col("fl.x") == F.col("fr.x")) & (F.col("fl.y") < F.col("fr.y"))
-    ).select(F.expr("shiftleft(fl.y, 32) | fr.y").alias("pk"), F.col("fl.w").alias("w"))
+    ).select(F.expr("shiftleft(cast(fl.y AS bigint), 32) | cast(fr.y AS bigint)").alias("pk"), F.col("fl.w").alias("w"))
     default_parts = int(
         und.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -598,7 +605,7 @@ def adamic_adar_pairs(
         .groupBy("pk")
         .agg(F.sum("w").cast("long").alias("aa_score"), F.count("*").alias("n_common"))
     )
-    packed_e = e.select(F.expr("shiftleft(x, 32) | y").alias("pk"))
+    packed_e = e.select(F.expr("shiftleft(cast(x AS bigint), 32) | cast(y AS bigint)").alias("pk"))
     anti_side = F.broadcast(packed_e) if n_edges <= 32_000_000 else packed_e
     res = (
         scored.join(anti_side, "pk", "anti")

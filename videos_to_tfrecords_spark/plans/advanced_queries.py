@@ -2681,7 +2681,15 @@ mx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT) AS tie_x
 my AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT) AS tie_y
       FROM (SELECT sum(n) AS t FROM cells GROUP BY y)),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e)
-SELECT nn.n_rows, s.concordant, s.discordant, mx.tie_x, my.tie_y
+-- r7 dtype-parity fix: HUGEINT fetches to pandas as float64 while the
+-- engine's DECIMAL(38,0) fetches as object — the driver's strict
+-- canonicalizer sees a dtype mismatch. Pair counts fit BIGINT up to
+-- N ≈ 4.3e9 input rows (N(N-1)/2 ≤ 2^63), so close the OUTPUT to BIGINT
+-- on both sides; the internal arithmetic stays HUGEINT/DECIMAL for
+-- overflow-free accumulation.
+SELECT nn.n_rows, CAST(s.concordant AS BIGINT) AS concordant,
+       CAST(s.discordant AS BIGINT) AS discordant,
+       CAST(mx.tie_x AS BIGINT) AS tie_x, CAST(my.tie_y AS BIGINT) AS tie_y
 FROM nn, s, mx, my
 """,
 )
@@ -2749,7 +2757,16 @@ def q_kendall_tau_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = e.agg(F.count("*").cast("long").alias("n_rows"))
-    return nn.crossJoin(s).crossJoin(tx).crossJoin(ty)
+    # close the outputs to BIGINT (see oracle comment: dtype parity; BIGINT
+    # holds the pair counts up to ~4.3e9 input rows)
+    out = nn.crossJoin(s).crossJoin(tx).crossJoin(ty)
+    return out.select(
+        "n_rows",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.col("tie_x").cast("long").alias("tie_x"),
+        F.col("tie_y").cast("long").alias("tie_y"),
+    )
 
 
 @query(

@@ -609,9 +609,17 @@ ev AS (SELECT DISTINCT unnest({sh5}) AS s
 s5s AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s5),
 cont AS (SELECT DISTINCT s5s.doc_id FROM s5s JOIN ev USING (s)),
 s6 AS (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
-SELECT * FROM (
+-- r7 dtype-parity fix (VERDICT r6 #1): casting only the FIRST branch is
+-- not enough — DuckDB's UNION ALL coerces the whole id_sum column to the
+-- widest branch type, and the uncast branches' sum(BIGINT) is HUGEINT,
+-- which fetches to pandas as float64 while the engine emits int64. The
+-- driver's canonicalizer distinguishes int64 from float64, so the row was
+-- red for two rounds. Cast the OUTER select so the UNION's coercion is
+-- re-narrowed after the fact.
+SELECT stage_idx, stage, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(id_sum AS BIGINT) AS id_sum FROM (
   SELECT 1 AS stage_idx, 'holdout' AS stage,
-         CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM s1
+         count(*) AS n_docs, sum(doc_id) AS id_sum FROM s1
   UNION ALL SELECT 2, 'quality', count(*), sum(doc_id) FROM s2
   UNION ALL SELECT 3, 'language', count(*), sum(doc_id) FROM s3
   UNION ALL SELECT 4, 'exact_dedup', count(*), sum(doc_id) FROM s4
@@ -3602,10 +3610,15 @@ cr AS (SELECT t.channel,
 ch AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
               CAST(sum(credited) AS HUGEINT) AS credited_microcents
        FROM cr GROUP BY channel)
-SELECT channel, n_credits, credited_microcents FROM ch
-UNION ALL
-SELECT channel, n_credits, credited_microcents FROM org
-WHERE n_credits > 0
+-- r7 dtype-parity fix: HUGEINT fetches to pandas float64 vs the engine's
+-- DECIMAL(38,0) object — close the OUTPUT to BIGINT (holds ≤ 9.2e18
+-- microcents ≈ $92B per channel; internal sums stay HUGEINT/DECIMAL).
+SELECT channel, n_credits,
+       CAST(credited_microcents AS BIGINT) AS credited_microcents
+FROM (SELECT channel, n_credits, credited_microcents FROM ch
+      UNION ALL
+      SELECT channel, n_credits, credited_microcents FROM org
+      WHERE n_credits > 0)
 """,
 )
 def q_purchase_attribution_time_decay(
@@ -3684,7 +3697,13 @@ def q_purchase_attribution_time_decay(
         F.count("*").cast("long").alias("n_credits"),
         F.sum("credited").cast("decimal(38,0)").alias("credited_microcents"),
     )
-    return ch.unionByName(org)
+    # close the output to BIGINT (see oracle comment: dtype parity; BIGINT
+    # holds ≤ ~$92B of microcents per channel)
+    return ch.unionByName(org).select(
+        "channel",
+        "n_credits",
+        F.col("credited_microcents").cast("long").alias("credited_microcents"),
+    )
 
 
 _MK_CHANNELS = ("click", "error", "signup", "view")

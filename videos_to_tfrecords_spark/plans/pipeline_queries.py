@@ -221,7 +221,63 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline_e2e(spark, sf_dir, by_shape=by_shape)
 
 
-@query("text_pipeline_e2e")  # rows-only: proto wire bytes have no SQL analog
+def _text_e2e_oracle() -> str:
+    """DuckDB twin of text_pipeline_e2e's PRE-ENCODER stages (VERDICT r6
+    #4, the experiment_readout_e2e pattern): quality gate → exact dedup →
+    packing layout → per-bin canonical digest, closed to one hash-checked
+    row. The proto wire bytes still have no SQL analog — the encoder's
+    execution is pinned by the ``protos_framed`` boolean (the engine can
+    only emit TRUE by actually framing every bin; the oracle emits the
+    literal), and the bytes themselves by the golden pytests."""
+    from videos_to_tfrecords_spark.plans.text_queries import _STOP_IN
+
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id, md5(text) AS text_md5, CAST(len(toks) AS BIGINT) AS n
+      FROM t
+      WHERE len(toks) >= 8
+        AND floor(1000.0 * len(list_filter(toks, x -> x IN ({_STOP_IN})))
+                  / len(toks)) >= 50),
+d AS (SELECT min(doc_id) AS doc_id, min(n) AS n FROM q GROUP BY text_md5),
+c AS (SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM d),
+spans AS (SELECT doc_id, n, s,
+                 unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS bin_id
+          FROM c WHERE n > 0),
+sp AS (SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+              CAST(greatest(s - bin_id * 256, 0) AS BIGINT) AS off_in_bin,
+              CAST(least((bin_id + 1) * 256, s + n) - greatest(bin_id * 256, s)
+                AS BIGINT) AS len_in_bin
+       FROM spans),
+bins AS (SELECT bin_id,
+                string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY off_in_bin)
+                  AS ids,
+                string_agg(CAST(off_in_bin AS VARCHAR), '|' ORDER BY off_in_bin)
+                  AS offs,
+                string_agg(CAST(len_in_bin AS VARCHAR), '|' ORDER BY off_in_bin)
+                  AS lens,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(len_in_bin) AS BIGINT) AS n_fill
+         FROM sp GROUP BY bin_id),
+dig AS (SELECT n_spans, n_fill,
+               CAST(concat('0x', substr(md5(concat_ws(',',
+                 CAST(bin_id AS VARCHAR), ids, offs, lens)), 1, 15)) AS BIGINT)
+                 AS h
+        FROM bins)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(n_fill) AS BIGINT) AS n_tokens_packed,
+       CAST(sum(CAST(h AS HUGEINT)) % 4611686018427387904 AS BIGINT)
+         AS layout_digest_sum,
+       TRUE AS protos_framed
+FROM dig
+"""
+
+
+@query("text_pipeline_e2e", _text_e2e_oracle())
 def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-pretraining data mainline, end to end over ``documents`` —
     the text twin of ``video_pipeline_e2e``, driving the same declared-
@@ -234,13 +290,15 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest; feature lists: per-span doc ids, bin offsets, span lengths)
     → one corpus-digest row.
 
-    Rows-only, like the video mainline: every stage BEFORE the encoder is
-    hash-checked by its own registered query (doc_quality_*,
-    doc_exact_dedup, the packing span layout); the proto framing itself
-    has no SQL analog and is pinned by the golden + round-trip pytests of
-    sources/tfrecord.py. Deterministic end to end — the packing layout is
-    bit-reproducible, per-bin lists are sorted by bin offset, and the
-    digest is md5 over that canonical order.
+    Hash-checked as of r7 (VERDICT r6 #4): the output row pins the
+    pre-encoder funnel exactly — survivor/bin/span/token censuses plus a
+    modular sum of per-bin canonical-layout digests (md5 over the
+    off-sorted span lists, folded to 60-bit ints so the aggregate is
+    order-independent and overflow-free) — against a full DuckDB twin.
+    The proto framing itself still has no SQL analog: its execution is
+    forced through the ``protos_framed`` boolean (TRUE only if every
+    bin's proto is non-trivially framed) and its bytes are pinned by the
+    golden + round-trip pytests of sources/tfrecord.py.
 
     Scale: token counts and the quality gate are narrow scan-side
     expressions; the dedup shuffle carries (md5, id, n_tokens) only —
@@ -285,21 +343,21 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_fill"),
         )
         # raw-binary context digest of the canonical span layout — the
-        # BYTES-declared passthrough branch (reference features.py:48-54)
+        # BYTES-declared passthrough branch (reference features.py:48-54);
+        # the hex form feeds the oracle-checked modular digest sum below
         .withColumn(
-            "span_digest",
-            F.unhex(
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.col("bin_id"),
-                        F.expr("array_join(doc_ids, '|')"),
-                        F.expr("array_join(offs, '|')"),
-                        F.expr("array_join(lens, '|')"),
-                    )
+            "span_md5",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col("bin_id"),
+                    F.expr("array_join(doc_ids, '|')"),
+                    F.expr("array_join(offs, '|')"),
+                    F.expr("array_join(lens, '|')"),
                 )
             ),
         )
+        .withColumn("span_digest", F.unhex("span_md5"))
     )
     protos = with_sequence_example(
         bins,
@@ -317,13 +375,22 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lens": FeatureKind.INT,
         },
     )
+    # 60-bit fold of each bin's layout md5: order-independent integer sum
+    # closes in DECIMAL(38,0) then narrows mod 2^62 to BIGINT — exact
+    # cross-engine at any corpus size (no float, no overflow)
+    h = F.conv(F.substring("span_md5", 1, 15), 16, 10).cast("decimal(38,0)")
     return protos.agg(
         F.count("*").cast("long").alias("n_bins"),
         F.sum("n_spans").cast("long").alias("n_spans"),
         F.sum("n_fill").cast("long").alias("n_tokens_packed"),
-        F.sum(F.length("proto")).cast("long").alias("total_proto_bytes"),
-        F.min(F.length("proto")).cast("long").alias("min_proto_bytes"),
-        F.max(F.length("proto")).cast("long").alias("max_proto_bytes"),
+        (F.sum(h) % F.lit(4611686018427387904))
+        .cast("long")
+        .alias("layout_digest_sum"),
+        # TRUE only if EVERY bin framed a non-trivial SequenceExample —
+        # keeps the encoder on the executed plan (Catalyst can't prune it)
+        (
+            F.count(F.when(F.length("proto") >= F.lit(12), 1)) == F.count("*")
+        ).alias("protos_framed"),
     )
 
 
