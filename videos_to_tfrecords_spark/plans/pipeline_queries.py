@@ -20,7 +20,10 @@ from videos_to_tfrecords_spark.operators.multimodal import (
 )
 from videos_to_tfrecords_spark.operators.sequence import format_features, to_full_video
 from videos_to_tfrecords_spark.operators.split import hash_bucket_split
-from videos_to_tfrecords_spark.plans.reference_queries import _files_df
+from videos_to_tfrecords_spark.plans.reference_queries import (
+    _FILES_SQL,
+    _files_df,
+)
 from videos_to_tfrecords_spark.plans.registry import query
 from videos_to_tfrecords_spark.schema import (
     CONTEXT_COLUMNS,
@@ -120,6 +123,85 @@ def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("argmax_idx"),
         F.array_max("logits").cast("long").alias("max_logit"),
+    )
+
+
+_VIDEO_INFER_CENSUS_ORACLE = f"""
+WITH files AS ({_FILES_SQL}),
+vf AS (SELECT filename,
+              CAST(concat('0x', substr(md5(filename), 1, 8)) AS BIGINT) AS h
+       FROM files WHERE filename NOT LIKE '%.txt'),
+-- the fake decoder's float frame loop collapses to a CONSTANT kept set
+-- per fps: positions advance by 1000/fps ms, skip=500 ms, local cap 3 ⇒
+-- kept frame indices are exactly (0, fps/2, fps) for fps ∈ {{24,30,60}}
+-- at every duration the props hash can produce (verified against the
+-- Python loop, including the 499.99999999999994-vs-500.0 double hazard)
+fr AS (SELECT filename, h,
+              CASE h % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS fps
+       FROM vf),
+px AS (SELECT filename, fps, k,
+              CAST(round(1000 * ((xor(h, CAST(k AS BIGINT)) % 256) / 255.0))
+                AS BIGINT) AS xq
+       FROM (SELECT filename, h, fps, unnest([0, fps // 2, fps]) AS k
+             FROM fr)),
+dims AS (SELECT unnest(range(0, 12)) AS i),
+outs AS (SELECT unnest(range(0, 8)) AS j),
+w AS (SELECT i, j,
+             CAST(concat('0x', substr(md5('w:' || i || ':' || j), 1, 15))
+               AS BIGINT) % 201 - 100 AS w
+      FROM dims, outs),
+s AS (SELECT j, CAST(sum(w) AS BIGINT) AS sj FROM w GROUP BY j),
+l AS (SELECT filename, fps, k, j, greatest(xq * sj, 0) AS logit FROM px, s),
+r AS (SELECT filename, fps, j, logit,
+             row_number() OVER (PARTITION BY filename, k
+                                ORDER BY logit DESC, j) AS rnk
+      FROM l)
+SELECT CAST(fps AS BIGINT) AS fps, CAST(j AS BIGINT) AS argmax_idx,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(logit) AS BIGINT) AS sum_max_logit,
+       CAST(count(DISTINCT filename) AS BIGINT) AS n_files
+FROM r WHERE rnk = 1
+GROUP BY 1, 2
+"""
+
+
+@query("video_inference_census", _VIDEO_INFER_CENSUS_ORACLE)
+def q_video_inference_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference mainline — filename table → extension filter → video
+    decode (U1, mapInPandas flat-map) → batched model inference (U2,
+    iterator pandas UDF with per-worker model init) → census — as ONE
+    hash-checked query (VERDICT r6 #8): the deterministic fake decoder's
+    frames feed the exact-integer ``int_hash_linear_model``, so every
+    stage of the decode→infer→assemble chain the reference runs
+    (preprocess.py:156-265) is verified end to end against a closed-form
+    SQL twin, not just rows-counted. The frame values are constant per
+    frame (12 × v), so each logit collapses to relu(xq·Σᵢw[i][j]) — the
+    oracle rebuilds the weight column sums from the same portable md5.
+    Scale: decode fan-out is the spread-repartitioned mapInPandas stage;
+    inference is Arrow-batched; the final census is one partial-agg
+    shuffle of (fps, argmax) rows."""
+    from videos_to_tfrecords_spark.ml.inference import (
+        batch_inference,
+        int_hash_linear_model,
+    )
+
+    files = _files_df(spark, sf_dir).filter(~F.col("filename").endswith(".txt"))
+    frames = decode_videos(files.select("filename"))
+    logits = batch_inference(
+        frames, "image", int_hash_linear_model(8), drop_input=True
+    )
+    per_frame = logits.select(
+        "filename",
+        F.col("frame_per_sec").cast("long").alias("fps"),
+        (F.array_position("logits", F.array_max("logits")) - 1)
+        .cast("long")
+        .alias("argmax_idx"),
+        F.array_max("logits").cast("long").alias("max_logit"),
+    )
+    return per_frame.groupBy("fps", "argmax_idx").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("max_logit").cast("long").alias("sum_max_logit"),
+        F.countDistinct("filename").cast("long").alias("n_files"),
     )
 
 
