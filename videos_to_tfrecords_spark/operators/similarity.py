@@ -1116,6 +1116,130 @@ def pq_adc_recall(
     )
 
 
+def ivfpq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-PQ ANN — the billion-scale architecture (FAISS IVFPQ, Jégou et
+    al. 2011, public) composed from this engine's two proven quantizers:
+    a fixed-``k_coarse`` full-dimension kmeans-lite partitions the corpus
+    into inverted lists, per-subspace PQ codebooks compress every vector
+    to ``m`` small codes, and each BOUNDED query (id % qmod = 0, qmod =
+    max(1, n div 80) — the pq_adc_recall convention) scans only its
+    ``nprobe`` nearest lists, ranked by asymmetric distance (Σ_s
+    LUT_s[query, code_s], exact int64). Output: (query_id, cand_id,
+    adc_dist, rnk) top-k rows, ties → lowest cand.
+
+    This variant quantizes RAW subvectors (no residual encoding), keeping
+    every stage integer-exact and hash-checkable; production residual
+    PQ is one subtraction before the same encode.
+
+    Scale: ONE corpus scan emits (cand_id, list cid, m codes) — the
+    vectors themselves never shuffle again; the probe table (nq·nprobe
+    rows) and the m LUT tables (nq·k_codes rows each) broadcast, so
+    candidate generation is a map-side join and the only exchange is the
+    per-query top-k over nq·(n·nprobe/k_coarse) candidate rows. Codebooks
+    and centroids are driver-side planning metadata (k_coarse·dim +
+    m·k_codes·dim ints), constant in the corpus."""
+    n = df.count()
+    qmod = max(1, n // 80)
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_adc_topk: dim {dim} not divisible by m {m}")
+    width = dim // m
+    coarse = kmeans_lite(df, id_col, vec_col, k=k_coarse, iters=coarse_iters)
+    books = [
+        kmeans_lite(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * width + 1, width).alias("_subv"),
+            ),
+            id_col,
+            "_subv",
+            k=k_codes,
+            iters=pq_iters,
+        )
+        for s in range(m)
+    ]
+
+    code_cols = [f"code_{s}" for s in range(m)]
+    enc_schema = f"cand_id long, cid int, " + ", ".join(
+        f"{c} int" for c in code_cols
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vi = _to_int_matrix(pdf[vec_col])
+            out = {
+                "cand_id": pdf[id_col].to_numpy(),
+                "cid": np.argmin(_dist2_matrix(vi, coarse), axis=1).astype(
+                    "int32"
+                ),
+            }
+            for s in range(m):
+                sub = vi[:, s * width : (s + 1) * width]
+                out[code_cols[s]] = np.argmin(
+                    _dist2_matrix(sub, books[s]), axis=1
+                ).astype("int32")
+            yield pd.DataFrame(out)
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        encode, enc_schema
+    )
+
+    # bounded query-side planning tables (the documented collect pattern)
+    qrows = df.filter(F.col(id_col) % qmod == 0).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _to_int_matrix(pd.Series([r[1] for r in qrows]))
+    spark = df.sparkSession
+    dprobe = _dist2_matrix(q_mat, coarse)
+    order = np.argsort(dprobe, axis=1, kind="stable")[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(cid))
+            for qi in range(len(q_ids))
+            for cid in order[qi]
+        ],
+        "query_id long, cid int",
+    )
+    scored = cand.join(F.broadcast(probe_df), "cid").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    adc_terms = []
+    for s in range(m):
+        lut = _dist2_matrix(q_mat[:, s * width : (s + 1) * width], books[s])
+        lut_df = spark.createDataFrame(
+            [
+                (int(q_ids[qi]), int(c), int(lut[qi, c]))
+                for qi in range(len(q_ids))
+                for c in range(k_codes)
+            ],
+            f"query_id long, {code_cols[s]} int, d_{s} long",
+        )
+        scored = scored.join(
+            F.broadcast(lut_df), ["query_id", code_cols[s]]
+        )
+        adc_terms.append(F.col(f"d_{s}"))
+    adc = sum(adc_terms[1:], adc_terms[0]).cast("long")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("adc_dist", adc)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rnk")
+    )
+
+
 def _jl_matrix(n_out: int, dim: int) -> np.ndarray:
     """Deterministic Rademacher (±1) projection matrix for the database-
     friendly Johnson–Lindenstrauss transform (Achlioptas 2001): sign for

@@ -1504,6 +1504,99 @@ FROM nq, h"""
     )
 
 
+def _ivfpq_adc_topk_oracle(
+    k_coarse: int = _IVF_K,
+    coarse_iters: int = _IVF_ITERS,
+    nprobe: int = _IVF_NPROBE,
+    m: int = _PQ_M,
+    k_codes: int = _PQ_K,
+    pq_iters: int = _PQ_ITERS,
+    k: int = 3,
+) -> str:
+    """SQL twin of operators/similarity.ivfpq_adc_topk (FAISS-IVFPQ, raw
+    subvectors): the coarse full-dim kmeans chain (prefix g) gives
+    inverted lists, m namespaced subspace chains (prefix q{s}) give codes
+    and codebooks, probes rank coarse centroids per bounded query, and
+    ADC sums per-subspace dist² between the query's subvector and each
+    PROBED candidate's codeword."""
+    dim, width = 64, 64 // m
+    parts = _kmeans_assign_parts(k_coarse, coarse_iters, prefix="g")
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        iv = (
+            f"list_transform(list_slice(embedding::DOUBLE[], {lo}, {hi}),"
+            " x -> CAST(round(x * 1000000) AS BIGINT))"
+        )
+        chain = _kmeans_assign_parts(k_codes, pq_iters, prefix=f"q{s}", iv_expr=iv)
+        chain[0] = chain[0].removeprefix("WITH ")
+        parts += chain
+    parts.append(
+        "qm AS (SELECT GREATEST(1, count(*) // 80) AS qmod FROM embeddings)"
+    )
+    parts.append(
+        "qs AS (SELECT vec_id AS query_id FROM embeddings, qm"
+        " WHERE vec_id % qmod = 0)"
+    )
+    parts.append(
+        f"""pr AS (SELECT query_id, cid FROM (
+  SELECT qs.query_id, c.cid,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {_int_dist2("qe.iv", "c.civ")}, c.cid) AS rn
+  FROM ge qe JOIN qs ON qs.query_id = qe.vec_id, gc{coarse_iters} c)
+ WHERE rn <= {nprobe})"""
+    )
+    parts.append(
+        """cl AS MATERIALIZED (SELECT pr.query_id, a.vec_id AS cand_id
+  FROM pr JOIN gaf a ON a.cid = pr.cid AND a.vec_id != pr.query_id)"""
+    )
+    terms = []
+    for s in range(m):
+        terms.append(
+            f"""SELECT cl.query_id, cl.cand_id,
+       {_int_dist2("qq.iv", "cw.civ")} AS d
+FROM cl JOIN q{s}e qq ON qq.vec_id = cl.query_id
+JOIN q{s}af a ON a.vec_id = cl.cand_id
+JOIN q{s}c{pq_iters} cw ON cw.cid = a.cid"""
+        )
+    parts.append(
+        "adc AS (SELECT query_id, cand_id, CAST(sum(d) AS BIGINT) AS adc_dist"
+        " FROM (" + "\nUNION ALL\n".join(terms) + ") GROUP BY 1, 2)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, cand_id, adc_dist, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT query_id, cand_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, cand_id) AS rn
+  FROM adc)
+WHERE rn <= {k}"""
+    )
+
+
+@query("ivfpq_adc_topk", _ivfpq_adc_topk_oracle())
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (FAISS IVFPQ composition): coarse inverted lists +
+    per-subspace PQ codes, bounded queries scan only nprobe lists and
+    rank by integer ADC — the billion-scale ANN serving architecture as
+    one hash-checked query. One corpus scan emits (cid, codes); probes
+    and LUTs broadcast; only candidate rows shuffle for the per-query
+    top-k."""
+    from videos_to_tfrecords_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(
+        emb,
+        k_coarse=_IVF_K,
+        coarse_iters=_IVF_ITERS,
+        nprobe=_IVF_NPROBE,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        k=3,
+    )
+
+
 @query("pq_adc_recall", _pq_adc_recall_oracle())
 def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search accuracy: recall@3 of ADC ranking
