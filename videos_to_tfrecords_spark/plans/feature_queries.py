@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.functions.hashing import h15_sql
 from videos_to_tfrecords_spark.operators.relational import ewma_taps, skyline_2d
-from videos_to_tfrecords_spark.operators.retrieval import bm25_oracle_sql, bm25_topk
+from videos_to_tfrecords_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_topk,
+    rerank_oracle_sql,
+    rerank_topk,
+)
 from videos_to_tfrecords_spark.operators.sampling import weighted_sample_exact_k
 from videos_to_tfrecords_spark.operators.similarity import (
     brute_force_topk,
@@ -41,6 +46,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list shuffle profile)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+@query("retrieval_rerank_topk", rerank_oracle_sql(_BM25_TERMS, k_recall=50, k=10))
+def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (r7): BM25 top-50 recall over the
+    corpus, then an exact-integer hashed cross-scorer over the bounded
+    candidate set only — the production search/RAG shape where the
+    expensive scorer's cost is O(k_recall), independent of corpus size.
+    See operators/retrieval.rerank_topk for the scorer contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rerank_topk(docs, _BM25_TERMS, k_recall=50, k=10)
 
 
 @query(

@@ -1382,3 +1382,4 @@ def q_streaming_stream_static_join(
     )
 
     return streaming_static_enrich(spark, sf_dir)
+
