@@ -185,3 +185,43 @@ def test_compact_multiple_targets_cluster_ranges(spark, tmp_path):
     touch, total = prunable_files(out, {"id": (0, 100)})
     assert total == stats["files_after"]
     assert touch < total
+
+
+def test_read_binary_blobs_local(spark, tmp_path):
+    """binaryFile scan through sources/cloud.read_binary_blobs — the
+    distributed listing+bytes path that replaces the reference's
+    driver-side bucket walk; same call works on gs:// with the GCS
+    connector on the classpath."""
+    from videos_to_tfrecords_spark.sources.cloud import read_binary_blobs
+
+    (tmp_path / "a.bin").write_bytes(b"hello")
+    (tmp_path / "b.bin").write_bytes(b"world!!")
+    (tmp_path / "skip.txt").write_bytes(b"no")
+    got = {
+        (r.path.rsplit("/", 1)[1], r.length, bytes(r.content))
+        for r in read_binary_blobs(
+            spark, str(tmp_path), path_glob_filter="*.bin"
+        ).collect()
+    }
+    assert got == {("a.bin", 5, b"hello"), ("b.bin", 7, b"world!!")}
+
+
+def test_sign_gcs_urls_importgated(spark):
+    """The signed-URL stage's Arrow plumbing builds and schedules; without
+    google-cloud-storage the executor raises the documented install
+    recipe (import-gated env boundary, like cv2/TF)."""
+    import pytest
+
+    from videos_to_tfrecords_spark.sources.cloud import sign_gcs_urls
+
+    try:
+        import google.cloud.storage  # noqa: F401
+
+        pytest.skip("google-cloud-storage present: gate not exercisable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([("gs://bucket/a.mp4",)], "path string")
+    out = sign_gcs_urls(df)
+    assert out.columns == ["path", "signed_url"]
+    with pytest.raises(Exception, match="google-cloud-storage"):
+        out.collect()

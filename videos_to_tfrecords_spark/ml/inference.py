@@ -228,3 +228,85 @@ def int_hash_linear_model(out_dim: int = 8, salt: str = "w") -> ModelFactory:
         return predict
 
     return factory
+
+
+def keras_model_factory(
+    model_url_or_path: str,
+    input_hw: tuple[int, int] = (299, 299),
+    preprocess: str = "inception",
+) -> ModelFactory:
+    """REAL-model factory — the production swap-in for the stubs above,
+    wiring the reference's actual InceptionV3 path (preprocess.py:203-215
+    loads TF-Hub ``imagenet/inception_v3/feature_vector``) through the
+    same iterator-pandas-UDF plumbing: pass this to
+    :func:`batch_inference` and each Python worker loads the model ONCE
+    (DoFn.setup() semantics), then every Arrow batch is one vectorized
+    ``predict_on_batch``.
+
+    Import-gated: TensorFlow/Keras is not in this container (no network,
+    no TF-Hub), so construction raises ImportError with the exact
+    production recipe — the factory body is real, not pseudocode, and a
+    skipif pytest exercises it where TF exists.
+
+    ``model_url_or_path`` accepts a TF-Hub URL (hub.KerasLayer) or a local
+    SavedModel/keras path; batches arrive as (B, H·W·C) float rows from
+    decode_videos and are reshaped executor-side."""
+
+    def factory() -> Callable[[np.ndarray], np.ndarray]:
+        try:
+            import tensorflow as tf  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without TF
+            raise ImportError(
+                "keras_model_factory needs tensorflow (+ tensorflow_hub for "
+                "hub URLs): pip install tensorflow tensorflow-hub; then "
+                "batch_inference(frames, 'image', "
+                "keras_model_factory('https://tfhub.dev/google/imagenet/"
+                "inception_v3/feature_vector/5'))"
+            ) from e
+        import tensorflow as tf
+
+        if model_url_or_path.startswith(("http://", "https://")):
+            import tensorflow_hub as hub
+
+            layer = hub.KerasLayer(model_url_or_path)
+            model = tf.keras.Sequential([layer])
+        else:
+            model = tf.keras.models.load_model(model_url_or_path)
+        h, w = input_hw
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            x = batch.astype(np.float32).reshape(len(batch), h, w, -1)
+            if preprocess == "inception":  # [0,1] -> [-1,1]
+                x = x * 2.0 - 1.0
+            return np.asarray(model(x))
+
+        return predict
+
+    return factory
+
+
+def torch_model_factory(
+    checkpoint_path: str, device: str = "cpu"
+) -> ModelFactory:
+    """Torch twin of :func:`keras_model_factory` (same swap-in contract):
+    loads a TorchScript module once per worker, runs each Arrow batch
+    under ``inference_mode``. Import-gated like the Keras path."""
+
+    def factory() -> Callable[[np.ndarray], np.ndarray]:
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover - env without torch
+            raise ImportError(
+                "torch_model_factory needs torch: pip install torch; then "
+                "batch_inference(df, col, torch_model_factory('model.pt'))"
+            ) from e
+        model = torch.jit.load(checkpoint_path, map_location=device).eval()
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            with torch.inference_mode():
+                t = torch.from_numpy(np.ascontiguousarray(batch)).to(device)
+                return model(t).cpu().numpy()
+
+        return predict
+
+    return factory
