@@ -498,3 +498,40 @@ def test_streaming_hll_merges_across_microbatches(spark, sf_dir, tmp_path):
         for r in streaming_hll_registers(spark, sf_dir).collect()
     }
     assert multi == single and 0 < len(single) <= 64
+
+
+def test_foreachbatch_upsert_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch MERGE-upsert must be batch-count-invariant: driven
+    one file per trigger (4 microbatches) it produces exactly the batch
+    groupBy census — increments merge, never double-count."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_upsert_foreachbatch,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev4")
+    ev.repartition(4).write.parquet(src)
+    got = {
+        (r.user_id, r.event_type, r.n, r.value_cents)
+        for r in streaming_upsert_foreachbatch(
+            spark,
+            src,
+            glob="*.parquet",
+            max_files_per_trigger=1,
+            target_path=str(tmp_path / "target"),
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.n, r.value_cents)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0

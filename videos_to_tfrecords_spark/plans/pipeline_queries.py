@@ -707,6 +707,30 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_foreachbatch_upsert",
+    """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id, event_type
+""",
+)
+def q_streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch → MERGE-upsert sink (r7): per-microbatch increments
+    full-outer-merged into a copy-on-write versioned target table — the
+    idempotent lakehouse-MERGE pattern (with Delta/Iceberg the body is
+    one MERGE INTO). Drained, the final version hash-matches the batch
+    census; multi-batch idempotence asserted in tests/test_streaming.py."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_upsert_foreachbatch,
+    )
+
+    return streaming_upsert_foreachbatch(spark, sf_dir)
+
+
 def _stream_cms_cells_sql(width: int = 256, depth: int = 4) -> str:
     from videos_to_tfrecords_spark.functions.hashing import h15_sql
 
