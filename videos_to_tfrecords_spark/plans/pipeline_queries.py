@@ -731,6 +731,62 @@ def q_streaming_foreachbatch_upsert(
     return streaming_upsert_foreachbatch(spark, sf_dir)
 
 
+@query(
+    "parquet_schema_evolution",
+    """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  length(props) AS props_len
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS value_cents,
+       CAST(count(CASE WHEN event_id % 2 != 0 THEN 1 END) AS BIGINT)
+         AS n_with_props_len,
+       CAST(sum(CASE WHEN event_id % 2 != 0 THEN props_len ELSE 0 END)
+         AS BIGINT) AS props_len_sum
+FROM e GROUP BY event_type
+""",
+)
+def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution (§2.1 sources breadth): two parquet batches
+    of the same table where the SECOND adds a column (the routine drift of
+    a long-lived 100 TB ingestion path), read back as one dataset with
+    ``mergeSchema=true`` — rows from the old batch surface the new column
+    as NULL. The census counts/sums the evolved column only where it
+    exists, so the merge semantics themselves are hash-checked (oracle
+    reconstructs the same split from the event ids)."""
+    import hashlib as _hl
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "evo_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    v1 = ev.filter(F.col("event_id") % 2 == 0).drop("props_len")
+    v2 = ev.filter(F.col("event_id") % 2 != 0)
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("value_cents"),
+        F.count("props_len").cast("long").alias("n_with_props_len"),
+        F.coalesce(F.sum("props_len"), F.lit(0))
+        .cast("long")
+        .alias("props_len_sum"),
+    )
+
+
 def _stream_cms_cells_sql(width: int = 256, depth: int = 4) -> str:
     from videos_to_tfrecords_spark.functions.hashing import h15_sql
 
