@@ -205,6 +205,119 @@ def q_video_inference_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_SEQ_CENSUS_ORACLE = f"""
+WITH files AS ({_FILES_SQL}),
+vf AS (SELECT doc_id, filename,
+              string_split(filename, '/')[-3] AS label,
+              CAST(concat('0x', substr(md5(filename), 1, 8)) AS BIGINT) AS h
+       FROM files
+       WHERE string_split(filename, '.')[-1] IN ('mkv', 'avi', 'mp4')),
+sp AS (SELECT *, CASE WHEN (doc_id * 9973 + 7) % 100 < 15 THEN 'Test'
+                      WHEN (doc_id * 9973 + 7) % 100 < 30 THEN 'Val'
+                      ELSE 'Train' END AS dataset
+       FROM vf),
+fr AS (SELECT filename, label, dataset,
+              CASE h % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS fps, h
+       FROM sp),
+px AS (SELECT filename, label, dataset, k,
+              CAST(round(1000 * ((xor(h, CAST(k AS BIGINT)) % 256) / 255.0))
+                AS BIGINT) AS xq
+       FROM (SELECT filename, label, dataset, h,
+                    unnest([0, fps // 2, fps]) AS k
+             FROM fr)),
+dims AS (SELECT unnest(range(0, 12)) AS i),
+outs AS (SELECT unnest(range(0, 8)) AS j),
+w AS (SELECT i, j,
+             CAST(concat('0x', substr(md5('w:' || i || ':' || j), 1, 15))
+               AS BIGINT) % 201 - 100 AS w
+      FROM dims, outs),
+s AS (SELECT j, CAST(sum(w) AS BIGINT) AS sj FROM w GROUP BY j),
+fm AS (SELECT filename, label, dataset, k,
+              CAST(max(greatest(xq * sj, 0)) AS BIGINT) AS mx
+       FROM px, s GROUP BY 1, 2, 3, 4)
+SELECT dataset, label,
+       CAST(count(DISTINCT filename) AS BIGINT) AS n_sequences,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(mx) AS BIGINT) AS logit_sum,
+       TRUE AS protos_framed
+FROM fm GROUP BY 1, 2
+"""
+
+
+@query("video_sequence_census", _VIDEO_SEQ_CENSUS_ORACLE)
+def q_video_sequence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference mainline, hash-checked (r7, extends
+    video_inference_census to the sequence-assembly and encoder stages):
+    filename table (S2) → extension filter (P2) → label extraction (P3)
+    → deterministic hash split (U6) → fake video decode (U1, mapInPandas)
+    → exact-integer batched inference (U2) → time-sorted full_video
+    sequence assembly (G1/G4/G5) → FormatFeatures pivot (U7) →
+    SequenceExample framing (U3/U4) → per-(split, label) census. Every
+    stage the reference's preprocess.py runs is on the executed plan; the
+    output pins sequence counts, frame counts, and the exact integer
+    per-frame max-logit mass, and the proto encoder's execution via the
+    framing flag (the bytes themselves stay golden-pytest-pinned).
+
+    Scale: the same shapes as video_pipeline_e2e — spread-repartitioned
+    decode fan-out, Arrow-batched inference, one sequence-assembly
+    shuffle on filename, census partial-aggregates; the encoder runs
+    after the last exchange."""
+    from videos_to_tfrecords_spark.ml.inference import (
+        batch_inference,
+        int_hash_linear_model,
+    )
+    from videos_to_tfrecords_spark.operators.filenames import (
+        extract_label,
+        filter_extensions,
+    )
+
+    labeled = extract_label(filter_extensions(_files_df(spark, sf_dir)))
+    split = hash_bucket_split(labeled, "doc_id")
+    frames = decode_videos(split.select("filename", "label", "dataset"))
+    logits = batch_inference(
+        frames, "image", int_hash_linear_model(8), drop_input=True
+    )
+    full = to_full_video(
+        logits.select(
+            "filename", "label", "dataset", "timestamp_ms", "frame_per_sec",
+            "frame_total", "logits",
+        ),
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+    )
+    seqs = format_features(
+        full,
+        context_cols=["label", "dataset", "frame_per_sec", "frame_total"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    protos = with_sequence_example(
+        seqs,
+        context_cols=[
+            "filename", "label", "dataset", "frame_per_sec", "frame_total",
+        ],
+        list_cols=["logits", "timestamp_ms"],
+        context_kinds=CONTEXT_COLUMNS,
+        list_kinds=LIST_COLUMNS,
+    )
+    per_seq = protos.select(
+        "dataset",
+        "label",
+        F.size("timestamp_ms").cast("long").alias("nf"),
+        F.expr(
+            "aggregate(logits, 0L, (a, fl) -> a + CAST(array_max(fl) AS LONG))"
+        ).alias("seq_logit_sum"),
+        (F.length("proto") >= F.lit(12)).alias("framed"),
+    )
+    return per_seq.groupBy("dataset", "label").agg(
+        F.count("*").cast("long").alias("n_sequences"),
+        F.sum("nf").cast("long").alias("n_frames"),
+        F.sum("seq_logit_sum").cast("long").alias("logit_sum"),
+        (F.count(F.when(F.col("framed"), 1)) == F.count("*")).alias(
+            "protos_framed"
+        ),
+    )
+
+
 def run_pipeline_e2e(
     spark: SparkSession, sf_dir: str, by_shape: bool = False
 ) -> DataFrame:
