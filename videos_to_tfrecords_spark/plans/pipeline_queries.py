@@ -318,6 +318,168 @@ def q_video_sequence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crop_membership_rows() -> list[tuple[int, int, int, int]]:
+    """(fps, duration_ms, win_start_ms, frame_idx) membership table of the
+    crop-mode mainline, precomputed by replicating the engine's EXACT float
+    semantics (the Python-precomputed-constant-table discipline):
+
+    - the fake decoder's cloud-mode frame loop (ml/video._decode_fake:
+      pos advances by the double 1000.0/fps, keep at ≥ last+500);
+    - assign_windows' µs rounding (round(ts·1000), half-up) and the two
+      epoch-aligned 2000/1000 sliding windows per frame;
+    - crop_video's P9 reference keep rule, INCLUDING the float
+      video-length round-trip 1000·(dur/1000·fps)/fps that can land an
+      ulp under the true duration and drop the last interior window.
+
+    Only (fps, duration) — both filename-hash-derived with 3×8 possible
+    values — determine membership, so the table is a bounded constant
+    (~500 rows) inlined into the SQL oracle as VALUES."""
+    import math
+
+    rows = []
+    for fps in (24.0, 30.0, 60.0):
+        for dur_i in range(2000, 10000, 1000):
+            dur = float(dur_i)
+            kept, last_ts = [], None
+            pos, idx = 0.0, 0
+            while pos < dur:
+                if last_ts is None or pos >= last_ts + 500.0:
+                    last_ts = pos
+                    kept.append((idx, pos))
+                idx += 1
+                pos = idx * (1000.0 / fps)
+            frame_total = dur / 1000.0 * fps
+            length = 1000.0 * frame_total / fps
+            for k, ts in kept:
+                ts_us = int(math.floor(ts * 1000 + 0.5))
+                base = ts_us - ts_us % 1_000_000
+                for w_us in (base - 1_000_000, base):
+                    if not (w_us <= ts_us < w_us + 2_000_000):
+                        continue
+                    w_ms = w_us // 1000
+                    end_ms = w_ms + 2000
+                    if end_ms == 2000 or (w_ms >= 0 and float(end_ms) <= length):
+                        rows.append((int(fps), dur_i, w_ms, k))
+    return rows
+
+
+def _video_crop_census_oracle() -> str:
+    mem = ", ".join(
+        f"({fps}, {dur}, {w}, {k})" for fps, dur, w, k in _crop_membership_rows()
+    )
+    return f"""
+WITH files AS ({_FILES_SQL}),
+vf AS (SELECT doc_id, filename,
+              string_split(filename, '/')[-3] AS label,
+              CAST(concat('0x', substr(md5(filename), 1, 8)) AS BIGINT) AS h
+       FROM files
+       WHERE string_split(filename, '.')[-1] IN ('mkv', 'avi', 'mp4')),
+sp AS (SELECT *, CASE WHEN (doc_id * 9973 + 7) % 100 < 15 THEN 'Test'
+                      WHEN (doc_id * 9973 + 7) % 100 < 30 THEN 'Val'
+                      ELSE 'Train' END AS dataset
+       FROM vf),
+fr AS (SELECT filename, label, dataset, h,
+              CASE h % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS fps,
+              2000 + (h % 8) * 1000 AS dur
+       FROM sp),
+mem(fps, dur, w_ms, k) AS (VALUES {mem}),
+px AS (SELECT f.filename, f.label, f.dataset, m.w_ms, m.k,
+              CAST(round(1000 * ((xor(f.h, CAST(m.k AS BIGINT)) % 256)
+                   / 255.0)) AS BIGINT) AS xq
+       FROM fr f JOIN mem m ON m.fps = f.fps AND m.dur = f.dur),
+dims AS (SELECT unnest(range(0, 12)) AS i),
+outs AS (SELECT unnest(range(0, 8)) AS j),
+w AS (SELECT i, j,
+             CAST(concat('0x', substr(md5('w:' || i || ':' || j), 1, 15))
+               AS BIGINT) % 201 - 100 AS w
+      FROM dims, outs),
+s AS (SELECT j, CAST(sum(w) AS BIGINT) AS sj FROM w GROUP BY j),
+fm AS (SELECT filename, label, dataset, w_ms, k,
+              CAST(max(greatest(xq * sj, 0)) AS BIGINT) AS mx
+       FROM px, s GROUP BY 1, 2, 3, 4, 5)
+SELECT dataset, label,
+       CAST(count(DISTINCT (filename, w_ms)) AS BIGINT) AS n_sequences,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(mx) AS BIGINT) AS logit_sum,
+       TRUE AS protos_framed
+FROM fm GROUP BY 1, 2
+"""
+
+
+@query("video_crop_census", _video_crop_census_oracle())
+def q_video_crop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's --mode=crop_video mainline, hash-checked (r7, the
+    crop twin of video_sequence_census): uncapped cloud decode → exact-
+    integer inference → SLIDING-window assembly with the P9 partial-window
+    rule (video_length = 1000·frame_total/frame_per_sec, float-faithful)
+    → FormatFeatures → SequenceExample framing → per-(split, label)
+    census. The oracle joins a Python-precomputed 24-case membership
+    table (see _crop_membership_rows — it encodes the decoder's float
+    frame loop, the µs window rounding, and the P9 keep rule including
+    its ulp-sensitive length round-trip), so the window semantics are
+    pinned bit-exactly, not approximately."""
+    from videos_to_tfrecords_spark.ml.inference import (
+        batch_inference,
+        int_hash_linear_model,
+    )
+    from videos_to_tfrecords_spark.operators.filenames import (
+        extract_label,
+        filter_extensions,
+    )
+    from videos_to_tfrecords_spark.operators.sequence import crop_video
+
+    labeled = extract_label(filter_extensions(_files_df(spark, sf_dir)))
+    split = hash_bucket_split(labeled, "doc_id")
+    frames = decode_videos(
+        split.select("filename", "label", "dataset"), cloud=True
+    )
+    logits = batch_inference(
+        frames, "image", int_hash_linear_model(8), drop_input=True
+    )
+    length_ms = F.lit(1000.0) * F.col("frame_total") / F.col("frame_per_sec")
+    crop = crop_video(
+        logits.withColumn("length_ms", length_ms).select(
+            "filename", "label", "dataset", "timestamp_ms", "length_ms",
+            "logits",
+        ),
+        ts_ms_col="timestamp_ms",
+        key_cols=["filename"],
+        size_ms=2000,
+        slide_ms=1000,
+        length_ms_col="length_ms",
+        partial_policy="reference",
+    )
+    seqs = format_features(
+        crop,
+        context_cols=["label", "dataset"],
+        list_cols=["logits", "timestamp_ms"],
+    )
+    protos = with_sequence_example(
+        seqs,
+        context_cols=["label", "dataset"],
+        list_cols=["logits", "timestamp_ms"],
+        context_kinds=CONTEXT_COLUMNS,
+        list_kinds=LIST_COLUMNS,
+    )
+    per_seq = protos.select(
+        "dataset",
+        "label",
+        F.size("timestamp_ms").cast("long").alias("nf"),
+        F.expr(
+            "aggregate(logits, 0L, (a, fl) -> a + CAST(array_max(fl) AS LONG))"
+        ).alias("seq_logit_sum"),
+        (F.length("proto") >= F.lit(12)).alias("framed"),
+    )
+    return per_seq.groupBy("dataset", "label").agg(
+        F.count("*").cast("long").alias("n_sequences"),
+        F.sum("nf").cast("long").alias("n_frames"),
+        F.sum("seq_logit_sum").cast("long").alias("logit_sum"),
+        (F.count(F.when(F.col("framed"), 1)) == F.count("*")).alias(
+            "protos_framed"
+        ),
+    )
+
+
 def run_pipeline_e2e(
     spark: SparkSession, sf_dir: str, by_shape: bool = False
 ) -> DataFrame:
