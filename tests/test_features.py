@@ -678,3 +678,34 @@ def test_auc_rank_sum_matches_sklearn_style_reference(spark):
     p = sum(ys); n = len(ys) - p
     ref = (sum(ranks[i] for i in range(10) if ys[i]) - p * (p + 1) / 2) / (p * n)
     assert abs(auc - ref) < 1e-12
+
+
+def test_rerank_topk_empty_candidates(spark):
+    """Degenerate retrieval: no document contains any query term — both
+    stages must return empty, not error (the bounded-candidate join sees
+    an empty build side)."""
+    from videos_to_tfrecords_spark.operators.retrieval import rerank_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    assert rerank_topk(docs, ["zzz", "qqq"], k_recall=5, k=3).count() == 0
+
+
+def test_rerank_topk_orders_by_cross_scorer(spark):
+    """The rerank stage must be able to REORDER the BM25 ranking: with one
+    shared term, the cross-scorer's tf/dl normalization prefers the denser
+    doc even when BM25's dl-saturation ranks differently at k_recall."""
+    from videos_to_tfrecords_spark.operators.retrieval import rerank_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash " * 3 + "x " * 17), (2, "hash hash x")],
+        "doc_id long, text string",
+    )
+    rows = rerank_topk(docs, ["hash"], k_recall=5, k=2).collect()
+    assert [r.doc_id for r in rows] == sorted(
+        (r.doc_id for r in rows),
+        key=lambda d: -[r.rerank_score for r in rows if r.doc_id == d][0],
+    )
+    assert all(r.rerank_score is not None for r in rows)

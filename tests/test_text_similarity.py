@@ -888,3 +888,24 @@ def test_ngram_jaccard_integer_bounds_exact_at_threshold_100(spark):
         for r in ngram_jaccard_pairs(df, threshold_x1000=100).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_ivfpq_adc_topk_tiny_corpus(spark):
+    """Degenerate ANN: corpus smaller than k_codes/k_coarse — kmeans-lite
+    falls back to fewer-than-k centroids (init is a ≤k-row limit), every
+    vector still encodes, and each bounded query returns its ≤k
+    neighbors with self excluded."""
+    from videos_to_tfrecords_spark.operators.similarity import ivfpq_adc_topk
+
+    rows = [(i, [float(i + 1)] * 8 + [0.0] * 56) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivfpq_adc_topk(
+        df, k_coarse=2, coarse_iters=1, nprobe=2, m=4, k_codes=2,
+        pq_iters=1, k=3,
+    ).collect()
+    assert len(got) > 0
+    assert all(r.cand_id != r.query_id for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
