@@ -1062,6 +1062,64 @@ def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "observed_quality_metrics",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(count(CASE WHEN value <= 0 THEN 1 END) AS BIGINT) AS n_nonpositive,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(count(CASE WHEN props IS NULL OR props = '' THEN 1 END)
+         AS BIGINT) AS n_empty_props
+FROM events
+""",
+)
+def q_observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via ``df.observe`` (r7, the Spark
+    Observation API): the quality counters PIGGYBACK on the pipeline's own
+    action instead of costing a second corpus pass — at 100 TB this is how
+    per-batch row counts / null rates / revenue checksums ship to the
+    metrics system for free. The observed job here is a noop-format write
+    of the events scan (the pipeline's stand-in main action); the
+    observation's exact aggregates are returned as a 1-row frame and
+    hash-checked against the batch SQL — proving observe() metrics equal
+    a dedicated aggregation pass.
+
+    Observe rejects DISTINCT aggregates, so the exact type count rides a
+    ``size(collect_set(...))`` accumulator — fine here because the
+    event-type domain is bounded; unbounded-cardinality columns would use
+    approx_count_distinct in the observation."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.count(F.when(F.col("value") <= 0, 1)).alias("n_nonpositive"),
+        F.size(F.collect_set("event_type")).alias("n_event_types"),
+        F.count(
+            F.when(F.col("props").isNull() | (F.col("props") == ""), 1)
+        ).alias("n_empty_props"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["value_cents"]),
+                int(m["n_nonpositive"]),
+                int(m["n_event_types"]),
+                int(m["n_empty_props"]),
+            )
+        ],
+        "n_rows long, value_cents long, n_nonpositive long, "
+        "n_event_types long, n_empty_props long",
+    )
+
+
 def _stream_cms_cells_sql(width: int = 256, depth: int = 4) -> str:
     from videos_to_tfrecords_spark.functions.hashing import h15_sql
 
