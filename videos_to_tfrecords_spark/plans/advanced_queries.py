@@ -292,6 +292,43 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_pipe_frontend",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_sql_pipe_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (|>, the new linear query dialect from
+    the SQL-pipes proposal — public): the same pricing rollup written as
+    a scan |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY chain. Catalyst
+    parses it to the identical plan as the nested-SELECT oracle text, so
+    this hash-check pins the new front-end's semantics against classic
+    ANSI."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> AGGREGATE count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, sum_qty, revenue_cents
+|> ORDER BY l_returnflag
+"""
+    )
+
+
+@query(
     "array_functions",
     """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
