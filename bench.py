@@ -100,14 +100,16 @@ def main() -> None:
 
         gc.collect()
 
-    # ---- automated drift adjudication (VERDICT r6 #7) ----------------
+    # ---- automated drift adjudication (VERDICT r6 #7, r7 #4) ---------
     # r6 spent real manual time solo-re-measuring 12 in-suite >10× flags
     # and still missed four 2.7–5.9× regressions. Automate the protocol:
-    # on a FULL canonical-SF run, any query whose in-suite min exceeds 3×
-    # its snapshot value (and by >2 s absolute, so sub-second queries
-    # don't flag on scheduler jitter) is re-run solo right here, free of
-    # suite contention; the solo time joins the min-merge and the
-    # adjudication table lands in BENCH_FULL.json for SCALE.md to cite.
+    # on a FULL canonical-SF run, any query whose in-suite min exceeds 2×
+    # its snapshot value (the driver's own bar — r7 ran at 3× and let
+    # three queries sit unexamined in the 2-3× band for two rounds) and
+    # by >2 s absolute (so sub-second queries don't flag on scheduler
+    # jitter) is re-run solo right here, free of suite contention; the
+    # solo time joins the min-merge and the adjudication table lands in
+    # BENCH_FULL.json for SCALE.md to cite.
     adjudications: list[dict] = []
     if only is None and sf == 0.1:
         snap_path = os.path.join(
@@ -126,7 +128,7 @@ def main() -> None:
                 for n, t in timings.items()
                 if t >= 0
                 and snap_q.get(n, -1.0) > 0
-                and t > 3 * snap_q[n]
+                and t > 2 * snap_q[n]
                 and t - snap_q[n] > 2.0
             ),
             key=lambda n: -timings[n],
@@ -145,7 +147,7 @@ def main() -> None:
                 print(f"adjudication re-run failed for {n}: {e}", file=sys.stderr)
                 continue
             solo = round(min(solo_runs), 3)
-            verdict = "noise" if solo <= 3 * snap_q[n] else "regression"
+            verdict = "noise" if solo <= 2 * snap_q[n] else "regression"
             adjudications.append(
                 {
                     "query": n,
@@ -249,11 +251,25 @@ def main() -> None:
                     merged_runs[k] = rs + merged_runs.get(k, [])
         except (json.JSONDecodeError, OSError):
             pass  # corrupt/absent snapshot: write fresh
+    # same-session medians beside the min-merge (VERDICT r7 #6): the
+    # min-merged snapshot ratchets toward best-ever box states, so the
+    # driver's in-suite ratio reads high on a slower box even when the
+    # code got faster. "latest_medians" is THIS run's per-query median —
+    # compare driver runs med-vs-med for a current-box signal; the
+    # min-merge stays the cross-round floor.
+    med = {
+        n: round(sorted(rs)[len(rs) // 2], 3)
+        for n, rs in raw_runs.items()
+        if rs and timings.get(n, -1.0) >= 0
+    }
     merged = {
         **payload,
         "queries": merged_q,
         "value": round(sum(t for t in merged_q.values() if t >= 0), 3),
         "runs": merged_runs,
+        "latest_medians": med,
+        "latest_value": round(sum(med.values()), 3),
+        "latest_round": round_no or "unset",
     }
     with open(full_path, "w") as f:
         # the one-line stdout payload keeps the driver's schema; the full

@@ -552,15 +552,22 @@ GROUP BY q
 """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing via ntile over a total order. Note: an unqualified
-    global ORDER BY window runs single-partition — acceptable for rank-style
-    outputs over pre-aggregated/small frames; at 100 TB use
-    repartitionByRange + per-range ranks instead."""
+    """Quartile bucketing via an exact DISTRIBUTED ntile over the total
+    (o_totalprice, o_orderkey) order — range-partition + partitioned rank
+    + bounded offset table (`operators.ordered.global_ntile`), never a
+    single-partition window over the fact table. Bit-identical to SQL
+    ntile(4) at any scale."""
+    from videos_to_tfrecords_spark.operators.ordered import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    bucketed = global_ntile(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        4,
+        "q",
+    )
     return (
-        orders.withColumn("q", F.ntile(4).over(w).cast("long"))
-        .groupBy("q")
+        bucketed.groupBy("q")
         .agg(
             F.count("*").alias("n"),
             F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
@@ -582,16 +589,22 @@ FROM freq
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary: global token frequencies → contiguous ids
     by (freq desc, token). The distributed agg shrinks the corpus to the
-    vocab FIRST; ranking the (inherently small) vocab on one partition is
-    then fine at any corpus scale."""
+    vocab first, but the vocabulary itself still grows with the corpus
+    (Heaps' law), so the dense ids come from the DISTRIBUTED global rank
+    (`operators.ordered.global_row_number`: range-partition + partitioned
+    row_number + bounded offsets) — no single-partition sort of the vocab
+    at any corpus scale."""
+    from videos_to_tfrecords_spark.operators.ordered import global_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return freq.withColumn("token_id", F.row_number().over(w).cast("long"))
+    return global_row_number(
+        freq, [F.desc("freq"), F.asc("token")], "token_id"
+    ).select("token", "freq", "token_id")
 
 
 @query(
@@ -1672,18 +1685,20 @@ def q_customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2Σi·x_i − (n+1)Σx)/(nΣx) closes in one exact HUGEINT/
     DECIMAL(38) division to ppm.
 
-    Scale shape: per-customer aggregate, then the census window runs over
-    distinct VALUE rows; the final reduce is 3 wide integers."""
+    Scale shape: per-customer aggregate, then the census runs over distinct
+    VALUE rows — but per-customer totals are nearly all distinct, so the
+    census is customer-proportional and the running count uses the
+    DISTRIBUTED ordered prefix sum (`operators.ordered.global_cumsum`),
+    not a single-partition window; the final reduce is 3 wide integers."""
+    from videos_to_tfrecords_spark.operators.ordered import global_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     v = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("x")
     )
     c = v.groupBy("x").agg(F.count("*").cast("long").alias("t"))
-    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    r = c.select(
-        "x", "t", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("cum")
-    )
+    r = global_cumsum(c, [F.col("x")], "t", "cum", before=True)
     s = r.agg(
         F.sum("t").cast("long").alias("n"),
         F.sum(d38(F.col("x")) * d38(F.col("t"))).alias("sx"),
@@ -3050,8 +3065,12 @@ def q_customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     10%..100% of customers, plus each decile's gap to perfect equality —
     the concentration chart a revenue or data-contribution audit reads.
     Exact: per-customer cents census, deterministic (cents, custkey)
-    order, running-frame cumulative, ppm floor division."""
-    from pyspark.sql import Window as W
+    order, then rank AND running sum from ONE distributed pinned range
+    partitioning (`operators.ordered.global_rank_cumsum` — no
+    customer-proportional single-partition window), ppm floor division.
+    The 10 decile thresholds broadcast-equi-join back on the exact rank,
+    so the curve costs one sort-shaped shuffle total."""
+    from videos_to_tfrecords_spark.operators.ordered import global_rank_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     u = orders.groupBy("o_custkey").agg(
@@ -3059,23 +3078,19 @@ def q_customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    r = u.withColumn(
-        "rn", F.row_number().over(W.orderBy("cents", "o_custkey")).cast("long")
-    ).localCheckpoint(eager=True)
-    n = r.agg(
+    c = global_rank_cumsum(
+        u, [F.col("cents"), F.col("o_custkey")], "cents", "rn", "cum"
+    )
+    n = c.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("tot"),
     )
-    c = r.withColumn(
-        "cum",
-        F.sum("cents").over(W.orderBy("rn").rowsBetween(W.unboundedPreceding, 0)),
-    )
     dec = spark.range(1, 11).select(F.col("id").alias("decile"))
-    d = (
-        dec.crossJoin(F.broadcast(n))
-        .join(c, c["rn"] <= F.expr("(decile * n) div 10"))
-        .groupBy("decile", "tot")
-        .agg(F.max("cum").alias("cum"))
+    thresholds = dec.crossJoin(F.broadcast(n)).select(
+        "decile", "tot", F.expr("(decile * n) div 10").cast("long").alias("rn")
+    )
+    d = c.join(F.broadcast(thresholds), "rn").groupBy("decile", "tot").agg(
+        F.max("cum").alias("cum")
     )
     return d.select(
         F.col("decile").cast("long").alias("decile"),

@@ -1237,54 +1237,6 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _distributed_ntile4(base: DataFrame, order_cols, alias: str) -> DataFrame:
-    """Exact ntile(4) over a total order WITHOUT an unpartitioned window:
-    range-partition on the order, row_number within each partition
-    (partitioned window), add per-partition offsets (a ≤shuffle-partitions
-    size table — bounded metadata, broadcast), then the closed-form ntile
-    bucket from the exact global rank. The global rank is invariant to
-    where the range boundaries land, but the partition-id must agree
-    between the size pass and the rank pass, so the range-partitioned
-    frame is pinned with localCheckpoint. Scales as a sort: no single
-    task ever holds more than one range partition."""
-    from pyspark.sql import Window
-
-    spark = base.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = (
-        base.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        part.groupBy("_pid")
-        .agg(F.count("*").alias("_n"))
-        .select(
-            "_pid",
-            F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
-        )
-    )
-    total = part.agg(F.count("*").alias("_N"))
-    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    return (
-        part.withColumn("_rn", rn)
-        .join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "custkey",
-            F.expr(
-                "CAST(CASE WHEN (_off + _rn) <= (_N % 4) * (_N div 4 + 1)"
-                " THEN (_off + _rn - 1) div (_N div 4 + 1) + 1"
-                " ELSE (_N % 4)"
-                "   + (_off + _rn - 1 - (_N % 4) * (_N div 4 + 1))"
-                "     div greatest(_N div 4, 1) + 1 END AS BIGINT)"
-            ).alias(alias),
-        )
-    )
-
-
-
 @query(
     "customer_rfm_segments",
     """
@@ -1309,7 +1261,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical behavioral feature-store derivation. One keyed aggregate
     over orders, then exact quartile ranks on the customer-sized result.
     Each quartile is a distributed ntile (range-partition + partitioned
-    rank + bounded offset table, `_distributed_ntile4`) — no
+    rank + bounded offset table, `operators.ordered.global_ntile`) — no
     corpus-proportional unpartitioned WindowExec anywhere in the plan;
     tie-broken by custkey for a total cross-engine order. Recency is
     exact integer days against the corpus max date (a 1-row broadcast
@@ -1336,15 +1288,17 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    r_q = _distributed_ntile4(
-        base, [F.col("recency_days"), F.col("custkey")], "r_quartile"
-    )
-    f_q = _distributed_ntile4(
-        base, [F.desc("frequency"), F.col("custkey")], "f_quartile"
-    )
-    m_q = _distributed_ntile4(
-        base, [F.desc("monetary_cents"), F.col("custkey")], "m_quartile"
-    )
+    from videos_to_tfrecords_spark.operators.ordered import global_ntile
+
+    r_q = global_ntile(
+        base, [F.col("recency_days"), F.col("custkey")], 4, "r_quartile"
+    ).select("custkey", "r_quartile")
+    f_q = global_ntile(
+        base, [F.desc("frequency"), F.col("custkey")], 4, "f_quartile"
+    ).select("custkey", "f_quartile")
+    m_q = global_ntile(
+        base, [F.desc("monetary_cents"), F.col("custkey")], 4, "m_quartile"
+    ).select("custkey", "m_quartile")
     return (
         base.join(r_q, "custkey")
         .join(f_q, "custkey")

@@ -451,13 +451,17 @@ def q_graph_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame
     rank table join (broadcastable), candidate volume |V|·trials, one
     anti-join on the edge table."""
     from videos_to_tfrecords_spark.functions.hashing import h15
+    from videos_to_tfrecords_spark.operators.ordered import global_row_number
     from pyspark.sql import Window
 
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
-    rk = nodes.select(
-        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("rn")
+    # dense 0-based node rank via the distributed global row number — |V|
+    # grows with the corpus, so no single-partition window over the node
+    # set (operators/ordered.py)
+    rk = global_row_number(nodes, [F.col("node")], "_rn1").select(
+        "node", (F.col("_rn1") - 1).alias("rn")
     )
     trials = spark.range(_NEG_TRIALS).select(F.col("id").alias("t"))
     cand = (

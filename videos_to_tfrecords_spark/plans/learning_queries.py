@@ -1207,10 +1207,14 @@ def q_preference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     s = bradley_terry_integer(duels)
-    qt = s.select(
-        "player",
-        F.ntile(4).over(Window.orderBy("strength", "player")).alias("q"),
-    )
+    # quartile the player table with the distributed exact ntile — the
+    # player domain (suppliers) grows with the corpus, so no
+    # single-partition ntile window (operators/ordered.py)
+    from videos_to_tfrecords_spark.operators.ordered import global_ntile
+
+    qt = global_ntile(
+        s, [F.col("strength"), F.col("player")], 4, "q"
+    ).select("player", "q")
     wq = qt.select(F.col("player").alias("winner"), F.col("q").alias("winner_q"))
     lq = qt.select(F.col("player").alias("loser"), F.col("q").alias("loser_q"))
     return (

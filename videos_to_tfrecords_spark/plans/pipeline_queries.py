@@ -1796,3 +1796,97 @@ def q_streaming_stream_static_join(
 
     return streaming_static_enrich(spark, sf_dir)
 
+
+
+@query(
+    "tfrecord_sink_census",
+    """
+WITH b AS (
+  SELECT doc_id, source, text,
+         CASE WHEN (doc_id * 9973 + 7) % 100 < 15 THEN 'test'
+              WHEN (doc_id * 9973 + 7) % 100 < 30 THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents)
+SELECT split,
+       CAST(4 AS BIGINT) AS n_shards,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(octet_length(encode(CAST(doc_id AS VARCHAR)))
+                + octet_length(encode(source))
+                + octet_length(encode(text)) + 2) AS BIGINT) AS bytes_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY split
+""",
+)
+def q_tfrecord_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 on the executed plan (VERDICT r07 #5): the reference's actual
+    output contract — ``write_split_tfrecords`` (per-split prefix
+    LOWERCASED per reference preprocess.py:119, one shard per task,
+    CRC32C-masked record framing) — written to the warehouse, then read
+    back DISTRIBUTED (``read_tfrecords_df``: binaryFile scan + Arrow
+    flat-map, which RAISES on any bad length/payload CRC, so a green row
+    proves the wire framing), and censused per split: shard count from
+    the filesystem listing (asserts the sharding layout, empty shards
+    included), record count, total payload bytes, and the id-sum
+    recovered by parsing the payloads — all hash-checked against an
+    oracle over the pre-encode rows. Split routing is the deterministic
+    hash-bucket split (operators/split.py), so the oracle reconstructs
+    the exact same Train/Val/Test assignment."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        read_tfrecords_df,
+        write_split_tfrecords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    payload = (
+        hash_bucket_split(docs, "doc_id")
+        .select(
+            "dataset",
+            F.encode(
+                F.concat_ws(
+                    "\t", F.col("doc_id").cast("string"), "source", "text"
+                ),
+                "UTF-8",
+            ).alias("rec"),
+        )
+        .repartition(4)
+        .localCheckpoint(eager=True)  # one corpus pass feeds 3 split sinks
+    )
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "tfsink_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(base, ignore_errors=True)  # stale shards from prior layouts
+    write_split_tfrecords(payload, "rec", "dataset", base)
+    glob = os.path.join(base, "data", "*", "*.tfrecord")
+    shards = (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .select(F.element_at(F.split("path", "/"), -2).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_shards"))
+    )
+    dec = read_tfrecords_df(spark, glob).select(
+        F.element_at(F.split("path", "/"), -2).alias("split"),
+        F.octet_length("record").cast("long").alias("blen"),
+        F.split(F.decode(F.col("record"), "UTF-8"), "\t")
+        .getItem(0)
+        .cast("long")
+        .alias("did"),
+    )
+    cen = dec.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("blen").cast("long").alias("bytes_sum"),
+        F.sum("did").cast("long").alias("id_sum"),
+    )
+    return cen.join(F.broadcast(shards), "split").select(
+        "split", "n_shards", "n_records", "bytes_sum", "id_sum"
+    )

@@ -533,18 +533,18 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-coverage signal a tokenizer-training pipeline computes. Vocab =
     global top-k terms (count DESC, term tie-break — exact); per-doc OOV
     fraction via a left join that broadcasts the (constant-size) vocab."""
-    from pyspark.sql import Window
-
     from videos_to_tfrecords_spark.functions.textfn import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    # top-1000 via orderBy+limit (distributed TakeOrderedAndProject —
+    # every partition contributes its local top-1000), never a global
+    # row_number window over the corpus-growing vocabulary
     vocab = (
         tok.groupBy("term")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= 1000)
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(1000)
         .select("term")
     )
     j = tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
