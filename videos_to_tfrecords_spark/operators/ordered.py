@@ -98,6 +98,39 @@ def global_cumsum(
     )
 
 
+def global_cummin(
+    df: DataFrame,
+    order_cols,
+    min_col: str,
+    alias: str = "cummin",
+    before: bool = False,
+) -> DataFrame:
+    """Exact running MIN of `min_col` over a total order (`before=True`
+    excludes the current row — an empty prefix yields NULL, matching the
+    single-partition window form). Adds `alias`, keeps every input
+    column. `least()` skips NULLs, so the partition-offset min and the
+    within-partition min combine correctly at partition heads."""
+    part = _pinned_range(df, order_cols)
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        part.groupBy(_PID)
+        .agg(F.min(min_col).alias("_ord_m"))
+        .select(_PID, F.min("_ord_m").over(woff).alias("_ord_off"))
+    )
+    upper = -1 if before else 0
+    win = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        part.withColumn("_ord_c", F.min(min_col).over(win))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(alias, F.least(F.col("_ord_off"), F.col("_ord_c")))
+        .drop(_PID, "_ord_c", "_ord_off")
+    )
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_cols,

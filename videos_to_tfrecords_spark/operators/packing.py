@@ -75,15 +75,16 @@ def pack_concat_spans(
     (id, bin_id, off_in_doc, off_in_bin, len_in_bin).
 
     The global token offset of each document is an exclusive prefix sum,
-    computed with the classic TWO-LEVEL distributed scan instead of a
+    computed with a THREE-LEVEL distributed scan instead of a
     single-partition global window (which Spark would otherwise plan —
     the WindowExec "No Partition Defined" scale-killer):
 
     1. block id = id div ``block``; per-block token totals aggregate
        map-side (one tiny shuffle of N/block rows);
-    2. exclusive block offsets via a window over that METADATA-scale
-       table only (N/block rows through one task — at 10⁹ docs and
-       block=2048 that is 5·10⁵ rows, and ``block`` scales with N);
+    2. exclusive block offsets via the distributed ordered prefix sum
+       (``operators.ordered.global_cumsum``: range-partitioned block
+       rows + a ≤shuffle-partitions offset table — no single task ever
+       holds the block table, however many blocks the corpus produces);
     3. per-document offset = block offset (broadcast-joined on block id)
        + in-block exclusive cumsum, a window whose partitions are
        bounded by ``block`` rows — never the corpus.
@@ -94,14 +95,15 @@ def pack_concat_spans(
     """
     from pyspark.sql import Window
 
+    from videos_to_tfrecords_spark.operators.ordered import global_cumsum
+
     d = df.select(
         F.col(id_col), F.col(n_tokens_col).cast("long").alias("_n")
     ).withColumn("_blk", F.expr(f"{id_col} div {block}"))
     bsums = d.groupBy("_blk").agg(F.sum("_n").alias("_bsum"))
-    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    boffs = bsums.select(
-        "_blk", F.coalesce(F.sum("_bsum").over(wb), F.lit(0)).alias("_boff")
-    )
+    boffs = global_cumsum(
+        bsums, [F.col("_blk")], "_bsum", "_boff", before=True
+    ).select("_blk", "_boff")
     wd = (
         Window.partitionBy("_blk")
         .orderBy(id_col)

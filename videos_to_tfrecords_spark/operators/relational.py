@@ -287,18 +287,19 @@ def skyline_2d(
     The naive dominance test is an O(n²) theta-self-join. This plan is
     O(n log n)-shaped instead: aggregate to one row per distinct x with the
     group's min y (a keyed shuffle), take the running min of y over
-    x-ascending groups (the ONLY ordered step — it runs over distinct-x
-    rows, already reduced by the aggregate; for an adversarial all-distinct
-    x at true scale this is the classic 1-D global-sort primitive, range
-    partitioned by Spark's sort machinery), broadcast the per-x thresholds
-    back, and keep rows dominated by neither a strictly-cheaper group
-    (cheaper_min_y ≤ y) nor a same-x strictly-smaller y (group_min_y < y).
-    Duplicate (x,y) points are all kept, matching the strict-dominance
-    NOT EXISTS semantics.
+    x-ascending groups with the DISTRIBUTED ordered prefix-min
+    (``operators.ordered.global_cummin`` — range-partitioned distinct-x
+    rows + a ≤shuffle-partitions offset table, so even an adversarial
+    all-distinct x never lands on one task), broadcast the per-x
+    thresholds back, and keep rows dominated by neither a
+    strictly-cheaper group (cheaper_min_y ≤ y) nor a same-x
+    strictly-smaller y (group_min_y < y). Duplicate (x,y) points are all
+    kept, matching the strict-dominance NOT EXISTS semantics.
     """
+    from videos_to_tfrecords_spark.operators.ordered import global_cummin
+
     g = df.groupBy(x_col).agg(F.min(y_col).alias("_gmin_y"))
-    wo = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
-    g = g.withColumn("_cheaper_min_y", F.min("_gmin_y").over(wo))
+    g = global_cummin(g, [F.col(x_col)], "_gmin_y", "_cheaper_min_y", before=True)
     out = df.join(F.broadcast(g), x_col)
     keep = ~(
         (F.col("_cheaper_min_y").isNotNull() & (F.col("_cheaper_min_y") <= F.col(y_col)))
