@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from videos_to_tfrecords_spark.operators.ordered import (
+    global_cummin,
     global_cumsum,
     global_ntile,
     global_rank_cumsum,
@@ -60,6 +61,24 @@ def test_global_cumsum_matches_window_both_frames(spark):
             ).collect()
         }
         assert got == want, f"before={before}"
+
+
+def test_global_cummin_matches_window_null_head(spark):
+    # prefix-min with before=True: the first row's empty prefix must be
+    # NULL (the skyline dominance test relies on it), and partition heads
+    # must inherit the previous partitions' min via least()
+    df = _frame(spark).groupBy("v").agg(F.min("w").alias("m"))
+    got = {
+        r["v"]: r["cm"]
+        for r in global_cummin(df, [F.col("v")], "m", "cm", before=True).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: r["cm"]
+        for r in df.withColumn("cm", F.min("m").over(w)).collect()
+    }
+    assert got == want
+    assert want[0] is None and got[0] is None  # empty prefix stays NULL
 
 
 def test_global_rank_cumsum_one_pass(spark):

@@ -15,6 +15,13 @@ offset pass and the rank pass, so the range-partitioned frame is pinned
 with `localCheckpoint(eager=True)` (range-boundary sampling is not
 deterministic across re-evaluations).
 
+Cluster note: localCheckpoint blocks live on executors, so on a real
+multi-node cluster an executor loss between the offset and rank passes
+fails the job (blocks are lineage-truncated and the resample would be
+inconsistent anyway) — the job simply re-runs. For long-lived production
+pipelines prefer `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
+(reliable storage) as a drop-in swap; the algorithm is unchanged.
+
 Semantics notes
 - `order_cols` must define a TOTAL order (add a tie-break column). Range
   partitioning co-locates equal keys, but a row-frame prefix over tied
