@@ -3103,3 +3103,112 @@ def q_customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("equality_gap_ppm"),
     ).orderBy("decile")
+
+
+@query(
+    "approx_quantile_accuracy_eval",
+    """
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1),
+r AS (SELECT x, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM c),
+n AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM c),
+q AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+      FROM (VALUES (250000), (500000), (750000), (990000)) AS q(q_ppm)),
+k AS (SELECT q_ppm, CAST((q_ppm * n + 999999) // 1000000 AS BIGINT) AS k
+      FROM q, n)
+SELECT k.q_ppm,
+       CAST(min(r.x) AS BIGINT) AS exact_q_cents,
+       TRUE AS within_bound
+FROM r JOIN k ON r.cum < k.k AND r.cum + r.t >= k.k
+GROUP BY k.q_ppm
+""",
+)
+def q_approx_quantile_accuracy_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured accuracy of ``percentile_approx`` (Greenwald-Khanna,
+    accuracy=1000 ⇒ rank error ε = N/1000) against the EXACT order
+    statistics — the sketch-quality gate next to hll_accuracy_eval
+    (distinct counts), bloom_filter_fpr (membership), and
+    minhash_estimate_calibration (Jaccard): before a 100 TB pipeline
+    trusts approx quantiles for partition sizing, skew thresholds, or
+    score cutoffs, this query says whether the GK guarantee actually
+    holds on this data. The approx VALUE itself is engine-specific so it
+    never reaches the output; what is hash-checked is (a) the exact
+    quantile at rank ⌈q·N⌉ from the distinct-value census (running count
+    via the distributed ordered prefix sum — operators/ordered.py), and
+    (b) the boolean GK bound check: the tie-range of the returned value,
+    [count(<a)+1, count(≤a)], must intersect [(q−ε)·N, (q+ε)·N] — all
+    integer arithmetic, TRUE by the GK contract, so the oracle emits the
+    literal and any bound violation is a red row."""
+    from videos_to_tfrecords_spark.operators.ordered import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x")
+    )
+    c = li.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    c = global_cumsum(c, [F.col("x")], "t", "cum", before=True).localCheckpoint(
+        eager=True
+    )  # census feeds the exact leg AND both rank counts
+    tot = c.agg(F.sum("t").cast("long").alias("n"))
+    qs = spark.createDataFrame(
+        [(250000,), (500000,), (750000,), (990000,)], "q_ppm long"
+    )
+    ks = qs.crossJoin(F.broadcast(tot)).select(
+        "q_ppm",
+        "n",
+        F.expr("CAST((q_ppm * n + 999999) div 1000000 AS BIGINT)").alias("k"),
+    )
+    exact = (
+        c.join(
+            F.broadcast(ks),
+            (F.col("cum") < F.col("k"))
+            & (F.col("cum") + F.col("t") >= F.col("k")),
+        )
+        .groupBy("q_ppm")
+        .agg(F.min("x").cast("long").alias("exact_q_cents"))
+    )
+    ap = (
+        li.agg(
+            F.percentile_approx(
+                "x", [0.25, 0.5, 0.75, 0.99], 1000
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("i", "a"))
+        .select(
+            F.element_at(
+                F.array(
+                    F.lit(250000), F.lit(500000), F.lit(750000), F.lit(990000)
+                ),
+                F.col("i") + 1,
+            )
+            .cast("long")
+            .alias("q_ppm"),
+            "a",
+        )
+    )
+    ranks = (
+        c.crossJoin(F.broadcast(ap))
+        .groupBy("q_ppm", "a")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("a"), F.col("t")).otherwise(0))
+            .cast("long")
+            .alias("lt"),
+            F.sum(F.when(F.col("x") <= F.col("a"), F.col("t")).otherwise(0))
+            .cast("long")
+            .alias("le"),
+        )
+    )
+    within = ranks.crossJoin(F.broadcast(tot)).select(
+        "q_ppm",
+        (
+            ((F.col("lt") + 1) * 1000000 <= (F.col("q_ppm") + 1000) * F.col("n"))
+            & (F.col("le") * 1000000 >= (F.col("q_ppm") - 1000) * F.col("n"))
+        ).alias("within_bound"),
+    )
+    return exact.join(within, "q_ppm").select(
+        "q_ppm", "exact_q_cents", "within_bound"
+    )
