@@ -1794,3 +1794,123 @@ def q_em_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "field string, m0_ppm long, m1_ppm long, u_ppm long, lambda1_ppm long"
     )
+
+
+_BJ_M = 1 << 20  # bloom bits (1 Mbit = 128 KiB bitmap broadcast)
+_BJ_K = 3  # hash functions
+_BJ_T = 480000  # build-side price threshold (~4% of orders)
+
+
+def _bloom_join_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.hashing import h15_sql
+
+    build = " UNION ALL ".join(
+        f"SELECT {h15_sql('CAST(o_orderkey AS VARCHAR)', salt=f'bj{j}')}"
+        f" % {_BJ_M} AS b FROM sel"
+        for j in range(_BJ_K)
+    )
+    hcols = ", ".join(
+        f"{h15_sql('CAST(l_orderkey AS VARCHAR)', salt=f'bj{j}')}"
+        f" % {_BJ_M} AS b{j}"
+        for j in range(_BJ_K)
+    )
+    passcond = " AND ".join(f"s{j}.b IS NOT NULL" for j in range(_BJ_K))
+    joins = " ".join(
+        f"LEFT JOIN bset s{j} ON s{j}.b = h.b{j}" for j in range(_BJ_K)
+    )
+    return f"""
+WITH sel AS (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BJ_T}),
+bset AS (SELECT DISTINCT b FROM ({build})),
+h AS (SELECT l_orderkey, {hcols} FROM lineitem),
+p AS (SELECT h.l_orderkey, ({passcond}) AS pass FROM h {joins}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_fact,
+               CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM p),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_match FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM sel s WHERE s.o_orderkey = l.l_orderkey))
+SELECT n_fact, n_pass, n_match,
+       CAST(n_pass - n_match AS BIGINT) AS n_false_pass,
+       CAST((1000000 * (n_fact - n_pass)) // n_fact AS BIGINT)
+         AS prefilter_reduction_ppm,
+       CAST((1000000 * (n_pass - n_match)) // (n_fact - n_match) AS BIGINT)
+         AS fp_rate_ppm
+FROM agg, m
+"""
+
+
+@query("bloom_prefilter_join_census", _bloom_join_oracle())
+def q_bloom_prefilter_join_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered semi-join — THE classic 100 TB shuffle-reduction
+    pattern, end-to-end and measured: build a portable Bloom filter
+    (k={_BJ_K} salted h15 hashes into m=2^20 bits) over the selective
+    build side (orders above a price threshold, ~4%), collect it as a
+    128 KiB BITMAP LITERAL (bounded metadata — the same class as the
+    audited ≤k-centroid collects), and prefilter the fact table with a
+    pure-JVM bitmap probe (element_at + shiftleft on the hash — codegen,
+    NO shuffle and NO Python on the fact side), then exact-verify the
+    survivors with the real semi-join. The census binds the whole
+    contract: the oracle computes n_match DIRECTLY on the unfiltered
+    fact table, so one bloom false-negative = a red row; n_false_pass /
+    fp_rate_ppm measure the filter's actual selectivity loss the way an
+    engineer sizes m before shipping (next to bloom_filter_fpr's pure
+    FPR probe; Spark's own runtime bloom join is plan-asserted in
+    test_mining)."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sel = orders.filter(F.col("o_totalprice") > _BJ_T).select("o_orderkey")
+
+    def hashes(col, pfx):
+        return [
+            (h15(F.col(col).cast("string"), salt=f"bj{j}") % _BJ_M).alias(
+                f"{pfx}{j}"
+            )
+            for j in range(_BJ_K)
+        ]
+
+    buckets = [
+        r["b"]
+        for r in sel.select(
+            F.explode(F.array(*[h for h in hashes("o_orderkey", "h")])).alias(
+                "b"
+            )
+        )
+        .distinct()
+        .collect()  # bounded: ≤ m distinct bucket ids (metadata-scale)
+    ]
+    words = [0] * (_BJ_M // 64)
+    for b in buckets:
+        words[b >> 6] |= 1 << (b & 63)
+    # signed 64-bit so the array literal fits LongType
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    probe = li.select("l_orderkey", *hashes("l_orderkey", "h")).withColumn(
+        "_bm", F.lit(words)
+    )
+    member = " AND ".join(
+        f"(element_at(_bm, CAST(shiftright(h{j}, 6) + 1 AS INT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(h{j} & 63 AS INT))) != 0"
+        for j in range(_BJ_K)
+    )
+    passed = probe.filter(member).select("l_orderkey")
+    n_fact = li.count()
+    n_pass = passed.count()
+    n_match = passed.join(
+        sel, passed.l_orderkey == sel.o_orderkey, "left_semi"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_fact,
+                n_pass,
+                n_match,
+                n_pass - n_match,
+                (1_000_000 * (n_fact - n_pass)) // n_fact,
+                (1_000_000 * (n_pass - n_match)) // (n_fact - n_match),
+            )
+        ],
+        "n_fact long, n_pass long, n_match long, n_false_pass long,"
+        " prefilter_reduction_ppm long, fp_rate_ppm long",
+    )
