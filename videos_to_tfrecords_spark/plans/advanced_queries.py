@@ -3212,3 +3212,169 @@ def q_approx_quantile_accuracy_eval(
     return exact.join(within, "q_ppm").select(
         "q_ppm", "exact_q_cents", "within_bound"
     )
+
+_ZM_FILES = 64
+# both dimensions are scaled to a common 2^10 grid BEFORE interleaving —
+# raw keys of unequal magnitude would let the wider key dominate the
+# Morton code's high bits and the "z-order" would degenerate into a 1-D
+# sort on that key (Delta's OPTIMIZE ZORDER BY does the same range-based
+# normalization via per-column rank quantiles)
+_ZM_BITS = 10
+
+
+def _zonemap_oracle() -> str:
+    from videos_to_tfrecords_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql(
+        f"((l_partkey * {1 << _ZM_BITS}) // ((SELECT pm FROM n) + 1))",
+        f"((l_suppkey * {1 << _ZM_BITS}) // ((SELECT sm FROM n) + 1))",
+        _ZM_BITS,
+    )
+    ov = "pmax >= plo AND pmin <= phi AND smax >= slo AND smin <= shi"
+
+    def zones(rank_order: str, layout: str) -> str:
+        return f"""
+SELECT '{layout}' AS layout,
+       (r - 1) // (SELECT (n + {_ZM_FILES - 1}) // {_ZM_FILES} FROM n) AS f,
+       min(p) AS pmin, max(p) AS pmax, min(s) AS smin, max(s) AS smax,
+       count(*) AS nrows
+FROM (SELECT l_partkey AS p, l_suppkey AS s,
+             row_number() OVER (ORDER BY {rank_order}) AS r FROM v)
+GROUP BY 1, 2"""
+
+    return f"""
+WITH n AS (SELECT count(*) AS n, max(l_partkey) AS pm,
+                  max(l_suppkey) AS sm
+           FROM lineitem),
+v AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {z} AS zval
+      FROM lineitem),
+preds AS (
+  SELECT 'both_dims' AS predicate, pm // 10 AS plo, (3 * pm) // 10 AS phi,
+         sm // 10 AS slo, (3 * sm) // 10 AS shi FROM n
+  UNION ALL
+  SELECT 'suppkey_only', 0, pm, sm // 10, (3 * sm) // 10 FROM n),
+f AS ({zones("l_partkey, l_orderkey, l_linenumber", "partkey_sort")}
+      UNION ALL
+      {zones("zval, l_orderkey, l_linenumber", "zorder")}),
+s AS (SELECT layout, predicate,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN {ov} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN {ov} THEN nrows ELSE 0 END) AS BIGINT)
+               AS rows_scanned
+      FROM f, preds GROUP BY 1, 2),
+m AS (SELECT predicate, CAST(count(*) AS BIGINT) AS rows_matching
+      FROM v, preds
+      WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+      GROUP BY 1)
+SELECT s.layout, s.predicate, s.n_files, s.files_scanned, s.rows_scanned,
+       m.rows_matching,
+       CAST((1000000 * s.rows_scanned) // m.rows_matching AS BIGINT)
+         AS scan_amplification_ppm
+FROM s JOIN m ON m.predicate = s.predicate
+"""
+
+
+@query("zonemap_pruning_census", _zonemap_oracle())
+def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max (zone-map) pruning effectiveness, measured — the
+    layout decision a lakehouse table owner makes before a 100 TB scan:
+    lay lineitem out as {_ZM_FILES} equal files under (a) a 1-D partkey
+    sort and (b) a z-order (Morton) clustering of (partkey, suppkey),
+    compute each file's min/max box EXACTLY (the numbers Delta/Iceberg
+    store per file in their manifests), then count the files + rows TWO
+    predicates must touch under each layout: a 2-D range box, and a
+    suppkey-only range — the dimension the 1-D sort cannot prune (it
+    scans every file; the z-curve bounds every file in BOTH dimensions).
+    `scan_amplification_ppm` = rows the zone maps force you to read per
+    matching row. File boundaries are the exact global rank
+    (operators/ordered.py — no sampling nondeterminism), so the whole
+    census hash-checks cross-engine; the PHYSICAL write → parquet-footer
+    path (sources/layout.write_zordered + prunable_files) is exercised in
+    tests/test_storage_layout.py and follows this arithmetic exactly."""
+    from videos_to_tfrecords_spark.functions.zorder import z_value
+    from videos_to_tfrecords_spark.operators.ordered import global_row_number
+
+    raw = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    n, pm, sm = raw.agg(
+        F.count("*"), F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
+    li = raw.withColumn(
+        "zval",
+        z_value(
+            F.expr(f"CAST((l_partkey * {1 << _ZM_BITS}) div {pm + 1} AS BIGINT)"),
+            F.expr(f"CAST((l_suppkey * {1 << _ZM_BITS}) div {sm + 1} AS BIGINT)"),
+            _ZM_BITS,
+        ),
+    )
+    rows_per_file = (n + _ZM_FILES - 1) // _ZM_FILES
+    preds = {
+        "both_dims": (pm // 10, (3 * pm) // 10, sm // 10, (3 * sm) // 10),
+        "suppkey_only": (0, pm, sm // 10, (3 * sm) // 10),
+    }
+    matching = {
+        name: li.filter(
+            F.col("l_partkey").between(plo, phi)
+            & F.col("l_suppkey").between(slo, shi)
+        ).count()
+        for name, (plo, phi, slo, shi) in preds.items()
+    }
+
+    def census(order_cols, layout: str) -> DataFrame:
+        zones = (
+            global_row_number(li, order_cols, "_r")
+            .withColumn(
+                "f", F.expr(f"CAST((_r - 1) div {rows_per_file} AS BIGINT)")
+            )
+            .groupBy("f")
+            .agg(
+                F.min("l_partkey").alias("pmin"),
+                F.max("l_partkey").alias("pmax"),
+                F.min("l_suppkey").alias("smin"),
+                F.max("l_suppkey").alias("smax"),
+                F.count("*").alias("nrows"),
+            )
+            .localCheckpoint(eager=True)  # 64 rows feed both predicates
+        )
+        outs = []
+        for name, (plo, phi, slo, shi) in preds.items():
+            ov = (
+                (F.col("pmax") >= plo)
+                & (F.col("pmin") <= phi)
+                & (F.col("smax") >= slo)
+                & (F.col("smin") <= shi)
+            )
+            outs.append(
+                zones.agg(
+                    F.count("*").cast("long").alias("n_files"),
+                    F.sum(F.when(ov, 1).otherwise(0))
+                    .cast("long")
+                    .alias("files_scanned"),
+                    F.sum(F.when(ov, F.col("nrows")).otherwise(0))
+                    .cast("long")
+                    .alias("rows_scanned"),
+                ).select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(name).alias("predicate"),
+                    "n_files",
+                    "files_scanned",
+                    "rows_scanned",
+                    F.lit(matching[name]).cast("long").alias("rows_matching"),
+                )
+            )
+        return outs[0].unionByName(outs[1])
+
+    a = census(
+        [F.col("l_partkey"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "partkey_sort",
+    )
+    b = census(
+        [F.col("zval"), F.col("l_orderkey"), F.col("l_linenumber")], "zorder"
+    )
+    return a.unionByName(b).withColumn(
+        "scan_amplification_ppm",
+        F.expr("CAST((1000000 * rows_scanned) div rows_matching AS BIGINT)"),
+    )
