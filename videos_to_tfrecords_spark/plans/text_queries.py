@@ -174,6 +174,85 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup_pairs(docs, threshold_x1000=500)
 
 
+_SWEEP_THRESHOLDS = (500, 600, 700, 800, 900)
+
+_SWEEP_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+j AS (SELECT id_a, id_b,
+             CAST(floor(1000.0 * common / (sa.n + sb.n - common)) AS BIGINT)
+               AS j_x1000
+      FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(floor(1000.0 * common / (sa.n + sb.n - common)) AS BIGINT)
+            >= {min(_SWEEP_THRESHOLDS)}),
+th AS (SELECT CAST(t AS BIGINT) AS threshold_x1000
+       FROM (VALUES {", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)}) v(t)),
+f AS (SELECT th.threshold_x1000, id_a, id_b
+      FROM j JOIN th ON j.j_x1000 >= th.threshold_x1000),
+p1 AS (SELECT threshold_x1000, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM f GROUP BY 1),
+p2 AS (SELECT threshold_x1000, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       FROM (SELECT threshold_x1000, unnest([id_a, id_b]) AS d FROM f)
+       GROUP BY 1)
+SELECT th.threshold_x1000,
+       CAST(coalesce(p1.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(p2.n_docs, 0) AS BIGINT) AS n_docs_with_dup
+FROM th LEFT JOIN p1 ON p1.threshold_x1000 = th.threshold_x1000
+        LEFT JOIN p2 ON p2.threshold_x1000 = th.threshold_x1000
+"""
+
+
+@query("dedup_threshold_sweep", _SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup THRESHOLD TUNING curve — the census a data-curation
+    owner reads before fixing the Jaccard cutoff: how many duplicate
+    pairs and how many affected documents exist at each candidate
+    threshold. ONE lossless pairs pass at the lowest threshold
+    (`ngram_jaccard_pairs`, SSJoin+PPJoin prefix filtering — the
+    documented exact-pair contract) feeds every higher cutoff as a cheap
+    re-filter of the verified pair list, so sweeping five thresholds
+    costs one similarity join, not five."""
+    from videos_to_tfrecords_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold_x1000=min(_SWEEP_THRESHOLDS)
+    ).localCheckpoint(eager=True)  # one pairs pass feeds all five cutoffs
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold_x1000 long"
+    )
+    f = pairs.join(
+        F.broadcast(th), pairs.j_x1000 >= th.threshold_x1000
+    ).select("threshold_x1000", "id_a", "id_b")
+    p1 = f.groupBy("threshold_x1000").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    p2 = (
+        f.select(
+            "threshold_x1000",
+            F.explode(F.array("id_a", "id_b")).alias("d"),
+        )
+        .groupBy("threshold_x1000")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_with_dup"))
+    )
+    return (
+        th.join(p1, "threshold_x1000", "left")
+        .join(p2, "threshold_x1000", "left")
+        .select(
+            "threshold_x1000",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_with_dup", F.lit(0))
+            .cast("long")
+            .alias("n_docs_with_dup"),
+        )
+    )
+
+
 @query("doc_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via the inverted shingle index (M5) — the
