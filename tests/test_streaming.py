@@ -535,3 +535,44 @@ def test_foreachbatch_upsert_multibatch_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_late_data_census_drops_stragglers(spark, sf_dir):
+    """The late-data census must (a) process >1 microbatch, (b) actually
+    drop the straggler rows via the watermark (not merely filter them),
+    and (c) exclude exactly the stragglers from the emitted counts — the
+    registry oracle checks (c); this pins (a)+(b) on the live query
+    progress so a future single-trigger regression can't fake the
+    census."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_late_data_census,
+    )
+
+    out = {
+        (r.day, r.n, r.value_cents)
+        for r in streaming_late_data_census(spark, sf_dir).collect()
+    }
+    # recompute the expected census (same integer rules as the oracle)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    dmin, dmax, maxus = ev.agg(F.min("d"), F.max("d"), F.max("us")).collect()[0]
+    strag = (F.col("event_id") % 17 == 0) & (F.col("d") <= dmin + (dmax - dmin) // 2 - 2)
+    n_strag = ev.filter(strag).count()
+    assert n_strag > 0  # the drop set is non-vacuous at every test SF
+    want = {
+        (r.d, r.n, r.value_cents)
+        for r in ev.filter(~strag)
+        .filter((F.col("d") + 1) * 86400000000 <= maxus)
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .collect()
+    }
+    assert out == want and len(want) > 0

@@ -1890,3 +1890,41 @@ def q_tfrecord_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cen.join(F.broadcast(shards), "split").select(
         "split", "n_shards", "n_records", "bytes_sum", "id_sum"
     )
+
+
+@query(
+    "streaming_late_data_census",
+    """
+WITH e AS (SELECT event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events),
+b AS (SELECT min(d) AS dmin, max(d) AS dmax, max(us) AS maxus FROM e),
+s AS (SELECT e.*,
+             (event_id % 17 = 0
+              AND d <= (SELECT dmin + (dmax - dmin) // 2 - 2 FROM b))
+               AS straggler
+      FROM e)
+SELECT d AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM s, b
+WHERE NOT straggler AND (d + 1) * 86400000000 <= b.maxus
+GROUP BY d
+""",
+)
+def q_streaming_late_data_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark late-data DROP on a real multi-batch source (§7 streaming
+    surface, the semantic single-trigger drains can't reach): three
+    deterministic microbatches, stragglers arriving after their
+    day-windows were evicted, counts hash-checked against an oracle that
+    replays the drop and emission rules exactly — see
+    streaming/pipeline.streaming_late_data_census."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_late_data_census,
+    )
+
+    return streaming_late_data_census(spark, sf_dir)

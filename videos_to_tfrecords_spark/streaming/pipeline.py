@@ -924,3 +924,110 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_cents",
     )
+
+
+def streaming_late_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, exercised for real and hash-checked — the
+    one streaming semantic a single-trigger source can never show (every
+    other stream in this suite drains its bounded input in one batch, so
+    nothing is ever late). Here the events table is split into THREE
+    microbatch files with deterministic content and arrival order
+    (distinct ascending mtimes + maxFilesPerTrigger=1): batch 0 = the
+    first half of the day range minus a straggler set, batch 1 = third
+    quarter (its commit advances the watermark past every straggler
+    window's end and EVICTS those windows in append mode), batch 2 = the
+    rest PLUS the stragglers (event_id % 17 == 0, day ≤ half-point − 2 —
+    strictly inside the evicted region, so no boundary ulp decides a
+    drop). The stragglers arrive after their day-windows were finalized
+    and are DROPPED by the watermark (numRowsDroppedByWatermark > 0 on
+    the last batch); emitted day windows therefore count every row
+    EXCEPT the stragglers, and only windows whose end ≤ the final
+    watermark appear — both rules replayed exactly by the DuckDB oracle,
+    so a wrong drop (either direction) is a red row.
+
+    Scale: the census is the standard watermarked tumbling aggregate
+    (state ∝ open windows); the split-write is the test harness, not the
+    operator. Day windows come from F.window, which buckets the epoch
+    microseconds directly — session-timezone-proof."""
+    import glob as _glob
+    import hashlib as _hl
+    import os
+    import shutil
+    import uuid
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, "spark-warehouse", "late_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "value",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    dmin, dmax = ev.agg(F.min("d"), F.max("d")).collect()[0]
+    h_max = dmin + (dmax - dmin) // 2
+    q3 = dmin + (3 * (dmax - dmin)) // 4
+    straggler = (F.col("event_id") % 17 == 0) & (F.col("d") <= h_max - 2)
+    parts = [
+        ev.filter((F.col("d") <= h_max) & ~straggler),
+        ev.filter((F.col("d") > h_max) & (F.col("d") <= q3)),
+        ev.filter((F.col("d") > q3) | straggler),
+    ]
+    for i, p in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        p.select("event_id", "ts", "value").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.expr("unix_micros(w.start) div 86400000000").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
