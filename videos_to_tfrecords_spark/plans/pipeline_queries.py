@@ -1928,3 +1928,44 @@ def q_streaming_late_data_census(
     )
 
     return streaming_late_data_census(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_stream_left_outer",
+    """
+WITH v AS (SELECT event_id AS view_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS vus
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS cus
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(vus) FROM v), (SELECT max(cus) FROM c))
+              - 3600000000 AS w),
+m AS (SELECT v.view_id, c.click_id, v.user_id, v.vus
+      FROM v JOIN c ON c.user_id = v.user_id
+                   AND c.cus > v.vus AND c.cus <= v.vus + 3600000000),
+um AS (SELECT v.view_id, CAST(-1 AS BIGINT) AS click_id, v.user_id, v.vus
+       FROM v, wm
+       WHERE NOT EXISTS (SELECT 1 FROM c
+                         WHERE c.user_id = v.user_id
+                           AND c.cus > v.vus
+                           AND c.cus <= v.vus + 3600000000)
+         AND v.vus + 3600000000 <= wm.w)
+SELECT view_id, CAST(click_id AS BIGINT) AS click_id, user_id,
+       CAST(vus AS BIGINT) AS view_us
+FROM m
+UNION ALL
+SELECT view_id, click_id, user_id, CAST(vus AS BIGINT) AS view_us FROM um
+""",
+)
+def q_streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (§7 streaming surface):
+    inner matches plus null-padded (click_id = −1) views released only
+    when the global watermark proves no future match — the state-expiry
+    emission rule replayed exactly by the oracle; see
+    streaming/pipeline.streaming_stream_stream_left_outer."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_stream_stream_left_outer,
+    )
+
+    return streaming_stream_stream_left_outer(spark, sf_dir)

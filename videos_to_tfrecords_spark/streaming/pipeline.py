@@ -1031,3 +1031,74 @@ def streaming_late_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("value_cents").cast("long").alias("value_cents"),
     )
+
+
+def streaming_stream_stream_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the other half of the
+    join semantic streaming_stream_stream_join covers: a view with no
+    click inside its (view_ts, view_ts + 1 h] horizon is emitted
+    NULL-PADDED, but only once the global watermark (min of both sides'
+    max event time, minus the 1 h delay) passes the view's join bound —
+    Spark can then prove no future click can match, evicts the state row,
+    and releases the outer result. Views whose bound is still inside the
+    final watermark horizon are withheld forever on a bounded source —
+    the oracle replays exactly that emission rule (verified 0 knife-edge
+    rows at every test SF: no view bound equals the watermark to the µs),
+    plus the inner matches, so both the match and the expiry logic
+    hash-check. Unmatched click_id surfaces as −1 (not NULL) so the
+    column stays integral on both engines."""
+    import uuid
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("long").alias("click_id"),
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+    name = f"stream_sslo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
