@@ -576,3 +576,125 @@ def test_late_data_census_drops_stragglers(spark, sf_dir):
         .collect()
     }
     assert out == want and len(want) > 0
+
+
+def test_dedup_within_watermark_pinned_semantics(spark, tmp_path):
+    """Pins the probed dropDuplicatesWithinWatermark rules the registry
+    oracle replays: (1) first-seen emits; (2) a duplicate arriving in the
+    SAME batch whose watermark passed the entry's expiry is still dropped
+    (eviction is lazy, end-of-batch) and does NOT refresh state; (3) the
+    key re-emits when it next arrives AFTER the evicting batch. If a
+    Spark upgrade changes any of these, this fails before the driver
+    gate does."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [("A", 1000, 1)],  # b0: A emits, expiry 1005
+        [("B", 1100, 2)],  # b1: wm=995 < 1005 -> A kept
+        [("A", 1101, 3), ("C", 1102, 4)],  # b2: wm=1095 > 1005, but lazy
+        #   eviction -> A@1101 dropped, no refresh; A evicted at b2 end
+        [("A", 1200, 5)],  # b3: A re-emits
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "k string, t long, v long"
+        ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+        tmp = str(tmp_path / f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    out = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    name = "ddww_pin_test"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.k, r.v) for r in spark.table(name).collect()}
+    assert got == {("A", 1), ("B", 2), ("C", 4), ("A", 5)}
+
+
+def test_dedup_within_watermark_census_paths_nonvacuous(spark, sf_dir):
+    """The registry census must exercise every rule: some b=2 keys
+    re-emitted after expiry, some dropped against live state, some b=1
+    duplicates dropped — verified on the arrival table the harness
+    builds, so the oracle's CASE arms never go untested."""
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_dedup_within_watermark,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    dmin, dmax = ev.agg(F.min("d"), F.max("d")).collect()[0]
+    t1 = dmin + (dmax - dmin) // 3
+    t2 = dmin + 2 * (dmax - dmin) // 3
+    lab = ev.withColumn(
+        "b",
+        F.when(F.col("d") <= t1, F.lit(0))
+        .when(F.col("d") <= t2, F.lit(1))
+        .otherwise(F.lit(2)),
+    )
+    arr = (
+        lab.groupBy("user_id", "event_type", "b")
+        .agg(F.min("d").alias("dfirst"))
+        .cache()
+    )
+    maxd0 = arr.filter("b = 0").agg(F.max("dfirst")).collect()[0][0]
+    b0 = arr.filter("b = 0").select(
+        "user_id", "event_type", F.col("dfirst").alias("d0")
+    )
+    b2 = arr.filter("b = 2").join(b0, ["user_id", "event_type"])
+    n_reemit = b2.filter(F.lit(maxd0) - F.col("d0") >= 6).count()
+    n_live_drop = b2.filter(F.lit(maxd0) - F.col("d0") < 6).count()
+    n_b1_drop = (
+        arr.filter("b = 1")
+        .join(b0, ["user_id", "event_type"], "left_semi")
+        .count()
+    )
+    n_fresh = (
+        arr.filter("b = 2")
+        .join(
+            arr.filter("b < 2").select("user_id", "event_type"),
+            ["user_id", "event_type"],
+            "left_anti",
+        )
+        .count()
+    )
+    arr.unpersist()
+    assert n_reemit > 0 and n_live_drop > 0 and n_b1_drop > 0
+    # and the census itself agrees with the replay on totals
+    cen = streaming_dedup_within_watermark(spark, sf_dir)
+    b2_emitted = (
+        cen.filter("b = 2").agg(F.sum("n_emitted")).collect()[0][0] or 0
+    )
+    assert b2_emitted == n_reemit + n_fresh

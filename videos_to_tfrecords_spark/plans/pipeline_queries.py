@@ -1969,3 +1969,56 @@ def q_streaming_stream_stream_left_outer(
     )
 
     return streaming_stream_stream_left_outer(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+WITH raw AS (SELECT user_id, event_type,
+                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+             FROM events),
+bo AS (SELECT min(d) AS dmin, max(d) AS dmax FROM raw),
+lab AS (SELECT user_id, event_type, d,
+               CASE WHEN d <= dmin + (dmax - dmin) // 3 THEN 0
+                    WHEN d <= dmin + (2 * (dmax - dmin)) // 3 THEN 1
+                    ELSE 2 END AS b
+        FROM raw, bo),
+arr AS (SELECT user_id, event_type, b, min(d) AS dfirst, count(*) AS cnt
+        FROM lab GROUP BY 1, 2, 3),
+m0 AS (SELECT max(dfirst) AS maxd0 FROM arr WHERE b = 0),
+em AS (SELECT a.event_type, a.b, a.dfirst, a.cnt
+       FROM arr a
+       LEFT JOIN arr p0 ON p0.user_id = a.user_id
+                       AND p0.event_type = a.event_type AND p0.b = 0
+       LEFT JOIN arr p1 ON p1.user_id = a.user_id
+                       AND p1.event_type = a.event_type AND p1.b = 1
+       CROSS JOIN m0
+       WHERE a.b = 0
+          OR (a.b = 1 AND p0.user_id IS NULL)
+          OR (a.b = 2 AND CASE
+                WHEN p0.user_id IS NOT NULL
+                  THEN m0.maxd0 - p0.dfirst >= 6
+                WHEN p1.user_id IS NOT NULL THEN FALSE
+                ELSE TRUE END))
+SELECT event_type,
+       CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_emitted,
+       CAST(sum(dfirst) AS BIGINT) AS day_sum,
+       CAST(sum(cnt) AS BIGINT) AS cnt_sum
+FROM em GROUP BY 1, 2
+""",
+)
+def q_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — bounded-state streaming dedup
+    (§7 extension; reference has no streaming state at all) on a real
+    3-microbatch source: first-seen emits, in-horizon duplicates drop
+    without refreshing state, expired keys re-emit one batch after lazy
+    eviction — every rule probed on this Spark and replayed exactly by
+    the oracle; see streaming/pipeline.streaming_dedup_within_watermark."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(spark, sf_dir)

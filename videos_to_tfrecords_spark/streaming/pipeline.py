@@ -1102,3 +1102,134 @@ def streaming_stream_stream_left_outer(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+, SPARK-42931) on a real
+    3-microbatch source, hash-checked — the BOUNDED-STATE streaming dedup:
+    unlike ``dropDuplicates`` (state per key forever, reference has no
+    analog — §7 extension), state expires ``delay`` past each key's event
+    time, so a key seen again after expiry is emitted AGAIN. Semantics
+    probed on this Spark and replayed exactly by the oracle:
+
+    - first-seen key → emit the row, arm ``expiry = event_time + delay``;
+    - duplicate → drop WITHOUT refreshing state, even when the entry is
+      already past the watermark (eviction is lazy: a key whose expiry <
+      wm_n is still present while batch n's rows are processed);
+    - end of batch n evicts entries with ``expiry < wm_n``, where wm_n is
+      the watermark DURING batch n (max event time over batches < n, minus
+      delay) — so a batch-2 re-arrival re-emits iff its batch-0 entry
+      expired by wm_1: ``t0 + 61h < max_ts(b0) − 61h``, i.e. the key first
+      appeared ≥ 6 days before batch 0's newest row on the day grid.
+
+    Harness: events are day-truncated and split into three contiguous
+    day-tertile files (ascending mtimes, maxFilesPerTrigger=1); each
+    (user_id, event_type) key is pre-collapsed to ONE row per batch (min
+    day + raw-row count payload) because within-batch processing order
+    across partitions is nondeterministic. The 61 h delay puts expiries at
+    day+13h and watermarks at day−13h instants, so no comparison ever
+    lands on a knife edge between ``<`` and ``<=``.
+
+    Scale: state is one row per key alive within the delay horizon —
+    bounded by delay × key arrival rate, the API's whole point versus
+    ``dropDuplicates``'s unbounded state. The file split is test harness,
+    not operator."""
+    import glob as _glob
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, "spark-warehouse", "ddww_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    dmin, dmax = ev.agg(F.min("d"), F.max("d")).collect()[0]
+    t1 = dmin + (dmax - dmin) // 3
+    t2 = dmin + 2 * (dmax - dmin) // 3
+    lab = ev.withColumn(
+        "b",
+        F.when(F.col("d") <= t1, F.lit(0))
+        .when(F.col("d") <= t2, F.lit(1))
+        .otherwise(F.lit(2)),
+    )
+    arr = lab.groupBy("user_id", "event_type", "b").agg(
+        F.min("d").alias("dfirst"), F.count("*").alias("cnt")
+    )
+    for i in range(3):
+        tmp = os.path.join(base, f"tmp{i}")
+        arr.filter(F.col("b") == i).select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("dfirst") * 86400000000).alias("ts"),
+            F.col("cnt").cast("long").alias("cnt"),
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    dedup = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "61 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name = f"stream_ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.table(name).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "cnt",
+    )
+    return (
+        emitted.withColumn(
+            "b",
+            F.when(F.col("d") <= t1, F.lit(0))
+            .when(F.col("d") <= t2, F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_emitted"),
+            F.sum("d").cast("long").alias("day_sum"),
+            F.sum("cnt").cast("long").alias("cnt_sum"),
+        )
+        .select("event_type", F.col("b").cast("long").alias("b"),
+                "n_emitted", "day_sum", "cnt_sum")
+    )
