@@ -456,3 +456,37 @@ def test_asof_nearest_edge_semantics(spark):
     assert out[(1, 300)] == (None, None)
     # k=2, lts=50: only a forward at 500, outside tolerance → null
     assert out[(2, 50)] == (None, None)
+
+
+def test_cogroup_asof_enrich_ties_and_empty_sides(spark):
+    """Pins the cogrouped-map as-of merge: backward match, at-or-before
+    inclusivity, equal-us tie -> max tie id, facts-without-history ->
+    default, and one-sided keys on BOTH sides (cogroup delivers an empty
+    pandas frame for the missing side)."""
+    from videos_to_tfrecords_spark.operators.cogroup import (
+        cogroup_asof_enrich,
+    )
+
+    facts = spark.createDataFrame(
+        [
+            (1, 100, 11),  # matches tie-broken winner at us=100
+            (1, 50, 12),   # before all hist -> default
+            (2, 700, 21),  # key with no hist rows at all -> default
+            (1, 250, 13),  # strictly after hist at 200 -> 'c'
+        ],
+        "k long, us long, fid long",
+    )
+    hist = spark.createDataFrame(
+        [
+            (1, 100, 2, "b"),   # same us, higher tie -> wins
+            (1, 100, 1, "a"),
+            (1, 200, 3, "c"),
+            (3, 10, 4, "zz"),   # hist-only key: merge must emit nothing
+        ],
+        "k long, us long, tie long, val string",
+    )
+    out = {
+        r["fid"]: r["val"]
+        for r in cogroup_asof_enrich(facts, hist).collect()
+    }
+    assert out == {11: "b", 12: "__none__", 21: "__none__", 13: "c"}

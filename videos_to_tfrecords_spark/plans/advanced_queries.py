@@ -3378,3 +3378,74 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scan_amplification_ppm",
         F.expr("CAST((1000000 * rows_scanned) div rows_matching AS BIGINT)"),
     )
+
+
+@query(
+    "cogroup_asof_enrichment",
+    """
+WITH f AS (SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  user_id AS k,
+                  CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events WHERE event_type = 'purchase'),
+h AS (SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS us,
+             event_id AS tie, event_type AS val
+      FROM events WHERE event_type <> 'purchase'),
+matched AS (
+  SELECT f.event_id, f.cents, h.val,
+         row_number() OVER (
+           PARTITION BY f.event_id
+           ORDER BY h.us DESC, h.tie DESC) AS rn
+  FROM f JOIN h ON h.k = f.k AND h.us <= f.us),
+best AS (SELECT event_id, cents, val FROM matched WHERE rn = 1),
+uni AS (
+  SELECT event_id, cents, val FROM best
+  UNION ALL
+  SELECT f.event_id, f.cents, '__none__' AS val
+  FROM f WHERE NOT EXISTS (SELECT 1 FROM best b
+                           WHERE b.event_id = f.event_id))
+SELECT val AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM uni GROUP BY val
+""",
+)
+def q_cogroup_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map as-of enrichment — ``groupBy().cogroup().
+    applyInPandas``, the two-sided per-key pandas merge (the DataFrame
+    twin of Beam's CoGroupByKey behind SURVEY §2.6's composites): each
+    purchase event picks the user's most recent NON-purchase event
+    at-or-before it (ties -> max event_id) — last-touch attribution with
+    genuinely interleaved timelines; purchases with no prior touch fall
+    to '__none__' (40 such at sf0.01, the empty/none path is real).
+    Census per last-touch type with integer-cents totals and an id-sum
+    pin. The declarative as-of join (operators/rangejoin.py) covers the
+    same semantics via plans; this checks the imperative cogroup surface
+    against identical SQL."""
+    from videos_to_tfrecords_spark.operators.cogroup import (
+        cogroup_asof_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("k"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.col("event_id").alias("tie"),
+        F.col("event_type").alias("val"),
+    )
+    enriched = cogroup_asof_enrich(facts, hist)
+    return (
+        enriched.groupBy(F.col("val").alias("last_touch"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum("eid").cast("long").alias("id_sum"),
+        )
+    )
