@@ -909,3 +909,26 @@ def test_ivfpq_adc_topk_tiny_corpus(spark):
     for r in got:
         per_q.setdefault(r.query_id, []).append(r.rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_codepoint_census_arrow_paths(spark):
+    """mapInArrow census: ASCII fast path (zero-copy buffer cumsum),
+    non-ASCII exact fallback, empty and NULL rows -> 0 — same numbers
+    Python computes per row."""
+    from videos_to_tfrecords_spark.operators.text import (
+        codepoint_census_arrow,
+    )
+
+    rows = [
+        (1, "abc"), (2, ""), (3, None), (4, "héllo"), (5, "日本"),
+        (6, "plain ascii row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cp_sum, r.n_chars)
+        for r in codepoint_census_arrow(df, "text").collect()
+    }
+    want = {
+        i: (sum(map(ord, t or "")), len(t or "")) for i, t in rows
+    }
+    assert got == want

@@ -3449,3 +3449,59 @@ def q_cogroup_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("eid").cast("long").alias("id_sum"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name,
+       t.okey AS top_orderkey,
+       t.cents AS top_cents,
+       s.n_cust AS n_customers
+FROM nation n
+JOIN LATERAL (
+  SELECT o.o_orderkey AS okey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY cents DESC, o.o_orderkey DESC
+  LIMIT 1
+) t
+JOIN LATERAL (
+  SELECT count(*) AS n_cust FROM customer c2
+  WHERE c2.c_nationkey = n.n_nationkey
+) s
+"""
+
+
+@query(
+    "lateral_join_frontend",
+    """
+WITH ranked AS (
+  SELECT c.c_nationkey, o.o_orderkey AS okey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY c.c_nationkey
+           ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                    o.o_orderkey DESC) AS rn
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+nc AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1)
+SELECT n.n_name,
+       CAST(r.okey AS BIGINT) AS top_orderkey,
+       CAST(r.cents AS BIGINT) AS top_cents,
+       CAST(nc.n_cust AS BIGINT) AS n_customers
+FROM nation n
+JOIN ranked r ON r.c_nationkey = n.n_nationkey AND r.rn = 1
+JOIN nc ON nc.c_nationkey = n.n_nationkey
+""",
+)
+def q_lateral_join_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (SPARK-34382 front-end): per
+    nation, the top order among its customers via ``JOIN LATERAL (...
+    ORDER BY ... LIMIT 1)`` plus a second lateral with a correlated
+    aggregate — Catalyst decorrelates both into joins
+    (DecorrelateInnerQuery handles the correlated LIMIT), checked against
+    a classic window-rank oracle. Nations with no orders drop on both
+    sides (inner lateral). Depth-2 correlation (a scalar subquery inside
+    the lateral referencing the outer row) is NOT supported by Spark —
+    hence two depth-1 laterals."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

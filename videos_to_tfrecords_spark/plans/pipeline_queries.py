@@ -2022,3 +2022,99 @@ def q_streaming_dedup_within_watermark(
     )
 
     return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@query(
+    "orc_source_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink breadth (§2.1 extension; the columnar sibling of
+    the parquet/csv/jsonl roundtrips): events written as zstd ORC, read
+    back with a type-pushdown filter census — ORC's predicate pushdown +
+    column pruning ride the same Catalyst path as parquet, verified by
+    the oracle reading the original parquet directly."""
+    import hashlib as _hl
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "orc_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    ev.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "xml_source_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (§2.1 extension) — native in Spark 4 (SPARK-44265
+    folded spark-xml into core): events written one <event> element per
+    row, read back with an explicit schema + rowTag, aggregated; integer
+    cents survive text exactly, and the oracle reads the original parquet
+    so the XML round-trip itself is hash-checked."""
+    import hashlib as _hl
+    import os
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "xml_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )

@@ -3576,3 +3576,39 @@ def q_leakage_free_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_test_docs")
     )
     return nd.crossJoin(naive).crossJoin(grouped).crossJoin(nt)
+
+
+@query(
+    "codepoint_census_arrow",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(list_sum([unicode(c) FOR c IN split(text, '')]), 0))
+            AS BIGINT) AS cp_sum,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS chars_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY source
+""",
+)
+def q_codepoint_census_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` zero-copy text census — the Arrow-native map surface
+    next to the suite's pandas UDFs: per-doc Unicode codepoint sum +
+    char count computed from the Arrow string buffers directly (one numpy
+    cumsum per batch on the ASCII fast path, exact UTF-32 fallback
+    otherwise), then a per-source rollup with an id-sum pin. Narrow map —
+    no shuffle until the final census; the oracle recomputes the
+    codepoint sums character-by-character in DuckDB."""
+    from videos_to_tfrecords_spark.operators.text import (
+        codepoint_census_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per_doc = codepoint_census_arrow(docs, "text")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("cp_sum").cast("long").alias("cp_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
