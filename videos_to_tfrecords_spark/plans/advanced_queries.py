@@ -3505,3 +3505,78 @@ def q_lateral_join_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence two depth-1 laterals."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "sql4_agg_surface",
+    """
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+         AS statuses,
+       CAST(2 * median(l_quantity) AS BIGINT) AS median_qty_x2,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_sql4_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 aggregate-function surface: ``listagg(DISTINCT ..) WITHIN
+    GROUP (ORDER BY ..)`` (SPARK-42746), ``median`` (interpolating, made
+    hash-exact by the ×2 integer quantization), and the ``try_`` family
+    (``try_sum`` — same value as sum absent overflow, which the oracle's
+    plain sum pins). The ordered-DISTINCT listagg is over the bounded
+    linestatus domain (≤3 values/group), not corpus rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       listagg(DISTINCT l_linestatus, ',')
+         WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+       CAST(2 * median(l_quantity) AS BIGINT) AS median_qty_x2,
+       CAST(try_sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+    )
+
+
+@query(
+    "bitmap_distinct_census",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_bitmap_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap EXACT distinct-count pre-aggregation (SPARK-44846
+    bitmap function family): per (flag, linestatus, bucket) the partkeys
+    fold into a fixed 4 KB bitmap (``bitmap_construct_agg`` of
+    ``bitmap_bit_position``), bitmaps then OR-merge across linestatus
+    (``bitmap_or_agg``) and ``bitmap_count`` + sum gives the exact
+    distinct — the scalable COUNT DISTINCT pattern: the wide fact rows
+    reduce map-side to ≤ buckets × groups bitmaps, merges are tiny and
+    associative (cube/rollup-friendly), no row-level distinct shuffle.
+    Oracle: plain COUNT(DISTINCT). n_rows pins the input census."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH leaf AS (
+  SELECT l_returnflag, l_linestatus,
+         bitmap_bucket_number(l_partkey) AS bucket,
+         bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm,
+         count(*) AS n_rows
+  FROM lineitem
+  GROUP BY 1, 2, 3),
+merged AS (
+  SELECT l_returnflag, bucket,
+         bitmap_count(bitmap_or_agg(bm)) AS cnt,
+         sum(n_rows) AS n_rows
+  FROM leaf GROUP BY 1, 2)
+SELECT l_returnflag,
+       CAST(sum(cnt) AS BIGINT) AS n_distinct_parts,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows
+FROM merged GROUP BY l_returnflag
+"""
+    )
