@@ -2118,3 +2118,59 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").cast("long").alias("value_cents"),
         F.sum("event_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "python_stream_source_census",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def q_python_stream_source_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python STREAMING data source (Spark 4 simpleStreamReader,
+    SPARK-45065): the events table replayed through a user-defined
+    source in 4 deterministic offset chunks, drained, and censused —
+    the oracle reads the parquet directly, so exactly-once chunk replay
+    (no drop, no double-read across microbatches) is pinned by value;
+    see sources/pystream.py for the API-scale notes."""
+    import os
+    import uuid
+
+    from videos_to_tfrecords_spark.sources.pystream import (
+        EventsReplaySource,
+    )
+
+    spark.dataSource.register(EventsReplaySource)
+    path = os.path.join(sf_dir, "events.parquet")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .load()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+    name = f"pystream_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
