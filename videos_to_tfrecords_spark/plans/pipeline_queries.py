@@ -2174,3 +2174,69 @@ def q_python_stream_source_census(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@query(
+    "bucketed_join_census",
+    """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS id_sum
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_bucketed_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join on BUCKETED tables (the 100 TB join
+    strategy the brief names): orders and customer written once via
+    ``bucketBy(8, custkey).sortBy`` through the catalog, then joined —
+    SortMergeJoin reads matching buckets directly, no per-query Exchange
+    or Sort on either side (plan asserted in tests/test_storage_layout.py;
+    broadcast is disabled here so the bucketed SMJ path actually runs —
+    at real scale neither side fits a broadcast anyway). The census
+    hash-checks the VALUES through the bucketed storage path against the
+    raw-parquet oracle."""
+    import hashlib as _hl
+    import os
+
+    from videos_to_tfrecords_spark.sources.layout import write_bucketed
+
+    sfx = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tname = f"{tbl}_bkt_{sfx}"
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        write_bucketed(
+            load_table(spark, sf_dir, tbl),
+            tname,
+            os.path.join(repo, "spark-warehouse", tname),
+            key,
+        )
+        names[tbl] = tname
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(names["orders"])
+        c = spark.table(names["customer"])
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents_sum"),
+                F.sum("o_orderkey").cast("long").alias("id_sum"),
+            )
+        )
+        # materialize UNDER the no-broadcast conf: the returned frame reads
+        # the checkpoint, so the driver's later collect replays the bucketed
+        # SMJ result, not a re-planned broadcast join
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
