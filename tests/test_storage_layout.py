@@ -225,3 +225,60 @@ def test_sign_gcs_urls_importgated(spark):
     assert out.columns == ["path", "signed_url"]
     with pytest.raises(Exception, match="google-cloud-storage"):
         out.collect()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime half of the engine's skew
+    story (the static half is salted_join_revenue): one hot key dominates
+    the left side; with skew thresholds scaled to test size, AQE must
+    mark the SortMergeJoin skew=true (OptimizeSkewedJoin split the hot
+    partition into parallel sub-tasks) and the join result must be exact.
+    At 100 TB this is the difference between one straggler task owning
+    the hot key and N tasks sharing it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scaled to test bytes: hot partition ~2 MB compressed, others ~KBs
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.col("id").alias("lid"),
+        )
+        right = (
+            spark.range(101)
+            .select(F.col("id").alias("k"))
+            .crossJoin(spark.range(2).select(F.col("id").alias("r")))
+        )
+        # GLOBAL aggregate: executes this frame's own adaptive plan
+        # (count() spins up a separate query execution) and — unlike a
+        # groupBy on the join key — imposes no output distribution, so
+        # OptimizeSkewedJoin is allowed to split the hot partition
+        joined = left.join(right, "k").agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+        )
+        row = joined.collect()[0]
+        assert row.n == 220_000 * 2
+        # non-hot keys 1..100, 200 left rows each x 2 right rows
+        assert row.k_sum == sum(k * 200 * 2 for k in range(1, 101))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
