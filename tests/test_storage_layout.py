@@ -282,3 +282,41 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_join(spark):
+    """Join-strategy hint surface — the 100 TB tuning levers next to the
+    bucketing/AQE stories: SHUFFLE_HASH picks ShuffledHashJoin (no sort on
+    either side — the win when one side is modest but over the broadcast
+    bar), MERGE picks SortMergeJoin, BROADCAST picks BroadcastHashJoin —
+    all on the same join, all returning identical results."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(50_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("lid")
+    )
+    right = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expect = 50_000
+        plans = {}
+        for hint, node in (
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("merge", "SortMergeJoin"),
+            ("broadcast", "BroadcastHashJoin"),
+        ):
+            j = left.join(right.hint(hint), "k").agg(
+                F.count("*").alias("n"), F.sum("w").alias("ws")
+            )
+            row = j.collect()[0]
+            assert row.n == expect
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert node in plan, (hint, plan[:1500])
+            plans[hint] = plan
+        # the SHJ plan must not sort its inputs (that's its advantage)
+        assert "Sort " not in plans["shuffle_hash"].split("ShuffledHashJoin")[1].split("HashAggregate")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
