@@ -320,3 +320,35 @@ def test_join_strategy_hints_control_physical_join(spark):
         assert "Sort " not in plans["shuffle_hash"].split("ShuffledHashJoin")[1].split("HashAggregate")[0]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning_fires_on_fact_scan(spark, sf_dir, tmp_path):
+    """DPP (SPARK-11150): the day filter lives on the DIM side only, so
+    the fact's PartitionFilters must carry a dynamicpruningexpression —
+    the fact scan reads the 5 joined day-directories at runtime, not all
+    ~30 — and the joined census must equal the statically-filtered one."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    path = str(tmp_path / "fact_by_day")
+    ev.write.partitionBy("d").parquet(path)
+    fact = spark.read.parquet(path)
+    dmin = ev.agg(F.min("d")).collect()[0][0]
+    dim = (
+        fact.select("d").distinct()
+        .filter(F.col("d") <= F.lit(dmin + 4))
+        .withColumnRenamed("d", "dim_d")
+    )
+    joined = fact.join(F.broadcast(dim), fact["d"] == dim["dim_d"]).agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("ids")
+    )
+    row = joined.collect()[0]
+    want = ev.filter(F.col("d") <= dmin + 4).agg(
+        F.count("*"), F.sum("event_id")
+    ).collect()[0]
+    assert (row.n, row.ids) == (want[0], want[1])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]

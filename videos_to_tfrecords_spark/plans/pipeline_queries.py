@@ -2240,3 +2240,64 @@ def q_bucketed_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "dpp_join_census",
+    """
+WITH e AS (SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events),
+b AS (SELECT min(d) AS dmin FROM e)
+SELECT d,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM e, b WHERE d <= dmin + 4 GROUP BY d
+""",
+)
+def q_dpp_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning on the executed plan (SPARK-11150 — the
+    100 TB scan killer for star joins): the events fact written
+    ``partitionBy(day)``, joined to a broadcast dim holding the first five
+    days — at planning time the day filter lives on the DIM side only, so
+    static pruning can't help; DPP injects the dim's day set into the
+    fact scan's PartitionFilters at runtime and the other ~25 day
+    directories are never read (plan-asserted in
+    tests/test_storage_layout.py). Census per kept day, hash-checked."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo, "spark-warehouse", "dpp_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    # rewrite every run: a stale layout from an older testdata generation
+    # would silently diverge from the oracle (same md5 key across rounds)
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.partitionBy("d").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dmin = ev.agg(F.min("d")).collect()[0][0]
+    dim = (
+        fact.select("d")
+        .distinct()
+        .filter(F.col("d") <= F.lit(dmin + 4))
+        .withColumnRenamed("d", "dim_d")
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["d"] == dim["dim_d"]
+    )
+    return joined.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
