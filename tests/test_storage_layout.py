@@ -352,3 +352,46 @@ def test_dynamic_partition_pruning_fires_on_fact_scan(spark, sf_dir, tmp_path):
     assert (row.n, row.ids) == (want[0], want[1])
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """InjectRuntimeFilter (SPARK-32268) — the row-level sibling of DPP
+    and the AUTO counterpart of the registry's manual
+    bloom_prefilter_join_census: a selective dim filter on a shuffle join
+    makes the optimizer build bloom_filter_agg over the dim keys and push
+    might_contain onto the FACT scan, discarding non-joining rows before
+    the shuffle. Thresholds scaled to test bytes; results must equal the
+    unfiltered join."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact_p = str(tmp_path / "fact")
+        dim_p = str(tmp_path / "dim")
+        spark.range(500_000).selectExpr("id % 10000 AS k", "id AS v").write.parquet(fact_p)
+        spark.range(10_000).selectExpr("id AS k", "id % 7 AS tag").write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("tag = 3")
+        j = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("vs")
+        )
+        row = j.collect()[0]
+        # exact expectation: keys k with k % 7 == 3, 50 fact rows each
+        keys = [k for k in range(10_000) if k % 7 == 3]
+        assert row.n == 50 * len(keys)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
