@@ -395,3 +395,39 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing — the third runtime lever (with skew
+    split and runtime filters): a tiny aggregate declared with 32 shuffle
+    partitions must coalesce at runtime into far fewer post-shuffle
+    tasks (AQEShuffleRead coalesced) instead of running 32 near-empty
+    reducers; values exact."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            spark.range(10_000)
+            .select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("vs"))
+        )
+        rows = {r.k: r.vs for r in df.collect()}
+        assert len(rows) == 100
+        assert rows[0] == sum(range(0, 10_000, 100))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
