@@ -698,3 +698,54 @@ def test_dedup_within_watermark_census_paths_nonvacuous(spark, sf_dir):
         cen.filter("b = 2").agg(F.sum("n_emitted")).collect()[0][0] or 0
     )
     assert b2_emitted == n_reemit + n_fresh
+
+
+def test_trigger_available_now_drains_and_terminates(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow (SPARK-36533) — the production batch-drain
+    trigger (bounded backfill with rate limits, then self-termination,
+    unlike processingTime which runs forever and processAllAvailable
+    which is test-only): a maxFilesPerTrigger-limited file stream under
+    availableNow must process EVERYTHING present at start across
+    multiple batches, then stop on its own; counts must equal batch."""
+    import glob
+    import os
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / f"t{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"b{i}.parquet"))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 3
+    got = {r.event_type: r.n for r in spark.table("avail_now_test").collect()}
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
