@@ -749,3 +749,101 @@ def test_trigger_available_now_drains_and_terminates(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_foreach_row_writer_sink_exactly_once(spark, tmp_path):
+    """Row-level ``foreach`` sink (the per-row sibling of foreachBatch):
+    a ForeachWriter with open/process/close lifecycle appends every row
+    to a per-partition file; drained, the union of files holds exactly
+    the source multiset — covers the custom-sink API the engine's
+    foreachBatch MERGE path doesn't touch."""
+    import glob
+    import os
+
+    out_dir = str(tmp_path / "rows")
+    os.makedirs(out_dir)
+    src = str(tmp_path / "src")
+    spark.range(500).selectExpr("id AS v").write.parquet(src)
+
+    class FileWriter:
+        def open(self, partition_id, epoch_id):
+            self._f = open(
+                os.path.join(out_dir, f"p{partition_id}_e{epoch_id}.txt"),
+                "a",
+            )
+            return True
+
+        def process(self, row):
+            self._f.write(f"{row.v}\n")
+
+        def close(self, error):
+            self._f.close()
+
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(
+        T.StructType([T.StructField("v", T.LongType())])
+    ).parquet(src)
+    q = stream.writeStream.foreach(FileWriter()).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = []
+    for f in glob.glob(os.path.join(out_dir, "*.txt")):
+        with open(f) as fh:
+            got.extend(int(x) for x in fh.read().split())
+    assert sorted(got) == list(range(500))
+
+
+def test_streaming_query_listener_reports_progress(spark, tmp_path):
+    """StreamingQueryListener — the observability surface a production
+    pipeline wires to metrics: start/progress/termination callbacks must
+    fire with row counts that sum to the drained input."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": 0, "terminated": 0}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"] += e.progress.numInputRows
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        spark.range(1234).write.parquet(src)
+        from pyspark.sql import types as T
+
+        q = (
+            spark.readStream.schema(
+                T.StructType([T.StructField("id", T.LongType())])
+            )
+            .parquet(src)
+            .writeStream.format("noop")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and (
+            events["progress_rows"] < 1234 or events["terminated"] < 1
+        ):
+            time.sleep(0.5)
+        assert events["started"] >= 1
+        assert events["progress_rows"] >= 1234
+        assert events["terminated"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
