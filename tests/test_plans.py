@@ -490,3 +490,46 @@ def test_cogroup_asof_enrich_ties_and_empty_sides(spark):
         for r in cogroup_asof_enrich(facts, hist).collect()
     }
     assert out == {11: "b", 12: "__none__", 21: "__none__", 13: "c"}
+
+
+def test_nested_schema_pruning_reads_one_subfield(spark, tmp_path):
+    """Nested-struct column pruning (spark.sql.optimizer.nestedSchemaPruning,
+    on by default): selecting one subfield of a struct column must push a
+    pruned ReadSchema to the parquet scan — at 100 TB a nested event
+    payload reads one leaf, not the whole struct."""
+    path = str(tmp_path / "nested")
+    spark.range(1000).selectExpr(
+        "id",
+        "named_struct('a', id * 2, 'b', CAST(id AS STRING), "
+        "'deep', named_struct('x', id % 7, 'y', id % 11)) AS payload",
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        F.col("payload.deep.x").alias("x")
+    )
+    assert df.groupBy("x").count().count() == 7
+    plan = plan_of(df)
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m, plan[:1500]
+    # only the selected leaf survives in the scan schema
+    assert "deep:struct<x:bigint>" in m[0].replace(" ", ""), m[0]
+    assert "b:string" not in m[0]
+
+
+def test_distribute_and_sort_by_sql_clauses(spark, sf_dir):
+    """DISTRIBUTE BY / SORT BY — the ETL-dialect repartition surface:
+    DISTRIBUTE BY hash-partitions on the key (Exchange hashpartitioning),
+    SORT BY sorts within partitions only (Sort global=false) — the
+    write-preparation shape (per-partition clustering without a global
+    sort barrier)."""
+    from videos_to_tfrecords_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        "SELECT o_custkey, o_totalprice FROM orders "
+        "DISTRIBUTE BY o_custkey SORT BY o_totalprice"
+    )
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning(o_custkey" in plan, plan[:1200]
+    sort_lines = [l for l in plan.splitlines() if "Sort [" in l]
+    assert sort_lines and all("false, 0" in l for l in sort_lines), sort_lines
+    assert df.count() == spark.table("orders").count()
