@@ -431,3 +431,31 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic — the idempotent-backfill write
+    semantics (re-run one day's job without clobbering the table): an
+    INSERT OVERWRITE carrying only day 5 must replace day 5 and leave
+    every other partition intact; STATIC mode (the default) would have
+    truncated them all."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "days")
+    spark.range(300).select(
+        (F.col("id") % 10).alias("d"), F.col("id").alias("v")
+    ).write.partitionBy("d").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix = spark.range(3).select(
+            F.lit(5).alias("d"), (F.col("id") + 10_000).alias("v")
+        )
+        fix.write.mode("overwrite").partitionBy("d").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    per_day = {r.d: r.n for r in back.groupBy("d").agg(F.count("*").alias("n")).collect()}
+    assert per_day[5] == 3                      # replaced
+    assert all(per_day[d] == 30 for d in range(10) if d != 5)  # untouched
+    assert back.filter("d = 5").agg(F.min("v")).collect()[0][0] == 10_000

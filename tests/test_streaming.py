@@ -847,3 +847,67 @@ def test_streaming_query_listener_reports_progress(spark, tmp_path):
         assert events["terminated"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_observe_metrics_in_progress(spark, tmp_path):
+    """df.observe on a STREAM (the streaming half of the registry's
+    observed_quality_metrics): per-microbatch observed metrics must ride
+    the progress events — row count and cents sum across batches must
+    total the drained input, with no second pass over the data."""
+    import time
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"rows": 0, "cents": 0}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            m = e.progress.observedMetrics.get("census")
+            if m:
+                seen["rows"] += m.n
+                seen["cents"] += m.cents
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    src = str(tmp_path / "src")
+    spark.range(1000).selectExpr(
+        "id", "(id % 97) * 100 AS cents"
+    ).write.parquet(src)
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("cents", T.LongType()),
+                    ]
+                )
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .observe(
+                "census",
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        q = stream.writeStream.format("noop").start()
+        q.processAllAvailable()
+        q.stop()
+        want_cents = sum((i % 97) * 100 for i in range(1000))
+        deadline = time.time() + 30
+        while time.time() < deadline and seen["rows"] < 1000:
+            time.sleep(0.5)
+        assert seen["rows"] == 1000 and seen["cents"] == want_cents
+    finally:
+        spark.streams.removeListener(listener)
