@@ -723,38 +723,6 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "orc_source_roundtrip",
-    """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY event_type
-""",
-)
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC source/sink breadth (§2.1 extension, columnar sibling of the
-    jsonl/csv round-trips): events written as ORC (integer cents), read
-    back, aggregated — the oracle computes the same aggregate from the
-    parquet directly, so the ORC round-trip itself is hash-checked.
-    ORC carries its own schema, so no inference pass is ever paid."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-    )
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "orc_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    ev.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("value_cents").alias("value_cents")
-    )
-
-
-@query(
     "nested_subset_curve",
     f"""
 WITH h AS (

@@ -34,6 +34,15 @@ MODULES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent dict overwrite once shadowed an upgraded query with a
+        # stale twin in another module (which version ran depended on
+        # import order) — duplicate registration is always a bug, so fail
+        # loud at import time instead
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} already registered by {MODULES[name]};"
+                f" duplicate registration from {fn.__module__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
