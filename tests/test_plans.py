@@ -533,3 +533,65 @@ def test_distribute_and_sort_by_sql_clauses(spark, sf_dir):
     sort_lines = [l for l in plan.splitlines() if "Sort [" in l]
     assert sort_lines and all("false, 0" in l for l in sort_lines), sort_lines
     assert df.count() == spark.table("orders").count()
+
+
+def test_variant_roundtrip_and_typed_extraction(spark):
+    # VARIANT round-trip on edge values: unicode, negatives, nested null,
+    # deep array — parse_json -> typed variant_get must reproduce the
+    # source values exactly, and a second parse of to_json(variant) must
+    # shred identically (encode/decode is lossless for JSON-expressible
+    # values)
+    rows = [
+        ('{"s": "héllo → wörld", "i": -9223372036854775808, "a": [1, 2, 3], "o": {"x": null}}',),
+        ('{"s": "", "i": 0, "a": [], "o": {}}',),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    v = df.select(F.parse_json("j").alias("v"))
+    got = v.select(
+        F.expr("variant_get(v, '$.s', 'string')").alias("s"),
+        F.expr("variant_get(v, '$.i', 'long')").alias("i"),
+        F.expr("variant_get(v, '$.a[2]', 'long')").alias("a2"),
+        F.expr("try_variant_get(v, '$.o.x', 'string')").alias("ox"),
+    ).collect()
+    assert got[0].s == "héllo → wörld"
+    assert got[0].i == -(2**63)
+    assert got[0].a2 == 3
+    assert got[0].ox is None
+    # re-parse of the serialized variant shreds to the same values
+    twice = v.select(F.parse_json(F.to_json("v")).alias("v2")).select(
+        F.expr("variant_get(v2, '$.i', 'long')").alias("i")
+    ).collect()
+    assert [r.i for r in twice] == [r.i for r in v.select(
+        F.expr("variant_get(v, '$.i', 'long')").alias("i")).collect()]
+
+
+def test_variant_census_single_exchange(spark, sf_dir):
+    # variant parse + path extraction are row-local expressions: the whole
+    # query must plan as scan -> project -> partial agg -> ONE exchange ->
+    # final agg (no extra shuffle, no UDF/python eval)
+    from videos_to_tfrecords_spark.plans.advanced_queries import (
+        q_variant_shred_census,
+    )
+
+    df = q_variant_shred_census(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collation_equality_and_join_semantics(spark):
+    # UTF8_LCASE: equality and joins are case-insensitive; UTF8_BINARY
+    # stays case-sensitive in the same query
+    left = spark.createDataFrame([("Alpha",), ("BETA",)], "k string")
+    right = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "k string")
+    j = left.select(F.collate("k", "UTF8_LCASE").alias("k")).join(
+        right.select(F.collate("k", "UTF8_LCASE").alias("k")), "k"
+    )
+    assert j.count() == 2
+    jbin = left.join(right, "k")
+    assert jbin.count() == 0
+    eq = spark.sql(
+        "SELECT 'StRaße' COLLATE UTF8_LCASE = 'straße' AS a,"
+        "       'x' COLLATE UTF8_BINARY = 'X' AS b"
+    ).collect()[0]
+    assert eq.a is True and eq.b is False

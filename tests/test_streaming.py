@@ -911,3 +911,43 @@ def test_streaming_observe_metrics_in_progress(spark, tmp_path):
         assert seen["rows"] == 1000 and seen["cents"] == want_cents
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_statestore_reader_matches_batch_agg(spark, sf_dir):
+    # the raw operator state after a full AvailableNow drain must equal
+    # the batch aggregate computed directly from the same input — and the
+    # state-metadata source must describe the aggregation operator
+    import hashlib as _hl
+    import os
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        statestore_reader_audit,
+    )
+
+    got = {
+        (r.event_type, r.bucket): (r.n, r.cents)
+        for r in statestore_reader_audit(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.bucket): (r.n, r.cents)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("user_id") % 32).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(
+        repo,
+        "spark-warehouse",
+        "stst_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
+        "ck",
+    )
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    assert md[0].operatorName == "stateStoreSave"
+    assert md[0].numPartitions == 8

@@ -3580,3 +3580,125 @@ SELECT l_returnflag,
 FROM merged GROUP BY l_returnflag
 """
     )
+
+
+@query(
+    "variant_shred_census",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS eid_sum,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(sum(event_id % 7) AS BIGINT) AS tag_sum,
+       CAST(count(*) AS BIGINT) AS n_type_mismatch_null,
+       CAST(count(*) AS BIGINT) AS n_missing_null,
+       'OBJECT<event_id: BIGINT, meta: OBJECT<cents: BIGINT, event_type: STRING>, tags: ARRAY<STRING>>'
+         AS variant_schema
+FROM events GROUP BY event_type
+""",
+)
+def q_variant_shred_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT shredding (SPARK-45891): semi-structured event
+    payloads parsed once into the binary VARIANT encoding, then shredded
+    with typed path extraction — nested object fields
+    (``variant_get('$.meta.cents', 'long')``), array indexing
+    (``'$.tags[1]'``), and the two NULL contracts (``try_variant_get``
+    yields NULL for a type mismatch on an object and for a missing key —
+    both counted, so a silent contract change is a red row).
+    ``schema_of_variant`` pins the inferred per-row schema (alphabetical
+    field order) against a string literal in the oracle, which recomputes
+    every aggregate from the flat columns the JSON was built from — the
+    JSON → VARIANT → shred round-trip is therefore value-hash-checked
+    end to end.
+
+    Scale: VARIANT parse + path extraction are per-row JVM expressions
+    inside whole-stage codegen (no UDF, no shuffle added); the single
+    exchange is the final partial→final aggregate on event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = ev.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.struct(F.col("event_type"), F.col("cents")).alias("meta"),
+                    F.array(
+                        F.col("event_type"),
+                        (F.col("event_id") % 7).cast("string"),
+                    ).alias("tags"),
+                )
+            )
+        ).alias("v")
+    )
+    shred = v.select(
+        F.expr("variant_get(v, '$.meta.event_type', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.event_id', 'long')").alias("eid"),
+        F.expr("variant_get(v, '$.meta.cents', 'long')").alias("cents"),
+        F.expr("cast(variant_get(v, '$.tags[1]', 'string') AS long)").alias("tag"),
+        F.expr("try_variant_get(v, '$.meta', 'long')").alias("bad"),
+        F.expr("try_variant_get(v, '$.nope', 'string')").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("sv"),
+    )
+    return shred.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("eid").cast("long").alias("eid_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("tag").cast("long").alias("tag_sum"),
+        F.count(F.when(F.col("bad").isNull(), 1)).cast("long").alias("n_type_mismatch_null"),
+        F.count(F.when(F.col("missing").isNull(), 1)).cast("long").alias("n_missing_null"),
+        F.min("sv").alias("variant_schema"),
+    )
+
+
+@query(
+    "collated_group_census",
+    """
+WITH m AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+              WHEN event_id % 3 = 1
+                THEN concat(upper(substr(event_type, 1, 1)), substr(event_type, 2))
+              ELSE event_type END AS raw
+  FROM events)
+SELECT lower(raw) AS key_lc,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT raw) AS BIGINT) AS n_case_variants,
+       min(raw) AS min_variant
+FROM m GROUP BY lower(raw)
+""",
+)
+def q_collated_group_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations (SPARK-46830): a deterministically
+    mixed-cased derivative of event_type grouped under ``UTF8_LCASE`` —
+    the equivalence classes are case-insensitive while the aggregated
+    values (distinct-variant count, binary min) stay UTF8_BINARY, proving
+    the two collations coexist per-expression in one aggregate. The
+    collated GROUP BY rides the normal hash-aggregate codegen (collation
+    support is an expression-level comparator, not a post-shuffle fixup);
+    the oracle lowers the key explicitly, which for this ASCII domain is
+    the same equivalence relation. The collated grouping key itself is
+    NOT emitted (Spark surfaces an arbitrary class member); the output
+    key is ``lower(min_variant)`` — deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    mixed = F.expr(
+        "CASE WHEN event_id % 3 = 0 THEN upper(event_type)"
+        " WHEN event_id % 3 = 1 THEN concat(upper(substring(event_type, 1, 1)),"
+        " substring(event_type, 2)) ELSE event_type END"
+    )
+    raw = ev.select(mixed.alias("raw"))
+    return (
+        raw.groupBy(F.collate(F.col("raw"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("raw").cast("long").alias("n_case_variants"),
+            F.min("raw").alias("min_variant"),
+        )
+        .select(
+            F.lower(F.col("min_variant")).alias("key_lc"),
+            "n",
+            "n_case_variants",
+            "min_variant",
+        )
+    )

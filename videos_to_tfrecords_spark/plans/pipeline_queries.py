@@ -2301,3 +2301,25 @@ def q_dpp_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents_sum"),
         F.sum("event_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "statestore_reader_audit",
+    """
+SELECT event_type,
+       CAST(user_id % 32 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+""",
+)
+def q_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state data source (§7 streaming-ops surface): raw streaming
+    aggregation state read back as a batch DataFrame and hash-checked
+    against the events-table oracle; see
+    streaming/pipeline.statestore_reader_audit."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        statestore_reader_audit,
+    )
+
+    return statestore_reader_audit(spark, sf_dir)

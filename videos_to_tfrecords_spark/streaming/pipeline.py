@@ -1233,3 +1233,86 @@ def streaming_dedup_within_watermark(
         .select("event_type", F.col("b").cast("long").alias("b"),
                 "n_emitted", "day_sum", "cnt_sum")
     )
+
+
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store BATCH reader (SPARK-45511, the Spark 4 state data
+    source): a checkpointed streaming aggregation is drained with
+    ``Trigger.AvailableNow``, then its raw operator state is read back as
+    a plain DataFrame with ``spark.read.format("statestore")`` — the
+    production debugging/ops surface for inspecting (and auditing) live
+    streaming state without stopping the job. After a full drain the
+    aggregation state IS the complete batch aggregate, so every
+    (key → agg buffer) entry the reader surfaces is value-hash-checked
+    against an oracle computed straight from the events table: a wrong
+    buffer field, a dropped key, or a partition-routing bug in the state
+    files is a red row.
+
+    Scale: state entries ∝ distinct (event_type, bucket) keys — bounded
+    at 5 × 32 by construction, and the reader itself is partition-
+    parallel (one task per state-store partition, 8 here), so reading
+    production-sized state scales with the state layout, not the input
+    that built it."""
+    import glob as _glob  # noqa: F401  (parity with sibling helpers)
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, "spark-warehouse", "stst_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ck")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 32).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("key.bucket").cast("long").alias("bucket"),
+        F.col("value.count").cast("long").alias("n"),
+        F.col("value.sum").cast("long").alias("cents"),
+    )
