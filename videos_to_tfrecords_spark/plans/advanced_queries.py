@@ -3702,3 +3702,62 @@ def q_collated_group_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_variant",
         )
     )
+
+
+@query(
+    "sql_udf_frontend",
+    """
+WITH rev AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rc4
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(rc4) // 100 AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM rev GROUP BY 1, 2 HAVING count(*) >= 10
+""",
+)
+def q_sql_udf_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions (SPARK-46246) composed with the rest
+    of the declarative front-end: a scalar SQL UDF (``c4_to_cents``), a
+    TABLE-valued SQL UDF (``flag_breakdown`` — its body reads the fact
+    table through the ``IDENTIFIER()`` clause and references its argument
+    by qualified name) applied per-flag via correlated ``LATERAL``, and a
+    parameterized outer query (named ``:minn`` bind). SQL UDFs inline
+    into the plan during analysis — the executed plan is ordinary
+    aggregates and joins, NOT a per-row function call, so the composition
+    costs nothing at scale. Known engine limit (probed on this Spark,
+    kept out of the body): a scalar SQL UDF referenced INSIDE a SQL table
+    function's body fails analysis rewriting with an internal error, so
+    the revenue arithmetic is inlined in the table function and the
+    scalar UDF is applied in the outer query. Oracle: the same integer
+    c4-revenue aggregate written directly."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION c4_to_cents(r BIGINT)"
+        " RETURNS BIGINT RETURN r div 100"
+    )
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION flag_breakdown(rf STRING)
+RETURNS TABLE (l_linestatus STRING, revenue_c4 BIGINT, n BIGINT)
+RETURN SELECT l_linestatus,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT),
+              count(*)
+       FROM IDENTIFIER('lineitem')
+       WHERE l_returnflag = flag_breakdown.rf
+       GROUP BY l_linestatus
+"""
+    )
+    return spark.sql(
+        """
+SELECT f.rf AS l_returnflag, t.l_linestatus,
+       c4_to_cents(t.revenue_c4) AS revenue_cents, t.n
+FROM (SELECT DISTINCT l_returnflag AS rf FROM lineitem) f,
+     LATERAL flag_breakdown(f.rf) t
+WHERE t.n >= :minn
+""",
+        args={"minn": 10},
+    )
