@@ -18,6 +18,25 @@ import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _current_round() -> str:
+    """Round being built, derived from the repo itself (VERDICT r08 #3):
+    max CORRECTNESS_r*.json index + 1. The driver writes CORRECTNESS_r{N}
+    at the END of round N, so while round N is in progress the newest file
+    is r{N-1} and this returns N. $SPARK_GRAFT_ROUND, when set (driver
+    runs), still wins — this is only the fallback so manual full runs
+    stop stamping latest_round="unset"."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    idx = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return str(max(idx) + 1) if idx else "unset"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -269,7 +288,7 @@ def main() -> None:
         "runs": merged_runs,
         "latest_medians": med,
         "latest_value": round(sum(med.values()), 3),
-        "latest_round": round_no or "unset",
+        "latest_round": round_no or _current_round(),
     }
     with open(full_path, "w") as f:
         # the one-line stdout payload keeps the driver's schema; the full

@@ -140,6 +140,45 @@ def test_partition_count_invariance(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_reliable_checkpoint_swap_bit_identical(spark, tmp_path):
+    # VERDICT r08 #4: the production swap (setCheckpointDir + reliable
+    # .checkpoint() instead of localCheckpoint in _pinned_range) must be
+    # proven, not just documented — at 100× every former global window
+    # sits on this primitive. Conf-switch the swap on and assert
+    # bit-identical global_ntile / global_cumsum outputs.
+    df = _frame(spark, 611)
+    order = [F.desc("v"), F.asc("k")]
+    agg = df.groupBy("v").agg(F.sum("w").alias("t"))
+    local_ntile = sorted(
+        (r["k"], r["q"]) for r in global_ntile(df, order, 4, "q").collect()
+    )
+    local_cum = sorted(
+        (r["v"], r["cum"])
+        for r in global_cumsum(agg, [F.col("v")], "t", "cum").collect()
+    )
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    spark.conf.set("videosToTfrecords.ordered.reliableCheckpoint", "true")
+    try:
+        reliable_ntile = sorted(
+            (r["k"], r["q"]) for r in global_ntile(df, order, 4, "q").collect()
+        )
+        reliable_cum = sorted(
+            (r["v"], r["cum"])
+            for r in global_cumsum(agg, [F.col("v")], "t", "cum").collect()
+        )
+    finally:
+        spark.conf.unset("videosToTfrecords.ordered.reliableCheckpoint")
+        if prev_dir:
+            spark.sparkContext.setCheckpointDir(prev_dir)
+    assert reliable_ntile == local_ntile
+    assert reliable_cum == local_cum
+    # the reliable path actually wrote checkpoint blocks to the configured
+    # dir (i.e. the conf switch took effect, not a silent local fallback)
+    ck_files = list((tmp_path / "ck").rglob("*"))
+    assert any(p.is_file() for p in ck_files)
+
+
 def test_no_single_partition_window_over_input(spark):
     # the executed plan's row_number window must be partitioned by the
     # range-partition id; the only global window input is the offset table

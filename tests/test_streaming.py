@@ -917,11 +917,11 @@ def test_statestore_reader_matches_batch_agg(spark, sf_dir):
     # the raw operator state after a full AvailableNow drain must equal
     # the batch aggregate computed directly from the same input — and the
     # state-metadata source must describe the aggregation operator
-    import hashlib as _hl
     import os
 
     from videos_to_tfrecords_spark.sources.tables import load_table
     from videos_to_tfrecords_spark.streaming.pipeline import (
+        _statestore_base,
         statestore_reader_audit,
     )
 
@@ -940,13 +940,7 @@ def test_statestore_reader_matches_batch_agg(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ckpt = os.path.join(
-        repo,
-        "spark-warehouse",
-        "stst_" + _hl.md5(sf_dir.encode()).hexdigest()[:8],
-        "ck",
-    )
+    ckpt = os.path.join(_statestore_base(sf_dir), "ck")
     md = spark.read.format("state-metadata").load(ckpt).collect()
     assert len(md) == 1
     assert md[0].operatorName == "stateStoreSave"

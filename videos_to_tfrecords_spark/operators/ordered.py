@@ -20,7 +20,12 @@ multi-node cluster an executor loss between the offset and rank passes
 fails the job (blocks are lineage-truncated and the resample would be
 inconsistent anyway) — the job simply re-runs. For long-lived production
 pipelines prefer `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
-(reliable storage) as a drop-in swap; the algorithm is unchanged.
+(reliable storage) as a drop-in swap; the algorithm is unchanged. The
+swap is a session conf — set
+``spark.conf.set("videosToTfrecords.ordered.reliableCheckpoint", "true")``
+after ``setCheckpointDir`` and every primitive here pins with
+``.checkpoint(eager=True)`` instead (conf-switched equivalence pytest:
+tests/test_ordered.py::test_reliable_checkpoint_swap_bit_identical).
 
 Semantics notes
 - `order_cols` must define a TOTAL order (add a tie-break column). Range
@@ -40,14 +45,29 @@ from pyspark.sql import functions as F
 _PID = "_ord_pid"
 
 
-def _pinned_range(df: DataFrame, order_cols) -> DataFrame:
+def _pinned_range(
+    df: DataFrame, order_cols, reliable: bool | None = None
+) -> DataFrame:
+    """Range-partition on the order and PIN the partitioning (boundary
+    sampling is nondeterministic across re-evaluations). `reliable=None`
+    reads the `videosToTfrecords.ordered.reliableCheckpoint` session conf
+    (default false → executor-local `localCheckpoint`); True requires
+    `setCheckpointDir` and survives executor loss on a real cluster."""
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    if reliable is None:
+        reliable = (
+            spark.conf.get(
+                "videosToTfrecords.ordered.reliableCheckpoint", "false"
+            ).lower()
+            == "true"
+        )
+    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
     )
+    if reliable:
+        return ranged.checkpoint(eager=True)
+    return ranged.localCheckpoint(eager=True)
 
 
 def _offsets(part: DataFrame, agg_col, alias: str) -> DataFrame:

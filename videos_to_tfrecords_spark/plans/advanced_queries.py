@@ -3582,6 +3582,14 @@ FROM merged GROUP BY l_returnflag
     )
 
 
+# the schema_of_variant literal for variant_shred_census rows — single
+# definition shared by the query (drift counter) and the oracle (pin)
+_VARIANT_SHRED_SCHEMA = (
+    "OBJECT<event_id: BIGINT, meta: OBJECT<cents: BIGINT,"
+    " event_type: STRING>, tags: ARRAY<STRING>>"
+)
+
+
 @query(
     "variant_shred_census",
     """
@@ -3593,7 +3601,8 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_type_mismatch_null,
        CAST(count(*) AS BIGINT) AS n_missing_null,
        'OBJECT<event_id: BIGINT, meta: OBJECT<cents: BIGINT, event_type: STRING>, tags: ARRAY<STRING>>'
-         AS variant_schema
+         AS variant_schema,
+       CAST(0 AS BIGINT) AS n_schema_drift
 FROM events GROUP BY event_type
 """,
 )
@@ -3610,6 +3619,14 @@ def q_variant_shred_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     every aggregate from the flat columns the JSON was built from — the
     JSON → VARIANT → shred round-trip is therefore value-hash-checked
     end to end.
+
+    Precondition (r8 ADVICE): the pinned literal assumes every events row
+    has non-NULL event_id/event_type/value — ``to_json`` DROPS NULL
+    fields, so a NULL would change that row's ``schema_of_variant`` and
+    could silently shift ``min(sv)``. ``n_schema_drift`` counts rows whose
+    inferred schema differs from the literal (oracle pins it to 0), so a
+    generator change that introduces NULLs produces an explicit red row
+    instead of a confusing min() drift.
 
     Scale: VARIANT parse + path extraction are per-row JVM expressions
     inside whole-stage codegen (no UDF, no shuffle added); the single
@@ -3650,6 +3667,9 @@ def q_variant_shred_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("bad").isNull(), 1)).cast("long").alias("n_type_mismatch_null"),
         F.count(F.when(F.col("missing").isNull(), 1)).cast("long").alias("n_missing_null"),
         F.min("sv").alias("variant_schema"),
+        F.sum(
+            F.when(F.col("sv") != _VARIANT_SHRED_SCHEMA, 1).otherwise(0)
+        ).cast("long").alias("n_schema_drift"),
     )
 
 

@@ -1931,6 +1931,42 @@ def q_streaming_late_data_census(
 
 
 @query(
+    "streaming_tfrecord_sink_census",
+    """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(octet_length(encode(CAST(event_id AS VARCHAR)))
+                + octet_length(encode(event_type))
+                + octet_length(encode(CAST(cents AS VARCHAR))) + 2)
+            AS BIGINT) AS bytes_sum,
+       CAST(3 AS BIGINT) AS n_batches,
+       CAST(6 AS BIGINT) AS n_shards
+FROM e GROUP BY event_type
+""",
+)
+def q_streaming_tfrecord_sink_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S4 × streaming (VERDICT r08 #7): the reference's TFRecord sink
+    under a real multi-batch stream — three microbatches each append
+    CRC32C-framed shards under their own batch prefix, the full shard set
+    is read back distributed (CRC-verified) and censused per event_type
+    with the batch/shard layout pinned — see
+    streaming/pipeline.streaming_tfrecord_sink_census."""
+    from videos_to_tfrecords_spark.streaming.pipeline import (
+        streaming_tfrecord_sink_census,
+    )
+
+    return streaming_tfrecord_sink_census(spark, sf_dir)
+
+
+@query(
     "streaming_stream_stream_left_outer",
     """
 WITH v AS (SELECT event_id AS view_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS vus

@@ -237,6 +237,128 @@ def streaming_tfrecord_sink(
     return total["n"]
 
 
+def streaming_tfrecord_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 × streaming on the executed plan (VERDICT r08 #7): the
+    reference's TFRecord sink driven by a genuinely MULTI-batch stream.
+    The events table is staged as three deterministic microbatch files
+    (event_id % 3) and re-read with ``maxFilesPerTrigger=1``; every
+    microbatch appends CRC32C-framed shards under its own batch prefix
+    (``data/b{N}/``, 2 shards per batch — the append-safe layout
+    ``streaming_tfrecord_sink`` documents), then ALL shards are read back
+    distributed (``read_tfrecords_df`` raises on any bad payload CRC) and
+    censused per event_type with the batch/shard layout pinned from the
+    filesystem listing. The oracle recomputes everything from the raw
+    events rows, so a dropped batch, a double-written shard, a framing
+    bug, or a wrong record payload is a red row.
+
+    Scale: each microbatch writes its own shards (one task per shard, no
+    cross-batch coordination — exactly how a production stream appends to
+    a TFRecord dataset); the read-back is one task per shard file."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+    from videos_to_tfrecords_spark.sources.tfrecord import (
+        read_tfrecords_df,
+        write_tfrecords,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, "spark-warehouse", "stfsink_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(3):
+        tmp = os.path.join(base, f"tmp{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(tmp, part), os.path.join(src, f"b{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rec = batch_df.select(
+            F.encode(
+                F.concat_ws(
+                    "\t",
+                    F.col("event_id").cast("string"),
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("long").cast("string"),
+                ),
+                "UTF-8",
+            ).alias("rec")
+        ).repartition(2)
+        if rec.rdd.isEmpty():  # drain may fire a trailing empty batch
+            return
+        write_tfrecords(rec, "rec", out, f"b{batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    glob = os.path.join(out, "data", "*", "*.tfrecord")
+    layout = (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .agg(
+            F.countDistinct(
+                F.element_at(F.split("path", "/"), -2)
+            ).cast("long").alias("n_batches"),
+            F.count("*").cast("long").alias("n_shards"),
+        )
+    )
+    dec = read_tfrecords_df(spark, glob).select(
+        F.octet_length("record").cast("long").alias("blen"),
+        F.split(F.decode(F.col("record"), "UTF-8"), "\t").alias("f"),
+    )
+    cen = dec.select(
+        F.col("f").getItem(0).cast("long").alias("event_id"),
+        F.col("f").getItem(1).alias("event_type"),
+        F.col("f").getItem(2).cast("long").alias("cents"),
+        "blen",
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("blen").cast("long").alias("bytes_sum"),
+    )
+    out_df = cen.crossJoin(F.broadcast(layout)).select(
+        "event_type", "n_records", "id_sum", "cents_sum", "bytes_sum",
+        "n_batches", "n_shards",
+    )
+    # pin eagerly (bounded: ≤ event-type rows): the NEXT invocation
+    # rmtree's `base`, and this frame lazily reads the shard files
+    return out_df.localCheckpoint(eager=True)
+
+
 def streaming_sessionize_stateful(
     spark: SparkSession,
     src_dir: str,
@@ -1235,6 +1357,21 @@ def streaming_dedup_within_watermark(
     )
 
 
+def _statestore_base(sf_dir: str) -> str:
+    """Checkpoint/source root for `statestore_reader_audit`, keyed by sf_dir.
+    Shared with tests/test_streaming.py so the path scheme has exactly one
+    definition (r8 ADVICE)."""
+    import hashlib as _hl
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo, "spark-warehouse", "stst_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+
+
 def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store BATCH reader (SPARK-45511, the Spark 4 state data
     source): a checkpointed streaming aggregation is drained with
@@ -1253,19 +1390,12 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel (one task per state-store partition, 8 here), so reading
     production-sized state scales with the state layout, not the input
     that built it."""
-    import glob as _glob  # noqa: F401  (parity with sibling helpers)
-    import hashlib as _hl
     import os
     import shutil
 
     from videos_to_tfrecords_spark.sources.tables import load_table
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    base = os.path.join(
-        repo, "spark-warehouse", "stst_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    base = _statestore_base(sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ck")
@@ -1310,9 +1440,14 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     st = spark.read.format("statestore").load(ckpt)
-    return st.select(
+    out = st.select(
         F.col("key.event_type").alias("event_type"),
         F.col("key.bucket").cast("long").alias("bucket"),
         F.col("value.count").cast("long").alias("n"),
         F.col("value.sum").cast("long").alias("cents"),
     )
+    # Pin the (bounded: ≤ 5×32 keys) result eagerly — the NEXT invocation
+    # rmtree's `base`, so a caller holding this DataFrame lazily across a
+    # re-invocation (e.g. a double-pass harness) must not re-read deleted
+    # state files (r8 ADVICE).
+    return out.localCheckpoint(eager=True)
