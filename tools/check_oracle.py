@@ -200,6 +200,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # --json=PATH: persist one record per query (status/rows/secs) so a
+    # whole-suite gate at a non-default SF leaves a citable artifact
+    # instead of only scrollback (the r8 sf1 gate died unrecorded)
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    record: dict[str, dict] = {}
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -214,10 +223,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            record[name] = {
+                "status": "rows-only",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -226,6 +241,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             failures += 1
             continue
         problems = []
@@ -252,12 +268,37 @@ def main() -> int:
                 ]
                 for line in diff[:6]:
                     print(f"      {line}")
+        secs = round(time.time() - t0, 1)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            record[name] = {
+                "status": "fail",
+                "rows": len(srows),
+                "secs": secs,
+                "err": "; ".join(problems)[:300],
+            }
             failures += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            print(f"OK    {name}: {len(srows)} rows  ({secs}s)")
+            record[name] = {"status": "ok", "rows": len(srows), "secs": secs}
     print(f"\n{failures} failures / {len(queries)} queries")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_run": len(record),
+                    "n_registry": len(queries),
+                    "failures": failures,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"record written: {json_out}")
     return 1 if failures else 0
 
 
