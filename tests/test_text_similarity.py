@@ -60,6 +60,40 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert pairs == exact
 
 
+def test_lsh_three_paths_agree_on_clear_corpus(spark):
+    """The portable-signature LSH (hash-checked), the map-side fast-hash
+    LSH (rows-only), and the lossless exact path must emit the SAME pair
+    set when the corpus has no near-threshold pairs (r9: the paths are
+    only allowed to diverge through banding recall, which both LSH
+    variants' docstrings bound — on planted J≈0.9 dups vs J≈0 background
+    any divergence is a bug, not recall)."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs_portable,
+    )
+
+    rows = []
+    for d in range(12):
+        base = " ".join(f"t{d}_{i}" for i in range(25))
+        rows.append((2 * d, base))
+        rows.append((2 * d + 1, base.replace(f"t{d}_7", f"t{d}_7x")))
+    df = _docs(spark, rows)
+    exact = {
+        (r.id_a, r.id_b, r.j_x1000)
+        for r in ngram_jaccard_pairs(df, threshold_x1000=500).collect()
+    }
+    mapside = {
+        (r.id_a, r.id_b, r.j_x1000)
+        for r in minhash_lsh_dedup_pairs(df, threshold_x1000=500).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b, r.j_x1000)
+        for r in minhash_lsh_dedup_pairs_portable(df, threshold_x1000=500).collect()
+    }
+    assert len(exact) == 12  # one planted pair per family
+    assert mapside == exact
+    assert portable == exact
+
+
 def test_simhash_near_dups_close(spark):
     base = "w%d " * 40 % tuple(range(40))
     near = base.replace("w7 ", "w7x ")

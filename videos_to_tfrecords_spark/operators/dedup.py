@@ -97,6 +97,32 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perm: int = N_PE
     return sh.groupBy(id_col).agg(*mins)
 
 
+def minhash_signatures_portable(
+    sh: DataFrame, id_col: str = "doc_id", n_perm: int = N_PERM
+) -> DataFrame:
+    """Portable twin of ``minhash_signatures``: identical universal-hash
+    family, but the base shingle hash is the 60-bit md5 prefix
+    (functions/hashing.h15) instead of xxhash64 — every signature, band
+    key, and therefore every banding CANDIDATE is reproducible bit-for-bit
+    by a SQL oracle. The r9 sf1 value-hash gate showed why that matters:
+    8×2 banding misses real pairs at J≈0.8 with p≈1e-4, so an "LSH output
+    == exact ground truth" oracle is a probabilistic claim that breaks at
+    scale; with this hash family the oracle replays the LSH algorithm
+    itself and equality is structural, at any SF. The xxhash64 variant
+    stays the scan-side production path (rows-only by design) — its miss
+    set is deterministic per corpus but not SQL-expressible."""
+    from videos_to_tfrecords_spark.functions.hashing import h15
+
+    h = h15(F.col("s"))
+    x1 = h % F.lit(1 << 30)
+    x2 = (h / F.lit(1 << 30)).cast("long")
+    mins = [
+        F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % _PERM_P).alias(f"sig{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", n_perm: int = N_PERM, band_rows: int = BAND_ROWS
 ) -> DataFrame:
@@ -383,6 +409,28 @@ def minhash_lsh_dedup_pairs(
     sig = minhash_signatures_mapside(df, id_col, text_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify_from_texts(cand, df, id_col, text_col, threshold_x1000=threshold_x1000)
+
+
+def minhash_lsh_dedup_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """``minhash_lsh_dedup_pairs`` with the portable signature family
+    (``minhash_signatures_portable``): shingle table → h15-based 16-perm
+    signatures → 8×2 bands → candidate pairs → exact-Jaccard verify. The
+    whole pipeline — including which true pairs the banding MISSES — is
+    replayed bit-for-bit by a SQL oracle, so this variant carries the
+    value-hash check of LSH semantics. Costs one shingle-table shuffle
+    (the groupBy that the map-side variant avoids); at 100 TB run the
+    map-side variant for production and this one to audit it."""
+    sh = shingle_table(df, id_col, text_col)
+    sig = minhash_signatures_portable(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify_from_texts(
+        cand, df, id_col, text_col, threshold_x1000=threshold_x1000
+    )
 
 
 def ngram_jaccard_pairs(

@@ -2,11 +2,19 @@
 
 Oracle notes: every hash is the portable md5-prefix so DuckDB reproduces it
 bit-for-bit; ratios are integer-scaled + floored (IEEE division of exact
-integers floors identically in both engines); the MinHash-LSH query's oracle
-is the EXACT all-pairs Jaccard ground truth — the band geometry (8×2 at
-threshold 0.5 against a corpus whose near-dups sit at J≈0.99 and background
-at J<0.1) makes a RECALL miss vanishingly unlikely, and the verify step
-removes all false positives, so LSH output == ground truth.
+integers floors identically in both engines).
+
+MinHash-LSH oracle posture (revised r9): through r8 the LSH query's oracle
+was the exact all-pairs ground truth under a geometry argument ("8×2 bands
+at threshold 0.5 make a recall miss vanishingly unlikely"). The r9 sf1
+value-hash gate refuted it — 14 true pairs at J 0.80-0.91 were missed
+(P(miss) = (1-J²)^8 ≈ 1e-4 there, and the synthetic corpus has that J band
+in volume). LSH recall is probabilistic, so the contract is now: the
+hash-checked doc_minhash_lsh_pairs replays the full LSH pipeline in the
+oracle (portable signatures — equality is structural at any SF);
+minhash_lsh_recall_eval MEASURES recall per J band against the lossless
+ground truth; doc_ngram_jaccard_pairs remains the exact baseline; the
+scan-side fast-hash variant is rows-only (doc_minhash_lsh_pairs_mapside).
 """
 
 from __future__ import annotations
@@ -163,15 +171,155 @@ SELECT * FROM j WHERE j_x1000 >= 500
 """
 
 
-@query("doc_minhash_lsh_pairs", _JACCARD_ORACLE)
+def _portable_lsh_cte() -> str:
+    """Shared WITH-fragment replaying the portable-signature LSH pipeline
+    (operators/dedup.minhash_signatures_portable + lsh_candidate_pairs)
+    in DuckDB: shingles → h15 30-bit halves → 16 affine-perm minima → 8×2
+    band keys → distinct banding candidates. Used by the
+    doc_minhash_lsh_pairs oracle, minhash_estimate_calibration, and
+    minhash_lsh_recall_eval so the replay has exactly one definition."""
+    p = 1_000_000_007
+    sig_cols = ",\n       ".join(
+        f"min((x1 * {2 * i + 1} + x2 * {4 * i + 3} + {i}) % {p}) AS sig{i}"
+        for i in range(16)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(sig{2 * b} AS VARCHAR), ',',"
+        f" CAST(sig{2 * b + 1} AS VARCHAR)) AS key FROM sig"
+        for b in range(8)
+    )
+    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+hh AS (SELECT doc_id, {h15_sql("s")} % 1073741824 AS x1,
+              {h15_sql("s")} // 1073741824 AS x2
+       FROM sh),
+sig AS (SELECT doc_id,
+       {sig_cols}
+        FROM hh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+_LSH_REPLAY_ORACLE = f"""
+WITH {_portable_lsh_cte()},
+common AS (SELECT c.id_a, c.id_b, count(*) AS cm
+           FROM cand c JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+           GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+j AS (SELECT common.id_a, common.id_b,
+             CAST(floor(1000.0 * cm / (sa.n + sb.n - cm)) AS BIGINT) AS j_x1000
+      FROM common JOIN sizes sa ON sa.doc_id = common.id_a
+                  JOIN sizes sb ON sb.doc_id = common.id_b)
+SELECT id_a, id_b, j_x1000 FROM j WHERE j_x1000 >= 500
+"""
+
+
+@query("doc_minhash_lsh_pairs", _LSH_REPLAY_ORACLE)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (M5): shingle → 16-perm minhash → 8×2
-    banding → bucket join → exact-Jaccard verify ≥ 0.5. Oracle is exact
-    ground truth; equality holds because verification kills false positives
-    and band geometry makes misses ~impossible at this threshold (see
-    module docstring)."""
+    """MinHash+LSH near-dup pairs (M5): shingle → 16-perm PORTABLE minhash
+    → 8×2 banding → bucket join → exact-Jaccard verify ≥ 0.5. The oracle
+    replays the LSH pipeline itself (same h15 hash family, same bands),
+    so equality is structural at every SF — including whatever true pairs
+    the banding misses. Until r9 the oracle was the exact ground truth
+    under a "misses ~impossible" geometry argument; the r9 sf1 value-hash
+    gate REFUTED that with 14 missed pairs at J 0.80-0.91 (one doc missed
+    its whole replica family) — LSH recall is probabilistic and is now
+    MEASURED (minhash_lsh_recall_eval) instead of assumed. Exact ground
+    truth stays independently hash-checked by doc_ngram_jaccard_pairs;
+    the scan-side fast-hash variant is doc_minhash_lsh_pairs_mapside."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs_portable(docs, threshold_x1000=500)
+
+
+@query("doc_minhash_lsh_pairs_mapside")
+def q_minhash_lsh_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production variant of doc_minhash_lsh_pairs: signatures
+    computed entirely MAP-SIDE (operators/dedup.minhash_signatures_mapside
+    — vectorized token/rolling-shingle hashing inside one Arrow batch, no
+    shingle-table shuffle; only n_perm longs/doc leave the scan stage).
+    Rows-only by design: the fast hash family is deterministic per corpus
+    but not SQL-expressible, so its banding candidate set (and therefore
+    its near-threshold miss set) cannot be replayed by a DuckDB oracle —
+    the portable twin doc_minhash_lsh_pairs carries the value-hash check
+    of LSH semantics, and tests/test_text_similarity.py pins this
+    variant's precision (every emitted pair is exact-verified ≥ the
+    threshold) and its agreement with the exact pair set on the test
+    corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup_pairs(docs, threshold_x1000=500)
+
+
+_RECALL_BANDS_SQL = "CASE WHEN j_x1000 >= 900 THEN 900 ELSE (j_x1000 // 100) * 100 END"
+
+
+@query(
+    "minhash_lsh_recall_eval",
+    f"""
+WITH {_portable_lsh_cte()},
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+truth AS (SELECT id_a, id_b,
+                 CAST(floor(1000.0 * common / (sa.n + sb.n - common)) AS BIGINT)
+                   AS j_x1000
+          FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
+f AS (SELECT t.j_x1000,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS found
+      FROM truth t LEFT JOIN cand c
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST({_RECALL_BANDS_SQL} AS BIGINT) AS j_band,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(found) AS BIGINT) AS n_lsh_found,
+       CAST((1000 * sum(found)) // count(*) AS BIGINT) AS recall_x1000
+FROM f GROUP BY 1
+""",
+)
+def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL, measured not assumed (the r9 lesson): for every TRUE
+    near-dup pair (lossless ngram_jaccard_pairs ground truth, J ≥ 0.5),
+    was it generated as an 8×2 banding candidate by the portable-signature
+    LSH? Reported per Jaccard band (500-599, …, 900+) — the census a
+    curation owner reads before trusting banded dedup at 100 TB, where
+    p≈1e-4 misses at J≈0.8 become real pairs (14 of them at the synthetic
+    sf1). Both sides are deterministic: the oracle replays signatures,
+    banding, and ground truth bit-for-bit, so the recall numbers
+    themselves are value-hash-checked."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold_x1000=500)
+    sh = shingle_table(docs)
+    cand = lsh_candidate_pairs(minhash_signatures_portable(sh)).withColumn(
+        "found", F.lit(1)
+    )
+    f = truth.join(cand, ["id_a", "id_b"], "left").select(
+        "j_x1000", F.coalesce("found", F.lit(0)).alias("found")
+    )
+    band = F.when(F.col("j_x1000") >= 900, F.lit(900)).otherwise(
+        (F.col("j_x1000") - F.col("j_x1000") % 100)
+    )
+    return f.groupBy(band.cast("long").alias("j_band")).agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.sum("found").cast("long").alias("n_lsh_found"),
+        F.expr("CAST((1000 * sum(found)) div count(*) AS BIGINT)").alias(
+            "recall_x1000"
+        ),
+    )
 
 
 _SWEEP_THRESHOLDS = (500, 600, 700, 800, 900)
@@ -308,13 +456,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (M5): exact-Jaccard dup pairs → connected
     components by iterative min-label propagation (a driver-looped joins
     algorithm — the 'iterative algorithms' category). Oracle: DuckDB
-    recursive CTE computing min reachable id — exact graph closure."""
-    from videos_to_tfrecords_spark.operators.dedup import connected_components
+    recursive CTE computing min reachable id — exact graph closure.
+
+    Edges come from the LOSSLESS prefix-filtered pair join
+    (ngram_jaccard_pairs), matching the oracle's exact closure at every
+    SF. Until r9 this used LSH pairs as a cheaper same-set shortcut; the
+    r9 sf1 gate showed LSH recall < 1 there (a missed pair relabeled a
+    whole cluster), so the exact path is the only edge source whose
+    closure the oracle can pin."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # LSH pairs (verified-exact) as edges: same pair set as the exact path
-    # at this threshold (recall argument in the module docstring), cheaper
-    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -389,11 +545,18 @@ FROM documents WHERE doc_id NOT IN (SELECT node FROM drop_set)
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The user-facing dedup RESULT (M5): keep one canonical doc per
     near-dup cluster (the minimum id), drop the rest — composed as cluster
-    labels → anti-join against the corpus → summary aggregate."""
-    from videos_to_tfrecords_spark.operators.dedup import connected_components
+    labels → anti-join against the corpus → summary aggregate. Edges are
+    the LOSSLESS exact pairs (ngram_jaccard_pairs): the r9 sf1 gate showed
+    LSH pairs miss at J≈0.8 (p≈1e-4), which silently changes who gets
+    dropped — the exact path is the only edge source whose kept-set the
+    exact-closure oracle can pin."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
     clusters = connected_components(pairs)
     drop_set = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -695,21 +858,23 @@ SELECT doc_id, component, score FROM r WHERE rn = 1
 """,
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full corpus-curation composition: near-dup clusters (LSH pairs →
-    connected components) where the KEPT representative is the
+    """The full corpus-curation composition: near-dup clusters (exact
+    pairs → connected components) where the KEPT representative is the
     highest-quality member (stopword-ratio score, doc_id tie-break) —
     'dedup, keep best' rather than 'keep first'. Singletons keep
-    themselves. One row per surviving document."""
+    themselves. One row per surviving document. Edges are the lossless
+    exact pairs (r9: a missed LSH pair at sf1 flipped one cluster's
+    representative — see the module docstring's LSH posture)."""
     from pyspark.sql import Window
 
     from videos_to_tfrecords_spark.operators.dedup import (
         connected_components,
-        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
     )
     from videos_to_tfrecords_spark.operators.text import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500).select("id_a", "id_b")
     comp = connected_components(pairs)
     scored = with_quality_score(docs).select("doc_id", "stop_ratio_x1000")
     q = (
@@ -2440,35 +2605,11 @@ def q_coverage_source_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_calibration_oracle() -> str:
-    from videos_to_tfrecords_spark.functions.hashing import h15_sql
-    from videos_to_tfrecords_spark.functions.textfn import shingles_sql
-
-    p = 1_000_000_007
-    sig_cols = ",\n       ".join(
-        f"min((x1 * {2 * i + 1} + x2 * {4 * i + 3} + {i}) % {p}) AS sig{i}"
-        for i in range(16)
-    )
-    band_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat(CAST(sig{2 * b} AS VARCHAR), ',',"
-        f" CAST(sig{2 * b + 1} AS VARCHAR)) AS key FROM sig"
-        for b in range(8)
-    )
     est = " + ".join(
         f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(16)
     )
     return f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql('t')}) AS s FROM tok),
-hh AS (SELECT doc_id, {h15_sql('s')} % 1073741824 AS x1,
-              {h15_sql('s')} // 1073741824 AS x2
-       FROM sh),
-sig AS (SELECT doc_id,
-       {sig_cols}
-        FROM hh GROUP BY doc_id),
-bands AS ({band_selects}),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+WITH {_portable_lsh_cte()},
 m AS (SELECT c.id_a, c.id_b, CAST({est} AS BIGINT) AS sig_matches
       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
       JOIN sig sb ON sb.doc_id = c.id_b),
@@ -2507,25 +2648,16 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     from the array-intersect verifier restricted to candidates (pairs
     sharing no shingle count as J=0). One shingle shuffle + one banding
     join + a candidate-sized verify."""
-    from videos_to_tfrecords_spark.functions.hashing import h15
     from videos_to_tfrecords_spark.operators.dedup import (
         jaccard_verify_from_texts,
         lsh_candidate_pairs,
+        minhash_signatures_portable,
         shingle_table,
     )
 
-    p = 1_000_000_007
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs).distinct()
-    h = h15(F.col("s"))
-    x1 = h % F.lit(1 << 30)
-    x2 = (h / F.lit(1 << 30)).cast("long")
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % p).alias(f"sig{i}")
-            for i in range(16)
-        ]
-    ).localCheckpoint(eager=True)
+    sig = minhash_signatures_portable(sh).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
