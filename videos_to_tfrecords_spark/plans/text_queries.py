@@ -439,7 +439,7 @@ sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup
@@ -527,7 +527,7 @@ sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup
@@ -834,7 +834,7 @@ sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+dup AS MATERIALIZED (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE 1000.0 * common / (sa.n + sb.n - common) >= 500),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup
@@ -3325,7 +3325,7 @@ sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup
@@ -3632,11 +3632,15 @@ def q_blocklist_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leakage_free_split_audit",
     f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({shingles_sql("t")}) AS s FROM tok),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+-- MATERIALIZED (r9): dup is referenced four times (edges, naive, grouped,
+-- the count) — inlined, DuckDB re-evaluates the all-pairs shingle join per
+-- reference and the concurrent spills exceeded disk at sf1 (ENOSPC);
+-- materializing bounds it to one evaluation
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup
