@@ -2359,3 +2359,97 @@ def q_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return statestore_reader_audit(spark, sf_dir)
+
+
+def _video_decode_real_oracle() -> str:
+    """Literal-table oracle for the REAL cv2 decode census, replayed at
+    import from the same pure functions that build the AVI bytes on
+    executors (the Python-precomputed-constant-table discipline: rawavi is
+    deterministic integer math, so the expectation is exact)."""
+    from videos_to_tfrecords_spark.ml import rawavi
+
+    rows = ", ".join(
+        "('{filename}', {n_frames}, {fps}, {frame_total}, {height}, "
+        "{width}, {channels}, {on_pixels})".format(**rawavi.expected_census(v))
+        for v in range(rawavi.N_VIDEOS)
+    )
+    return f"""
+SELECT filename,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(fps AS BIGINT) AS fps,
+       CAST(frame_total AS BIGINT) AS frame_total,
+       CAST(height AS BIGINT) AS height,
+       CAST(width AS BIGINT) AS width,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(on_pixels AS BIGINT) AS on_pixels
+FROM (VALUES {rows})
+  AS t(filename, n_frames, fps, frame_total, height, width, channels,
+       on_pixels)
+"""
+
+
+def q_video_decode_real_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/S3's REAL decode path on the executed plan (registered only when
+    cv2 is importable — absent in the CI container, so this row exists for
+    cv2-equipped boxes; the same census is also a skipif(cv2) pytest):
+    deterministic rawvideo AVI bytes are synthesized IN PURE PYTHON on
+    executors (ml/rawavi.py: lossless BI_RGB frames, binary pixels), then
+    decoded through ``_decode_real``'s actual cv2.VideoCapture loop
+    (reference preprocess.py:169-190 control flow) and censused per video.
+    Lossless codec + binary pixels make the check exact: after /255
+    normalization every value is exactly 0.0/1.0, so on-pixel mass is an
+    integer. POS_MSEC-derived values are deliberately excluded (frame-time
+    conventions differ across FFmpeg builds; at fps=2 with the 500 ms skip
+    the KEEP rule itself is convention-invariant — see ml/rawavi.py).
+
+    Scale: same shape as every decode census — synthesis+decode is an
+    embarrassingly parallel spread-repartitioned mapInPandas stage, the
+    census one partial-agg shuffle of per-frame scalar rows (image columns
+    never shuffle)."""
+    import pandas as _pd
+
+    from videos_to_tfrecords_spark.ml import rawavi
+
+    vids = spark.range(rawavi.N_VIDEOS).select(F.col("id").cast("int").alias("vid"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "filename": [f"synth://rawavi/{v}.avi" for v in pdf["vid"]],
+                    "content": [rawavi.make_avi_bytes(int(v)) for v in pdf["vid"]],
+                }
+            )
+
+    files = vids.mapInPandas(synth, "filename string, content binary")
+    frames = decode_videos(files, use_real=True, cloud=True)
+    per_frame = frames.select(
+        "filename",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("frame_per_sec").cast("long").alias("fps"),
+        F.col("frame_total").cast("long").alias("frame_total"),
+        F.expr(
+            "CAST(aggregate(image, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) AS LONG)"
+        ).alias("on_px"),
+    )
+    return per_frame.groupBy("filename").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.min("fps").alias("fps"),
+        F.min("frame_total").alias("frame_total"),
+        F.min("height").alias("height"),
+        F.min("width").alias("width"),
+        F.min("channels").alias("channels"),
+        F.sum("on_px").alias("on_pixels"),
+    )
+
+
+# env-gated registration: the row must not exist where cv2 (and thus the
+# real decode path) cannot run — the driver would record a red error row.
+from videos_to_tfrecords_spark.ml.video import HAVE_CV2 as _HAVE_CV2  # noqa: E402
+
+if _HAVE_CV2:  # pragma: no cover - cv2 absent in this container
+    query("video_decode_real_census", _video_decode_real_oracle())(
+        q_video_decode_real_census
+    )
