@@ -91,6 +91,14 @@ _TIER1_R9 = (
     "aa_test_null_check",
 )
 
+# Queries whose semantics/oracle CHANGED in round 9 (the sf1 value-gate
+# LSH-recall fix): fronted so the driver re-records them on the new
+# definition rather than carrying a stale green row from r01-r08.
+_CHANGED_R9 = (
+    "doc_minhash_lsh_pairs", "doc_dup_clusters", "dedup_corpus_summary",
+    "dedup_keep_best",
+)
+
 _KNOWN_AT_R9_CLOSE = (
     "aa_test_null_check", "above_nation_average", "acf_user_value",
     "ann_recall_at_k", "ann_topk_bruteforce", "ann_topk_ivf",
@@ -261,13 +269,17 @@ def _rotated(mapping: dict) -> dict:
     covers the least-driver-verified queries first: (1) _TIER1_R9 — the 33
     names with no driver-of-record row in any CORRECTNESS_r01-r08 (r8 late
     additions first); (2) brand-new round-9 additions (not in the r9-close
-    known-name list); (3) queries already driver-green in some
-    CORRECTNESS_r01..r08."""
+    known-name list); (3) _CHANGED_R9 — queries whose definition changed
+    this round (the LSH-recall fix), re-recorded on the new semantics;
+    (4) queries already driver-green in some CORRECTNESS_r01..r08."""
     tier1 = [k for k in _TIER1_R9 if k in mapping]
     t1 = set(tier1)
     known = set(_KNOWN_AT_R9_CLOSE)
+    changed = [k for k in _CHANGED_R9 if k in mapping and k not in t1]
+    t1 |= set(changed)
     order = tier1
     order += [k for k in mapping if k not in t1 and k not in known]
+    order += changed
     order += [k for k in mapping if k not in t1 and k in known]
     return {k: mapping[k] for k in order}
 
