@@ -373,9 +373,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dup_clusters",
     f"""
 WITH RECURSIVE
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sig AS (SELECT vec_id, v, CAST({_bucket_sql(_BANDED_PLANES)} AS BIGINT) AS sig FROM e),
-bands AS (SELECT vec_id, unnest(range(0, {_BANDED_BANDS})) AS band,
+bands AS MATERIALIZED (SELECT vec_id, unnest(range(0, {_BANDED_BANDS})) AS band,
                  unnest(list_transform(range(0, {_BANDED_BANDS}),
                         b -> (sig >> CAST(b * {_BANDED_BITS} AS INTEGER)) & {(1 << _BANDED_BITS) - 1})) AS bkey
           FROM sig),
@@ -384,8 +384,8 @@ cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
 s AS (SELECT id_a, id_b, {_int_dot("list_transform(ea.v, x -> CAST(round(x * 1000000) AS BIGINT))", "list_transform(eb.v, x -> CAST(round(x * 1000000) AS BIGINT))")} AS dot_scaled
       FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b),
-dup AS (SELECT id_a, id_b FROM s WHERE dot_scaled >= {_BANDED_THR}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+dup AS MATERIALIZED (SELECT id_a, id_b FROM s WHERE dot_scaled >= {_BANDED_THR}),
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dup
           UNION SELECT id_b, id_a FROM dup),
 reach(node, r) AS (
   SELECT src, src FROM edges
@@ -430,23 +430,23 @@ def _kmeans_assign_parts(
     int-vector expression (e.g. a list_slice for a PQ subspace)."""
     hk = h15_sql("CAST(vec_id AS VARCHAR)")
     iv = iv_expr or _IV
-    parts = [f"WITH {prefix}e AS (SELECT vec_id, {iv} AS iv FROM embeddings)"]
+    parts = [f"WITH {prefix}e AS MATERIALIZED (SELECT vec_id, {iv} AS iv FROM embeddings)"]
     P = prefix
     if k == "auto":
         parts.append(
-            f"{P}kk AS (SELECT GREATEST(8, (count(*) + 255) // 256) AS k FROM {P}e)"
+            f"{P}kk AS MATERIALIZED (SELECT GREATEST(8, (count(*) + 255) // 256) AS k FROM {P}e)"
         )
         k_expr = f"(SELECT k FROM {P}kk)"
     else:
         k_expr = str(k)
     parts.append(
-        f"""{P}c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
+        f"""{P}c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cid, iv AS civ FROM
   (SELECT iv, row_number() OVER (ORDER BY {hk}, vec_id) AS rn FROM {P}e) WHERE rn <= {k_expr})"""
     )
     for it in range(1, iters + 1):
         prev = f"{P}c{it - 1}"
         parts += [
-            f"""{P}s{it} AS (SELECT cid, i, x FROM
+            f"""{P}s{it} AS MATERIALIZED (SELECT cid, i, x FROM
   (SELECT cid, unnest(iv) AS x, unnest(range(1, len(iv) + 1)) AS i
    FROM (SELECT a.cid, e.iv FROM
          (SELECT vec_id, cid FROM
@@ -454,16 +454,16 @@ def _kmeans_assign_parts(
                   row_number() OVER (PARTITION BY e.vec_id
                                      ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
            FROM {P}e e, {prev} c) WHERE rn = 1) a JOIN {P}e e ON e.vec_id = a.vec_id)))""",
-            f"""{P}u{it} AS (SELECT cid,
+            f"""{P}u{it} AS MATERIALIZED (SELECT cid,
   list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) ORDER BY i) AS civ FROM
   (SELECT cid, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS cnt
    FROM {P}s{it} GROUP BY cid, i) GROUP BY cid)""",
-            f"""{P}c{it} AS (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
+            f"""{P}c{it} AS MATERIALIZED (SELECT p.cid, COALESCE(u.civ, p.civ) AS civ
   FROM {prev} p LEFT JOIN {P}u{it} u USING (cid))""",
         ]
     final = f"{P}c{iters}"
     parts.append(
-        f"""{P}af AS (SELECT vec_id, cid, d2 FROM
+        f"""{P}af AS MATERIALIZED (SELECT vec_id, cid, d2 FROM
   (SELECT e.vec_id, c.cid, {_int_dist2("e.iv", "c.civ")} AS d2,
           row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY {_int_dist2("e.iv", "c.civ")}, c.cid) AS rn
@@ -498,7 +498,7 @@ def _semantic_dedup_oracle(
     threshold."""
     parts = _kmeans_assign_parts(k, iters)
     parts.append(
-        """av AS (SELECT af.vec_id, af.cid, e.iv FROM af JOIN e ON e.vec_id = af.vec_id)"""
+        """av AS MATERIALIZED (SELECT af.vec_id, af.cid, e.iv FROM af JOIN e ON e.vec_id = af.vec_id)"""
     )
     parts.append(
         f"""drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
@@ -1128,14 +1128,14 @@ def _dedup_funnel_oracle() -> str:
         "'string_agg', ',')"
     )
     return f"""
-WITH sem AS ({_semantic_dedup_oracle(k="auto")}),
+WITH sem AS MATERIALIZED ({_semantic_dedup_oracle(k="auto")}),
 ek AS (SELECT vec_id, {key} AS vkey FROM embeddings),
 keep1 AS (SELECT vec_id, vkey,
                  vec_id = min(vec_id) OVER (PARTITION BY vkey) AS exact_keep
           FROM ek),
-j AS (SELECT k.vec_id, k.exact_keep, s.kept AS sem_keep, s.cid
+j AS MATERIALIZED (SELECT k.vec_id, k.exact_keep, s.kept AS sem_keep, s.cid
       FROM keep1 k JOIN sem s ON s.vec_id = k.vec_id),
-fin AS (SELECT CAST(count(*) AS BIGINT) AS total,
+fin AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS total,
                CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
                  AS exact_kept,
                CAST(sum(CASE WHEN exact_keep AND sem_keep THEN 1 ELSE 0 END)
