@@ -194,11 +194,24 @@ def main() -> int:
         from videos_to_tfrecords_spark.session import get_spark
 
         spark = get_spark("check_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    def fresh_con():
+        """Connection with an explicit memory budget and spill directory.
+        DuckDB's default limit (80% of RAM) overcommits next to the 24g
+        Spark JVM, and once its allocator OOMs, the CONNECTION is poisoned
+        — every later 2 KB allocation fails with 90 GB free (the r9 sf1
+        gate cascaded 91 such failures). Bounded limit + disk spill makes
+        heavy oracles spill instead of OOM; the retry below replaces a
+        poisoned connection."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
+
+    con = fresh_con()
 
     # --json=PATH: persist one record per query (status/rows/secs) so a
     # whole-suite gate at a non-default SF leaves a citable artifact
@@ -240,10 +253,25 @@ def main() -> int:
             dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            record[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
-            failures += 1
-            continue
+            # retry once on a FRESH connection: a prior heavy oracle can
+            # leave this one's allocator accounting poisoned (see
+            # fresh_con) — only a repeat failure is a real red row
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_con()
+            try:
+                rel = con.sql(oracles[name])
+                dcols = list(rel.columns)
+                dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+                drows = rel.fetchall()
+                print(f"      ({name}: first attempt failed [{str(e)[:80]}], fresh-connection retry succeeded)")
+            except Exception as e2:  # noqa: BLE001
+                print(f"FAIL  {name}: duckdb error: {e2}")
+                record[name] = {"status": "fail", "err": f"duckdb: {e2}"[:300]}
+                failures += 1
+                continue
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
