@@ -56,21 +56,21 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle_sql() -> str:
     head = f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+c AS MATERIALIZED (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
              CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
       FROM deg),
-r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM deg)"""
+r0 AS MATERIALIZED (SELECT node, (SELECT r0 FROM c) AS rank FROM deg)"""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         prev = f"r{i-1}"
         iters.append(
             f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          (SELECT tel FROM c) + (85 * sum(r.rank // dg.d)) // 100 AS rank
   FROM edges e
@@ -107,26 +107,26 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ppr_oracle_sql() -> str:
     head = f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-seeds AS (
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+seeds AS MATERIALIZED (
   SELECT c_custkey*2 AS node FROM customer
   JOIN nation ON n_nationkey = c_nationkey
   JOIN region ON r_regionkey = n_regionkey
   WHERE r_name = 'ASIA'),
-c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+c AS MATERIALIZED (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
              CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
       FROM seeds),
-r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM seeds)"""
+r0 AS MATERIALIZED (SELECT node, (SELECT r0 FROM c) AS rank FROM seeds)"""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         prev = f"r{i-1}"
         iters.append(
             f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT node, CAST(sum(part) AS BIGINT) AS rank FROM (
     SELECT e.dst AS node, (85 * sum(r.rank // dg.d)) // 100 AS part
     FROM edges e
@@ -174,15 +174,15 @@ def q_ppr_region_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangles_copurchase",
     """
-WITH und AS (
+WITH und AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
   FROM lineitem a
   JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
   FROM (SELECT pa AS n FROM und UNION ALL SELECT pb AS n FROM und)),
-edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
-tri AS (
+edges AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+tri AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
   FROM und e1
   JOIN und e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
@@ -249,7 +249,7 @@ d{r} AS MATERIALIZED (SELECT n, count(*) AS d
 k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
 e{r} AS MATERIALIZED (SELECT x, y FROM e{p}
         WHERE x IN (SELECT n FROM k{r}) AND y IN (SELECT n FROM k{r})),
-c{r} AS (SELECT CAST({r} AS BIGINT) AS round,
+c{r} AS MATERIALIZED (SELECT CAST({r} AS BIGINT) AS round,
                 CAST(count(DISTINCT n) AS BIGINT) AS nodes_left,
                 CAST(count(n) // 2 AS BIGINT) AS edges_left
          FROM (SELECT x AS n FROM e{r} UNION ALL SELECT y FROM e{r}))"""
@@ -283,15 +283,15 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_local_clustering",
     f"""
-WITH und AS ({_UND_SQL}),
-deg AS (SELECT n, count(*) AS d
+WITH und AS MATERIALIZED ({_UND_SQL}),
+deg AS MATERIALIZED (SELECT n, count(*) AS d
         FROM (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und) GROUP BY n),
-tris AS (
+tris AS MATERIALIZED (
   SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
   FROM und e1
   JOIN und e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
   JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
-cnt AS (SELECT n, count(*) AS tri
+cnt AS MATERIALIZED (SELECT n, count(*) AS tri
         FROM (SELECT x AS n FROM tris UNION ALL SELECT y FROM tris
               UNION ALL SELECT z FROM tris) GROUP BY n)
 SELECT deg.n AS node,
@@ -321,15 +321,15 @@ _CN_CAP = 64
 @query(
     "graph_link_prediction",
     f"""
-WITH und AS ({_UND_SQL}),
-bidir AS (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
-ranked AS (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+WITH und AS MATERIALIZED ({_UND_SQL}),
+bidir AS MATERIALIZED (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
+ranked AS MATERIALIZED (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
            FROM bidir),
-capped AS (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
-wedges AS (SELECT l.y AS pa, r.y AS pb
+capped AS MATERIALIZED (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
+wedges AS MATERIALIZED (SELECT l.y AS pa, r.y AS pb
            FROM capped l JOIN capped r ON l.x = r.x AND l.y < r.y),
-scored AS (SELECT pa, pb, count(*) AS n_common FROM wedges GROUP BY pa, pb),
-cand AS (SELECT s.pa, s.pb, s.n_common FROM scored s
+scored AS MATERIALIZED (SELECT pa, pb, count(*) AS n_common FROM wedges GROUP BY pa, pb),
+cand AS MATERIALIZED (SELECT s.pa, s.pb, s.n_common FROM scored s
          LEFT JOIN und u ON u.pa = s.pa AND u.pb = s.pb
          WHERE u.pa IS NULL)
 SELECT pa, pb, CAST(n_common AS BIGINT) AS n_common
@@ -353,8 +353,8 @@ def _feature_prop_oracle(n_rounds: int = 2) -> str:
         """WITH e0 AS (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges)""",
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)""",
         f"""f0 AS (SELECT node, CAST({h} % 1000 AS BIGINT) AS fa,
                CAST(node % 97 AS BIGINT) AS fb FROM nodes)""",
     ]
@@ -364,7 +364,7 @@ nodes AS (SELECT DISTINCT src AS node FROM edges)""",
             f"""m{i} AS (SELECT e.dst AS node, CAST(sum(p.fa) AS BIGINT) AS fa,
                CAST(sum(p.fb) AS BIGINT) AS fb
   FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst),
-f{i} AS (SELECT c.node, c.fa + coalesce(m.fa, 0) AS fa,
+f{i} AS MATERIALIZED (SELECT c.node, c.fa + coalesce(m.fa, 0) AS fa,
                 c.fb + coalesce(m.fb, 0) AS fb
   FROM {prev} c LEFT JOIN m{i} m ON m.node = c.node)"""
         )
@@ -414,26 +414,26 @@ def _neg_edge_oracle() -> str:
 
     h = h15_sql("CAST(src AS VARCHAR) || ':' || CAST(t AS VARCHAR)", salt="neg")
     return f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-rk AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rn FROM nodes),
-cand AS (
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+rk AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rn FROM nodes),
+cand AS MATERIALIZED (
   SELECT s.node AS src, t,
          CAST({h} % (SELECT n FROM nn) AS BIGINT) AS pick_rn
   FROM (SELECT node FROM nodes) s(node),
        (SELECT unnest(range(0, {_NEG_TRIALS})) AS t)
 ),
-withdst AS (SELECT c.src, c.t, r.node AS dst
+withdst AS MATERIALIZED (SELECT c.src, c.t, r.node AS dst
             FROM cand c JOIN rk r ON r.rn = c.pick_rn
             WHERE r.node != c.src),
-nonedge AS (SELECT w.src, w.t, w.dst FROM withdst w
+nonedge AS MATERIALIZED (SELECT w.src, w.t, w.dst FROM withdst w
             LEFT JOIN edges e ON e.src = w.src AND e.dst = w.dst
             WHERE e.src IS NULL),
-ranked AS (SELECT src, dst, t,
+ranked AS MATERIALIZED (SELECT src, dst, t,
                   row_number() OVER (PARTITION BY src ORDER BY t, dst) AS k
            FROM nonedge)
 SELECT src, dst, CAST(k AS BIGINT) AS k FROM ranked WHERE k <= {_NEG_K}
@@ -496,23 +496,23 @@ def q_graph_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _weighted_pr_oracle() -> str:
     head = f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst,
          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
-edges AS (SELECT src, dst, w FROM e0
+edges AS MATERIALIZED (SELECT src, dst, w FROM e0
           UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
-wdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY src),
-c AS (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
+wdeg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY src),
+c AS MATERIALIZED (SELECT CAST({_PR_TOTAL} // count(*) AS BIGINT) AS r0,
              CAST((15 * ({_PR_TOTAL} // count(*))) // 100 AS BIGINT) AS tel
       FROM wdeg),
-r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM wdeg)"""
+r0 AS MATERIALIZED (SELECT node, (SELECT r0 FROM c) AS rank FROM wdeg)"""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         prev = f"r{i-1}"
         iters.append(
             f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          (SELECT tel FROM c) + (85 * sum((r.rank * e.w) // dg.wd)) // 100 AS rank
   FROM edges e
@@ -573,19 +573,19 @@ def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_oracle_sql() -> str:
     return """
-WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-a1 AS (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS v FROM e GROUP BY s),
-da1 AS (SELECT (max(v) // 1000000) + 1 AS d FROM a1),
-a1n AS (SELECT s, v // (SELECT d FROM da1) AS v FROM a1),
-h1 AS (SELECT e.c, CAST(sum(a.v) AS BIGINT) AS v
+a1 AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS v FROM e GROUP BY s),
+da1 AS MATERIALIZED (SELECT (max(v) // 1000000) + 1 AS d FROM a1),
+a1n AS MATERIALIZED (SELECT s, v // (SELECT d FROM da1) AS v FROM a1),
+h1 AS MATERIALIZED (SELECT e.c, CAST(sum(a.v) AS BIGINT) AS v
        FROM e JOIN a1n a USING (s) GROUP BY e.c),
-dh1 AS (SELECT (max(v) // 1000000) + 1 AS d FROM h1),
-h1n AS (SELECT c, v // (SELECT d FROM dh1) AS v FROM h1),
-a2 AS (SELECT e.s, CAST(sum(h.v) AS BIGINT) AS v
+dh1 AS MATERIALIZED (SELECT (max(v) // 1000000) + 1 AS d FROM h1),
+h1n AS MATERIALIZED (SELECT c, v // (SELECT d FROM dh1) AS v FROM h1),
+a2 AS MATERIALIZED (SELECT e.s, CAST(sum(h.v) AS BIGINT) AS v
        FROM e JOIN h1n h USING (c) GROUP BY e.s),
-da2 AS (SELECT (max(v) // 1000000) + 1 AS d FROM a2),
-a2n AS (SELECT s, v // (SELECT d FROM da2) AS v FROM a2)
+da2 AS MATERIALIZED (SELECT (max(v) // 1000000) + 1 AS d FROM a2),
+a2n AS MATERIALIZED (SELECT s, v // (SELECT d FROM da2) AS v FROM a2)
 SELECT 'hub' AS node_type, CAST(c AS BIGINT) AS key, CAST(v AS BIGINT) AS score
 FROM h1n
 UNION ALL
@@ -621,19 +621,19 @@ def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_degree_assortativity",
     """
-WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
-p AS (SELECT a.d AS x, b.d AS y
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+p AS MATERIALIZED (SELECT a.d AS x, b.d AS y
       FROM edges e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+s AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
              sum(CAST(x AS HUGEINT) * y) AS sxy,
              sum(CAST(x AS HUGEINT) * x) AS sxx,
              sum(CAST(y AS HUGEINT) * y) AS syy
       FROM p),
-w AS (SELECT n,
+w AS MATERIALIZED (SELECT n,
              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
@@ -720,20 +720,20 @@ _BFS_ITERS = 4
 
 def _bfs_oracle_sql() -> str:
     head = """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-seeds AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+seeds AS MATERIALIZED (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
           JOIN nation ON n_nationkey = s_nationkey
           JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
-d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
     iters = []
     for i in range(1, _BFS_ITERS + 1):
         iters.append(
             f""",
-d{i} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+d{i} AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
   SELECT node, dist FROM d{i-1}
   UNION ALL
   SELECT e.dst AS node, d.dist + 1 AS dist
@@ -741,7 +741,7 @@ d{i} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
   GROUP BY node)"""
         )
     tail = f""",
-r AS (SELECT n.node, coalesce(d.dist, -1) AS dist
+r AS MATERIALIZED (SELECT n.node, coalesce(d.dist, -1) AS dist
       FROM nodes n LEFT JOIN d{_BFS_ITERS} d ON d.node = n.node)
 SELECT CAST(dist AS BIGINT) AS dist,
        CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_customers,
@@ -797,17 +797,17 @@ def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_rich_club",
     """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-club AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 64),
-inner_e AS (SELECT CAST(count(*) AS BIGINT) AS m2
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+club AS MATERIALIZED (SELECT node FROM deg ORDER BY d DESC, node LIMIT 64),
+inner_e AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2
             FROM edges e
             JOIN club a ON a.node = e.src
             JOIN club b ON b.node = e.dst),
-n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM club)
+n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM club)
 SELECT n.k AS club_size,
        CAST(inner_e.m2 // 2 AS BIGINT) AS club_edges,
        CAST((1000000 * (inner_e.m2 // 2)) // (n.k * (n.k - 1) // 2)
@@ -860,24 +860,24 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_adamic_adar_topk",
     f"""
-WITH und AS ({_UND_SQL}),
-bidir AS (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
-ranked AS (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+WITH und AS MATERIALIZED ({_UND_SQL}),
+bidir AS MATERIALIZED (SELECT pa AS x, pb AS y FROM und UNION ALL SELECT pb, pa FROM und),
+ranked AS MATERIALIZED (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY y) AS rn
            FROM bidir),
-capped AS (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
-deg AS (SELECT x, count(*) AS dcap FROM capped GROUP BY x),
-wdeg AS (SELECT x,
+capped AS MATERIALIZED (SELECT x, y FROM ranked WHERE rn <= {_CN_CAP}),
+deg AS MATERIALIZED (SELECT x, count(*) AS dcap FROM capped GROUP BY x),
+wdeg AS MATERIALIZED (SELECT x,
                 CAST(1000000000000
                      // CAST(floor(1000000 * ln(dcap)) AS BIGINT) AS BIGINT)
                   AS w
          FROM deg),
-wedges AS (SELECT l.y AS pa, r.y AS pb, w.w
+wedges AS MATERIALIZED (SELECT l.y AS pa, r.y AS pb, w.w
            FROM capped l JOIN capped r ON l.x = r.x AND l.y < r.y
            JOIN wdeg w ON w.x = l.x),
-scored AS (SELECT pa, pb, CAST(sum(w) AS BIGINT) AS aa_score,
+scored AS MATERIALIZED (SELECT pa, pb, CAST(sum(w) AS BIGINT) AS aa_score,
                   CAST(count(*) AS BIGINT) AS n_common
            FROM wedges GROUP BY pa, pb),
-cand AS (SELECT s.* FROM scored s
+cand AS MATERIALIZED (SELECT s.* FROM scored s
          LEFT JOIN und u ON u.pa = s.pa AND u.pb = s.pb
          WHERE u.pa IS NULL)
 SELECT pa, pb, aa_score, n_common
