@@ -202,8 +202,15 @@ def main() -> int:
         gate cascaded 91 such failures). Bounded limit + disk spill makes
         heavy oracles spill instead of OOM; the retry below replaces a
         poisoned connection."""
+        import os
+
         c = duckdb.connect()
-        c.execute("SET memory_limit='48GB'")
+        # $SPARK_GRAFT_DUCK_MEM overrides for solo re-runs of spill-heavy
+        # oracles (48GB forces the curation closure to ~80GB of disk
+        # spill at sf1; a solo run can afford RAM instead)
+        c.execute(
+            f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
+        )
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             c.execute(
