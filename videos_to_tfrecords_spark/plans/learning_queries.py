@@ -148,24 +148,24 @@ k1 AS (SELECT doc_id, lang, toks FROM (
          SELECT doc_id, lang, toks,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM q)
        WHERE doc_id = cid),
-sh AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM k1),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM k1),
+p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
-edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dup
           UNION SELECT id_b, id_a FROM dup),
 reach(node, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
-comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+comp AS MATERIALIZED (SELECT node, min(r) AS component FROM reach GROUP BY node),
 k2 AS (SELECT k1.doc_id, k1.lang, k1.toks FROM k1 LEFT JOIN comp
          ON comp.node = k1.doc_id
        WHERE comp.node IS NULL OR comp.component = k1.doc_id),
-ev AS (SELECT DISTINCT unnest({sh5}) AS s
+ev AS MATERIALIZED (SELECT DISTINCT unnest({sh5}) AS s
        FROM (SELECT string_split(text, ' ') AS toks FROM documents
              WHERE doc_id % 97 = 0)),
 k2s AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM k2),
@@ -578,37 +578,37 @@ def _funnel_oracle() -> str:
     sh5 = shingles_sql("toks")
     return f"""
 WITH RECURSIVE
-s1 AS (SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS toks
+s1 AS MATERIALIZED (SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS toks
        FROM documents WHERE doc_id % 97 != 0),
-s2 AS (SELECT * FROM s1 WHERE n_chars >= 50 AND len(toks) >= 10),
-s3 AS (SELECT * FROM s2 WHERE lang IN ('en', 'de', 'fr')),
-s4 AS (SELECT doc_id, lang, toks FROM (
+s2 AS MATERIALIZED (SELECT * FROM s1 WHERE n_chars >= 50 AND len(toks) >= 10),
+s3 AS MATERIALIZED (SELECT * FROM s2 WHERE lang IN ('en', 'de', 'fr')),
+s4 AS MATERIALIZED (SELECT doc_id, lang, toks FROM (
          SELECT doc_id, lang, toks,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM s3)
        WHERE doc_id = cid),
-sh AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s4),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s4),
+p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dup AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup AS MATERIALIZED (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(1000.0 * common / (sa.n + sb.n - common)) >= 500),
-edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dup
           UNION SELECT id_b, id_a FROM dup),
 reach(node, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
-comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-s5 AS (SELECT s4.doc_id, s4.lang, s4.toks FROM s4 LEFT JOIN comp
+comp AS MATERIALIZED (SELECT node, min(r) AS component FROM reach GROUP BY node),
+s5 AS MATERIALIZED (SELECT s4.doc_id, s4.lang, s4.toks FROM s4 LEFT JOIN comp
          ON comp.node = s4.doc_id
        WHERE comp.node IS NULL OR comp.component = s4.doc_id),
-ev AS (SELECT DISTINCT unnest({sh5}) AS s
+ev AS MATERIALIZED (SELECT DISTINCT unnest({sh5}) AS s
        FROM (SELECT string_split(text, ' ') AS toks FROM documents
              WHERE doc_id % 97 = 0)),
-s5s AS (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s5),
-cont AS (SELECT DISTINCT s5s.doc_id FROM s5s JOIN ev USING (s)),
-s6 AS (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+s5s AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({sh5}) AS s FROM s5),
+cont AS MATERIALIZED (SELECT DISTINCT s5s.doc_id FROM s5s JOIN ev USING (s)),
+s6 AS MATERIALIZED (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
 -- r7 dtype-parity fix (VERDICT r6 #1): casting only the FIRST branch is
 -- not enough — DuckDB's UNION ALL coerces the whole id_sum column to the
 -- widest branch type, and the uncast branches' sum(BIGINT) is HUGEINT,
@@ -961,33 +961,33 @@ _BT_ITERS = 3
 
 def _bt_oracle() -> str:
     head = """
-WITH bids AS (
+WITH bids AS MATERIALIZED (
   SELECT l_orderkey AS ord, l_suppkey AS supp,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS bid
   FROM lineitem GROUP BY 1, 2),
-duels AS (
+duels AS MATERIALIZED (
   SELECT CASE WHEN (a.bid > b.bid) OR (a.bid = b.bid AND a.supp > b.supp)
               THEN a.supp ELSE b.supp END AS w,
          CASE WHEN (a.bid > b.bid) OR (a.bid = b.bid AND a.supp > b.supp)
               THEN b.supp ELSE a.supp END AS l
   FROM bids a JOIN bids b ON a.ord = b.ord AND a.supp < b.supp),
-wl AS (SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS nw
+wl AS MATERIALIZED (SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS nw
        FROM duels GROUP BY 1, 2),
-und AS (SELECT i, j, CAST(sum(nw) AS BIGINT) AS nij FROM (
+und AS MATERIALIZED (SELECT i, j, CAST(sum(nw) AS BIGINT) AS nij FROM (
           SELECT i, j, nw FROM wl UNION ALL SELECT j, i, nw FROM wl)
         GROUP BY 1, 2),
-wins AS (SELECT i, CAST(sum(nw) AS BIGINT) AS wins FROM wl GROUP BY 1),
-base AS (SELECT i, CAST(sum(nij) AS BIGINT) AS n_comparisons FROM und GROUP BY 1),
-s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM base)"""
+wins AS MATERIALIZED (SELECT i, CAST(sum(nw) AS BIGINT) AS wins FROM wl GROUP BY 1),
+base AS MATERIALIZED (SELECT i, CAST(sum(nij) AS BIGINT) AS n_comparisons FROM und GROUP BY 1),
+s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS s FROM base)"""
     iters = []
     for k in range(1, _BT_ITERS + 1):
         p = f"s{k-1}"
         iters.append(
             f""",
-d{k} AS (SELECT und.i, sum((und.nij * 1000000000000) // (si.s + sj.s)) AS d
+d{k} AS MATERIALIZED (SELECT und.i, sum((und.nij * 1000000000000) // (si.s + sj.s)) AS d
        FROM und JOIN {p} si ON si.i = und.i JOIN {p} sj ON sj.i = und.j
        GROUP BY 1),
-s{k} AS (SELECT d{k}.i,
+s{k} AS MATERIALIZED (SELECT d{k}.i,
               greatest((coalesce(w.wins, 0) * 1000000000000) // d{k}.d, 1) AS s
        FROM d{k} LEFT JOIN wins w ON w.i = d{k}.i)"""
         )
@@ -3022,11 +3022,11 @@ def q_group_relative_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pref_transitivity_oracle() -> str:
     return """
-WITH bids AS (
+WITH bids AS MATERIALIZED (
   SELECT l_orderkey AS ord, l_suppkey AS supp,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS bid
   FROM lineitem GROUP BY 1, 2),
-duels AS (
+duels AS MATERIALIZED (
   SELECT a.supp AS i, b.supp AS j,
          CASE WHEN (a.bid > b.bid) OR (a.bid = b.bid AND a.supp > b.supp)
               THEN 1 ELSE 0 END AS i_wins
