@@ -19,14 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _current_round() -> str:
-    """Round being built, derived from the repo itself (VERDICT r08 #3):
-    max CORRECTNESS_r*.json index + 1. The driver writes CORRECTNESS_r{N}
-    at the END of round N, so while round N is in progress the newest file
-    is r{N-1} and this returns N. $SPARK_GRAFT_ROUND, when set (driver
-    runs), still wins — this is only the fallback so manual full runs
-    stop stamping latest_round="unset"."""
+    """Round being built, derived from the repo itself (VERDICT r08 #3,
+    off-by-one fixed per VERDICT r09 #4): the driver writes
+    CORRECTNESS_r{N} at the END of round N and COMMITS it at the start of
+    round N+1 ("round N: verdict/advice/correctness/bench"). So:
+
+    - newest CORRECTNESS file committed to git  -> that round is fully
+      over -> current round = max index + 1;
+    - newest file on disk but NOT committed     -> we are in the tail of
+      round max (a fold after the driver's end-of-round run — the exact
+      case that mis-stamped r9's fold as "10") -> current round = max.
+
+    $SPARK_GRAFT_ROUND, when set (driver runs), still wins — this is only
+    the fallback so manual full runs stop stamping latest_round="unset"."""
     import glob
     import re
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     idx = [
@@ -34,7 +42,81 @@ def _current_round() -> str:
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    return str(max(idx) + 1) if idx else "unset"
+    if not idx:
+        return "unset"
+    newest = f"CORRECTNESS_r{max(idx):02d}.json"
+    try:
+        committed = (
+            subprocess.run(
+                ["git", "-C", here, "ls-files", "--error-unmatch", newest],
+                capture_output=True,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        committed = True  # no git available: keep the old max+1 rule
+    return str(max(idx) + 1) if committed else str(max(idx))
+
+
+def _contending_pids() -> list[dict]:
+    """Detect resident processes that would pollute this run's medians
+    (VERDICT r09 #5: the r9 canonical run shared the box with a SIGSTOP'd,
+    memory-resident sf1 gate — 1.35× same-session drift on identical
+    code). Flags, outside our own process tree: anything in stopped state
+    ``T`` holding >256 MiB RSS, and any other java/python holding >4 GiB
+    RSS (an active gate/bench JVM). Pure /proc parsing, best-effort."""
+    import glob
+    import re
+
+    me = os.getpid()
+    procs: dict[int, tuple[str, str, int, int]] = {}  # pid -> (name, state, ppid, rss_kb)
+    for sd in glob.glob("/proc/[0-9]*"):
+        pid = int(os.path.basename(sd))
+        try:
+            with open(os.path.join(sd, "stat")) as f:
+                st = f.read()
+            m = re.match(r"\d+ \((.*)\) (\S) (\d+)", st, re.DOTALL)
+            if not m:
+                continue
+            name, state, ppid = m.group(1), m.group(2), int(m.group(3))
+            rss_kb = 0
+            with open(os.path.join(sd, "status")) as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+            procs[pid] = (name, state, ppid, rss_kb)
+        except (OSError, ValueError):
+            continue
+
+    def in_my_tree(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = procs.get(pid, ("", "", 0, 0))[2]
+        return False
+
+    flagged = []
+    for pid, (name, state, _ppid, rss_kb) in procs.items():
+        if in_my_tree(pid):
+            continue
+        stopped_resident = state in ("T", "t") and rss_kb > 256 * 1024
+        heavy_engine = (
+            any(k in name.lower() for k in ("java", "python")) and rss_kb > 4 * 1024 * 1024
+        )
+        if stopped_resident or heavy_engine:
+            flagged.append(
+                {
+                    "pid": pid,
+                    "name": name,
+                    "state": state,
+                    "rss_gib": round(rss_kb / 1024 / 1024, 2),
+                }
+            )
+    return flagged
 
 
 def main() -> None:
@@ -290,6 +372,35 @@ def main() -> None:
         "latest_value": round(sum(med.values()), 3),
         "latest_round": round_no or _current_round(),
     }
+    # contention guard (VERDICT r09 #5): if another resident gate/bench
+    # process shared the box during this run, the medians are polluted —
+    # min-merge is still safe (contention only inflates), but do NOT let
+    # this run's medians become the round's trendline numbers. Keep the
+    # previous quiet-run latest_* and file this run's medians separately.
+    contenders = _contending_pids()
+    if contenders:
+        print(
+            "bench: CONTENDED RUN — resident foreign process(es) during "
+            f"measurement: {json.dumps(contenders)}; latest_medians NOT "
+            "folded (kept previous quiet-run values; this run's medians "
+            "recorded under latest_medians_contended)",
+            file=sys.stderr,
+        )
+        merged["contended_by"] = contenders
+        merged["latest_medians_contended"] = med
+        merged["latest_value_contended"] = round(sum(med.values()), 3)
+        prev_snapshot = {}
+        if os.path.exists(full_path):
+            try:
+                with open(full_path) as f:
+                    prev_snapshot = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                prev_snapshot = {}
+        for k in ("latest_medians", "latest_value", "latest_round"):
+            if k in prev_snapshot:
+                merged[k] = prev_snapshot[k]
+            else:
+                merged.pop(k, None)
     with open(full_path, "w") as f:
         # the one-line stdout payload keeps the driver's schema; the full
         # file additionally records every raw run so cross-round deltas

@@ -966,3 +966,60 @@ def test_codepoint_census_arrow_paths(spark):
         i: (sum(map(ord, t or "")), len(t or "")) for i, t in rows
     }
     assert got == want
+
+
+def test_mapside_recall_eval_invariants(spark, sf_dir):
+    """minhash_lsh_recall_eval_mapside is rows-only by design (the FNV
+    fast-hash family is not SQL-replayable), so its invariants are pinned
+    here instead: (a) the GROUND-TRUTH columns (j_band, n_true_pairs) are
+    identical to the oracle-green portable eval's — both frames census the
+    same lossless ngram_jaccard_pairs set; (b) 0 <= n_lsh_found <=
+    n_true_pairs with recall_x1000 = floor(1000*found/true) per band;
+    (c) exact duplicates (J=1000, the 900+ band) are ALWAYS candidates —
+    identical texts give identical signatures, hence identical band keys."""
+    import __spark_entry__  # noqa: F401  (populates the registry)
+    from videos_to_tfrecords_spark.plans.registry import QUERIES
+
+    mapside = {
+        r.j_band: r
+        for r in QUERIES["minhash_lsh_recall_eval_mapside"](spark, sf_dir).collect()
+    }
+    portable = {
+        r.j_band: r
+        for r in QUERIES["minhash_lsh_recall_eval"](spark, sf_dir).collect()
+    }
+    assert set(mapside) == set(portable)
+    for band, row in mapside.items():
+        assert row.n_true_pairs == portable[band].n_true_pairs
+        assert 0 <= row.n_lsh_found <= row.n_true_pairs
+        assert row.recall_x1000 == (1000 * row.n_lsh_found) // row.n_true_pairs
+
+    # (c) planted exact-duplicate corpus: every true pair is J=1000 and the
+    # mapside family must recall all of them
+    from videos_to_tfrecords_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+        ngram_jaccard_pairs,
+    )
+    from videos_to_tfrecords_spark.plans.text_queries import _recall_frame
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "zeta eta theta iota kappa"),
+            (5, "completely different words here now"),
+        ],
+    )
+    out = {
+        r.j_band: r
+        for r in _recall_frame(
+            ngram_jaccard_pairs(docs, threshold_x1000=500),
+            lsh_candidate_pairs(minhash_signatures_mapside(docs)),
+        ).collect()
+    }
+    assert out[900].n_true_pairs == 2
+    assert out[900].n_lsh_found == 2
+    assert out[900].recall_x1000 == 1000

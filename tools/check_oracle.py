@@ -207,10 +207,20 @@ def main() -> int:
         c = duckdb.connect()
         # $SPARK_GRAFT_DUCK_MEM overrides for solo re-runs of spill-heavy
         # oracles (48GB forces the curation closure to ~80GB of disk
-        # spill at sf1; a solo run can afford RAM instead)
-        c.execute(
-            f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
-        )
+        # spill at sf1; a solo run can afford RAM instead). Unset default:
+        # min(48GB, ~80% of physical RAM) — a flat 48GB on a smaller box
+        # raises DuckDB's budget ABOVE RAM, so heavy oracles get
+        # OS-OOM-killed instead of spilling (ADVICE r09).
+        mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if mem is None:
+            try:
+                ram_gb = (
+                    os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+                ) / (1 << 30)
+                mem = f"{min(48, max(1, int(ram_gb * 0.8)))}GB"
+            except (ValueError, OSError):
+                mem = "48GB"
+        c.execute(f"SET memory_limit='{mem}'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             c.execute(
@@ -262,7 +272,25 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             # retry once on a FRESH connection: a prior heavy oracle can
             # leave this one's allocator accounting poisoned (see
-            # fresh_con) — only a repeat failure is a real red row
+            # fresh_con) — only a repeat failure is a real red row.
+            # Gate the retry on allocator/OOM-shaped messages (ADVICE
+            # r09): a binder/syntax error or a genuine per-query OOM is
+            # deterministic, and re-running a multi-minute sf1 oracle
+            # doubles time-to-red for nothing.
+            msg = str(e).lower()
+            if not any(
+                k in msg
+                for k in (
+                    "out of memory",
+                    "could not allocate",
+                    "memory limit",
+                    "allocation fail",
+                )
+            ):
+                print(f"FAIL  {name}: duckdb error: {e}")
+                record[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
+                failures += 1
+                continue
             try:
                 con.close()
             except Exception:  # noqa: BLE001

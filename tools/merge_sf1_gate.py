@@ -31,9 +31,15 @@ def main() -> int:
     rows_only = sorted(n for n, r in merged.items() if r.get("status") == "rows-only")
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
+    from videos_to_tfrecords_spark.plans.registry import ENV_GATED
 
     registry = list(e.queries())
-    missing = sorted(set(registry) - set(merged))
+    # env-gated rows (registered iff an optional dep imports, e.g.
+    # video_decode_real_census on cv2 boxes) are excluded from "missing":
+    # otherwise the merged verdict depends on the MERGING box's env, not
+    # on the gate runs (ADVICE r09). They're recorded separately.
+    missing = sorted(set(registry) - set(merged) - ENV_GATED)
+    env_gated_absent = sorted(ENV_GATED - set(merged))
     json.dump(
         {
             "sf_dir": "/root/repo/.scale_probe/sf1",
@@ -43,6 +49,7 @@ def main() -> int:
             "failed_queries": failures,
             "rows_only": rows_only,
             "missing": missing,
+            "env_gated_absent": env_gated_absent,
             "segments": seg_paths,
             "queries": dict(sorted(merged.items())),
         },

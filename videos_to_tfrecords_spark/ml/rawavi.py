@@ -35,6 +35,14 @@ FPS = 2          # frame period 1000/FPS = 500 ms == DEFAULT_SKIP_MSEC
 WIDTH = 32       # multiple of 4: no BMP row padding at 24 bpp
 HEIGHT = 24
 CHANNELS = 3
+# the writer below relies on (a) 4-byte-aligned BMP rows at 24 bpp (no
+# per-row padding emitted) and (b) even RIFF chunk sizes (no pad byte
+# emitted after 00db chunks). Editing the constants could silently emit
+# spec-violating files that our own walker tolerates but real demuxers
+# reject — fail loudly at import instead (ADVICE r09).
+assert (WIDTH * CHANNELS) % 4 == 0, "BMP rows must be 4-byte aligned"
+assert (WIDTH * HEIGHT * CHANNELS) % 2 == 0, "RIFF chunks must be even-sized"
+assert CHANNELS == 3, "BI_RGB 24 bpp writer: exactly 3 channels"
 
 
 def video_frame_count(vid: int) -> int:

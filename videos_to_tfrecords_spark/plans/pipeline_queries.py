@@ -2448,7 +2448,9 @@ def q_video_decode_real_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # env-gated registration: the row must not exist where cv2 (and thus the
 # real decode path) cannot run — the driver would record a red error row.
 from videos_to_tfrecords_spark.ml.video import HAVE_CV2 as _HAVE_CV2  # noqa: E402
+from videos_to_tfrecords_spark.plans.registry import ENV_GATED as _ENV_GATED  # noqa: E402
 
+_ENV_GATED.add("video_decode_real_census")
 if _HAVE_CV2:  # pragma: no cover - cv2 absent in this container
     query("video_decode_real_census", _video_decode_real_oracle())(
         q_video_decode_real_census

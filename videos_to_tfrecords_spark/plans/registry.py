@@ -26,6 +26,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+#: names whose REGISTRATION is environment-gated (the row only exists
+#: where an optional dependency imports — e.g. video_decode_real_census
+#: iff cv2). Always populated, present in QUERIES or not, so gate-merge
+#: tooling can compute "missing" independently of the merging box's env
+#: (ADVICE r09: the merged verdict must not depend on where the merge ran).
+ENV_GATED: set[str] = set()
 #: defining module per query (e.g. "videos_to_tfrecords_spark.plans.
 #: text_queries") — lets tools/check_oracle.py --changed map a git diff to
 #: the queries it can affect

@@ -304,12 +304,19 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(docs, threshold_x1000=500)
     sh = shingle_table(docs)
-    cand = lsh_candidate_pairs(minhash_signatures_portable(sh)).withColumn(
-        "found", F.lit(1)
-    )
-    f = truth.join(cand, ["id_a", "id_b"], "left").select(
-        "j_x1000", F.coalesce("found", F.lit(0)).alias("found")
-    )
+    cand = lsh_candidate_pairs(minhash_signatures_portable(sh))
+    return _recall_frame(truth, cand)
+
+
+def _recall_frame(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared recall-census frame: left-join TRUE pairs against a banding
+    candidate set, report per-Jaccard-band (500-599, …, 900+) true-pair
+    counts, found counts, and integer recall. Used by both signature
+    families so the portable and map-side recall rows are comparable
+    column-for-column."""
+    f = truth.join(
+        cand.withColumn("found", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select("j_x1000", F.coalesce("found", F.lit(0)).alias("found"))
     band = F.when(F.col("j_x1000") >= 900, F.lit(900)).otherwise(
         (F.col("j_x1000") - F.col("j_x1000") % 100)
     )
@@ -320,6 +327,44 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_x1000"
         ),
     )
+
+
+@query("minhash_lsh_recall_eval_mapside")
+def q_minhash_lsh_recall_eval_mapside(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured recall of the PRODUCTION fast-hash LSH family (VERDICT r09
+    #7): the same per-J-band census as minhash_lsh_recall_eval, but the
+    candidate set comes from minhash_signatures_mapside — the zero-shuffle
+    FNV-family signatures the 100 TB path actually runs — so the number a
+    curation owner deploys on is measured for the family they deploy, not
+    inferred from the portable audit twin. Ground truth is the same
+    lossless ngram_jaccard_pairs set (J ≥ 0.5).
+
+    Rows-only by design (SURVEY §5): the FNV token/rolling-shingle hash is
+    deterministic per corpus but not SQL-expressible, so n_lsh_found /
+    recall_x1000 cannot be replayed by a DuckDB oracle. The frame itself
+    is the oracle-checked one (minhash_lsh_recall_eval shares
+    _recall_frame and is value-hash green), the ground-truth side is
+    independently hash-checked via doc_ngram_jaccard_pairs, and
+    tests/test_text_similarity.py pins the invariants: per-band
+    n_true_pairs identical across both families' rows, exact-duplicate
+    (J=1000) recall = 1000, and 0 ≤ n_lsh_found ≤ n_true_pairs.
+
+    Scale shape: candidates are map-side signatures (n_perm longs/doc leave
+    the scan) + the docs-proportional band join; ground truth is the
+    prefix-filtered SSJoin — the audit costs one lossless pairs pass,
+    which dedup_threshold_sweep already shows is checkpoint-shareable."""
+    from videos_to_tfrecords_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold_x1000=500)
+    cand = lsh_candidate_pairs(minhash_signatures_mapside(docs))
+    return _recall_frame(truth, cand)
 
 
 _SWEEP_THRESHOLDS = (500, 600, 700, 800, 900)
