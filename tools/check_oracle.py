@@ -142,6 +142,9 @@ def main() -> int:
     )
     sf_dir = args[0] if args else SF_DIR_DEFAULT
     only = set(args[1:])
+    # --twice: run every Spark query a second time in the SAME session and
+    # require an identical value hash (statefulness probe)
+    twice = "--twice" in sys.argv[1:]
     if "--cache" in sys.argv[1:]:
         import os
 
@@ -256,6 +259,35 @@ def main() -> int:
             record[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             failures += 1
             continue
+        if twice:
+            # --twice: same-session double-pass stability — the second run
+            # of the SAME callable must hash-match the first. Catches
+            # temp-view/cache/streaming-table statefulness that a
+            # single-pass driver run never sees (verify-skill probe class,
+            # persisted here so the result is a citable record).
+            try:
+                sdf2 = fn(spark, sf_dir)
+                srows2 = [tuple(r) for r in sdf2.collect()]
+            except Exception as e:  # noqa: BLE001
+                print(f"DRIFT {name}: second same-session run errored: {e}")
+                record[name] = {
+                    "status": "drift",
+                    "err": f"rerun: {e}"[:300],
+                }
+                failures += 1
+                continue
+            if table_hash(sdf2.columns, srows2) != table_hash(scols, srows):
+                print(
+                    f"DRIFT {name}: second same-session run differs "
+                    f"({len(srows)} vs {len(srows2)} rows)"
+                )
+                record[name] = {
+                    "status": "drift",
+                    "rows": len(srows),
+                    "rows2": len(srows2),
+                }
+                failures += 1
+                continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             record[name] = {
