@@ -196,10 +196,20 @@ def main() -> None:
         # next one: the Py4J finalizer -> ContextCleaner chain only fires
         # on GC, and checkpointed blocks are lineage-truncated (NOT
         # re-computable if evicted) — 219 queries' worth accumulating in
-        # one session is what broke the first sf1 suite run
+        # one session is what broke the first sf1 suite run.
+        # Python GC alone only queues the Py4J finalizers; the JVM-side
+        # ContextCleaner drains on JVM GC, which a mostly-idle 24g heap
+        # may not trigger for many queries — by query ~150 the r10
+        # canonical run showed 3-10x in-suite inflation (solo: 1x) from
+        # accumulated blocks/broadcasts. Force both collections so each
+        # query starts from a comparable JVM state.
         import gc
 
         gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001  (py4j hiccup: skip, never fail the bench)
+            pass
 
     # ---- automated drift adjudication (VERDICT r6 #7, r7 #4) ---------
     # r6 spent real manual time solo-re-measuring 12 in-suite >10× flags
