@@ -35,6 +35,19 @@ def get_spark(
         "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    if os.environ.get("SPARK_GRAFT_JVM_PRETOUCH", "1") != "0":
+        driver_jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    else:
+        driver_jvm_opts = ""
+    # Python workers allocate/free large Arrow buffers per batch; glibc
+    # munmaps them on free, so every batch re-faults fresh pages. Keep the
+    # buffers in the reusable heap instead (same slow-fault-path rationale
+    # as the JVM pre-touch above). Set in our own env before the JVM (and
+    # hence the python daemon) is forked, and mirrored to executorEnv for
+    # non-local masters.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,11 +70,22 @@ def get_spark(
         # concurrent tasks (the box has 128 GiB; 8g let accumulated
         # localCheckpoint blocks + a big sort evict each other at sf1,
         # killing every query after the pressure point in one session)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
+        # Pin the heap: commit Xms=Xmx up front and pre-touch it so the
+        # committed range is faulted once at startup. Without this, G1
+        # uncommits after every full GC and the next query re-faults the
+        # pages — on hosts with an overcommitted/slow anonymous-fault path
+        # (measured ~0.33 GB/s vs ~13 GB/s resident on this sandbox) that
+        # turns heap churn into the dominant query cost. On a healthy host
+        # the pre-touch costs a few seconds of startup, outside any timed
+        # region. Opt out with SPARK_GRAFT_JVM_PRETOUCH=0.
+        .config("spark.driver.extraJavaOptions", driver_jvm_opts)
         .config("spark.ui.enabled", "false")
         # Parquet scans: pushdown + pruning are on by default; keep splits
         # bounded so a 100 TB table yields sane task counts.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
     )
     if extra_conf:
         for k, v in extra_conf.items():
