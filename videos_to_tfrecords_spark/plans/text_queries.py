@@ -302,9 +302,15 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, threshold_x1000=500)
-    sh = shingle_table(docs)
-    cand = lsh_candidate_pairs(minhash_signatures_portable(sh))
+    # ONE shingle pass feeds ground truth (prefix index + verify) AND the
+    # minhash signatures: persist, materialize the small candidate set
+    # eagerly, release the cache before returning (eager_release pattern).
+    sh = shingle_table(docs).persist()
+    truth = ngram_jaccard_pairs(docs, threshold_x1000=500, shingles=sh)
+    cand = lsh_candidate_pairs(
+        minhash_signatures_portable(sh)
+    ).localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
     return _recall_frame(truth, cand)
 
 
