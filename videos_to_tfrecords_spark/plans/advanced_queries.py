@@ -1747,8 +1747,13 @@ def q_price_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain-bounded censuses: once on cents, once on |x − median|
     deviations — no corpus sort, no approximation, pure integers.
 
-    Scale shape: one corpus scan to the cents census; everything after is
-    census-sized (two windows + one re-census of deviations)."""
+    Scale shape: one corpus scan to the cents census (checkpointed —
+    before r10 the unmaterialized census re-ran the corpus scan under
+    each of THREE driver collects; guide §5: no driver loops in query
+    paths), then everything is census-sized and fully lazy: n and both
+    medians stay 1-row FRAMES attached via broadcast crossJoins instead
+    of collected scalars, so the query is one plan with zero mid-query
+    actions."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1756,29 +1761,35 @@ def q_price_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"))
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("t"))
+        .localCheckpoint(eager=True)  # value-domain-bounded census
     )
-    n = c.agg(F.sum("t").cast("long").alias("n")).collect()[0]["n"]
-    k = (n + 1) // 2
+    nf = c.agg(F.sum("t").cast("long").alias("n"))
 
-    def census_median(df, col):
+    def census_median(df, col, alias):
+        # lower median as a 1-row frame: k = (n+1) div 2 carried as a column
         wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
         return (
             df.withColumn(
                 "cum", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
             )
-            .filter((F.col("cum") < k) & (F.col("cum") + F.col("t") >= k))
-            .collect()[0][col]
+            .crossJoin(F.broadcast(nf))
+            .filter(
+                (F.col("cum") < F.expr("(n + 1) div 2"))
+                & (F.col("cum") + F.col("t") >= F.expr("(n + 1) div 2"))
+            )
+            .select(F.col(col).cast("long").alias(alias))
         )
 
-    med = int(census_median(c, "x"))
+    med = census_median(c, "x", "median_cents")
     dc = (
-        c.select(F.abs(F.col("x") - F.lit(med)).alias("dx"), "t")
+        c.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("x") - F.col("median_cents")).alias("dx"), "t")
         .groupBy("dx")
         .agg(F.sum("t").cast("long").alias("t"))
     )
-    mad = int(census_median(dc, "dx"))
-    return spark.createDataFrame(
-        [(n, med, mad)], "n long, median_cents long, mad_cents long"
+    mad = census_median(dc, "dx", "mad_cents")
+    return nf.crossJoin(med).crossJoin(mad).select(
+        "n", "median_cents", "mad_cents"
     )
 
 
@@ -3302,6 +3313,9 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, pm, sm = raw.agg(
         F.count("*"), F.max("l_partkey"), F.max("l_suppkey")
     ).collect()[0]
+    # persist: the zval frame feeds FOUR downstream passes (the matching
+    # census + two global_row_number range pins) — uncached, the corpus
+    # scan + Morton interleave re-ran once per pass (5 scans total)
     li = raw.withColumn(
         "zval",
         z_value(
@@ -3309,19 +3323,26 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST((l_suppkey * {1 << _ZM_BITS}) div {sm + 1} AS BIGINT)"),
             _ZM_BITS,
         ),
-    )
+    ).persist()
     rows_per_file = (n + _ZM_FILES - 1) // _ZM_FILES
     preds = {
         "both_dims": (pm // 10, (3 * pm) // 10, sm // 10, (3 * sm) // 10),
         "suppkey_only": (0, pm, sm // 10, (3 * sm) // 10),
     }
-    matching = {
-        name: li.filter(
-            F.col("l_partkey").between(plo, phi)
-            & F.col("l_suppkey").between(slo, shi)
-        ).count()
-        for name, (plo, phi, slo, shi) in preds.items()
-    }
+    # both predicates' matching counts in ONE pass (was one count() job each)
+    match_row = li.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_partkey").between(plo, phi)
+                    & F.col("l_suppkey").between(slo, shi),
+                    1,
+                ).otherwise(0)
+            ).alias(name)
+            for name, (plo, phi, slo, shi) in preds.items()
+        ]
+    ).collect()[0]
+    matching = {name: match_row[name] for name in preds}
 
     def census(order_cols, layout: str) -> DataFrame:
         zones = (
@@ -3374,6 +3395,7 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = census(
         [F.col("zval"), F.col("l_orderkey"), F.col("l_linenumber")], "zorder"
     )
+    li.unpersist(blocking=False)  # both censuses are checkpointed above
     return a.unionByName(b).withColumn(
         "scan_amplification_ppm",
         F.expr("CAST((1000000 * rows_scanned) div rows_matching AS BIGINT)"),

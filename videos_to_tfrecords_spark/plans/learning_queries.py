@@ -2015,36 +2015,44 @@ def q_conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = e.join(F.broadcast(mu), "event_type").withColumn(
         "r", F.abs(F.col("cents") - F.col("pred"))
     )
+    # r10: fully lazy — the old 3-collect form re-ran the events scan per
+    # action (guide §5). The residual census is value-domain-bounded and
+    # checkpointed once; n_cal and q̂ stay 1-row frames attached via
+    # broadcast crossJoins, so the query is one plan with zero mid-query
+    # collects.
     rc = (
-        joined.filter("cal").groupBy("r").agg(F.count("*").cast("long").alias("t"))
+        joined.filter("cal")
+        .groupBy("r")
+        .agg(F.count("*").cast("long").alias("t"))
+        .localCheckpoint(eager=True)
     )
-    n_cal = rc.agg(F.sum("t")).collect()[0][0]
+    ncf = rc.agg(F.sum("t").cast("long").alias("n_calibration"))
     wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    qhat = int(
+    qf = (
         rc.withColumn("cum", F.sum("t").over(wc).cast("long"))
-        .filter(F.col("cum") * 10 >= 9 * (n_cal + 1))
-        .agg(F.min("r"))
-        .collect()[0][0]
+        .crossJoin(F.broadcast(ncf))
+        .filter(F.col("cum") * 10 >= 9 * (F.col("n_calibration") + 1))
+        .agg(F.min("r").cast("long").alias("qhat_cents"))
     )
-    evh = joined.filter(~F.col("cal")).select(
-        (F.col("r") <= qhat).alias("covered")
+    evh = joined.filter(~F.col("cal")).crossJoin(F.broadcast(qf)).select(
+        (F.col("r") <= F.col("qhat_cents")).alias("covered")
     )
     agg = evh.agg(
         F.count("*").cast("long").alias("n_eval"),
         F.sum(F.col("covered").cast("long")).cast("long").alias("n_covered"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [
-            (
-                n_cal,
-                qhat,
-                agg["n_eval"],
-                agg["n_covered"],
-                (1_000_000 * agg["n_covered"]) // agg["n_eval"],
-            )
-        ],
-        "n_calibration long, qhat_cents long, n_eval long, n_covered long,"
-        " coverage_ppm long",
+    )
+    return (
+        ncf.crossJoin(qf)
+        .crossJoin(agg)
+        .select(
+            "n_calibration",
+            "qhat_cents",
+            "n_eval",
+            "n_covered",
+            F.expr("CAST((1000000 * n_covered) div n_eval AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
     )
 
 

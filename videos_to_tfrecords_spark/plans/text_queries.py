@@ -2941,7 +2941,15 @@ def q_edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling. Uses both engines' BUILT-IN levenshtein (identical DP
     definition); per-pair normalization floors to ppm before the
     per-source mean. One lead() window per source; per-pair cost is
-    bounded by document length², never corpus-sized."""
+    bounded by document length², never corpus-sized.
+
+    The window clusters ALL pairs into ≤ n_sources tasks — sources are
+    low-cardinality at every scale, so the O(len²) levenshtein stage ran
+    ~n_sources-wide no matter how many cores exist (guide §2.5 skew).
+    Rebalance the assembled pairs on the unique cand_id (deterministic
+    high-cardinality key, §2.5) before the DP so the quadratic work
+    spreads over the full cluster; the per-source census after it is a
+    tiny aggregate shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     p = docs.select(
@@ -2950,6 +2958,7 @@ def q_edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("doc_id").over(w).alias("cand_id"),
         F.lead("text").over(w).alias("cand_text"),
     ).filter(F.col("cand_id").isNotNull())
+    p = p.repartition("cand_id")
     d = p.select(
         "source",
         F.levenshtein("ref_text", "cand_text").cast("long").alias("ed"),
