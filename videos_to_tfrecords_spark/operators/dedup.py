@@ -187,14 +187,18 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perm: int = N_PE
     16× fewer hash computations than hashing per permutation. Signatures
     are internal (correctness is judged on verified pairs), so the portable
     md5 hash is not needed here."""
-    h = F.xxhash64("s")
+    # hash hoisted into a projection — same rationale as the portable
+    # twin below: aggregates don't CSE, so an inlined xxhash64 would be
+    # re-evaluated 2·n_perm times per row
+    hs = sh.select(F.col(id_col), F.xxhash64("s").alias("_hx"))
+    h = F.col("_hx")
     x1 = h.bitwiseAND(F.lit((1 << 30) - 1))
     x2 = F.shiftright(h, 30).bitwiseAND(F.lit((1 << 30) - 1))
     mins = [
         F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % _PERM_P).alias(f"sig{i}")
         for i in range(n_perm)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hs.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures_portable(
@@ -213,14 +217,21 @@ def minhash_signatures_portable(
     set is deterministic per corpus but not SQL-expressible."""
     from videos_to_tfrecords_spark.functions.hashing import h15
 
-    h = h15(F.col("s"))
+    # Hoist the md5-based hash into a projection (the simhash fix, r7):
+    # aggregate expressions are not common-subexpression-eliminated across
+    # aggregate functions, so inlining h here re-evaluated the md5 in all
+    # 2·n_perm references — 32 md5 calls per shingle row instead of 1. The
+    # x1/x2 expressions are unchanged off the projected column, so every
+    # signature bit is identical (oracle replays the same arithmetic).
+    hs = sh.select(F.col(id_col), h15(F.col("s")).alias("_h15"))
+    h = F.col("_h15")
     x1 = h % F.lit(1 << 30)
     x2 = (h / F.lit(1 << 30)).cast("long")
     mins = [
         F.min((x1 * (2 * i + 1) + x2 * (4 * i + 3) + i) % _PERM_P).alias(f"sig{i}")
         for i in range(n_perm)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hs.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(

@@ -3313,9 +3313,11 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, pm, sm = raw.agg(
         F.count("*"), F.max("l_partkey"), F.max("l_suppkey")
     ).collect()[0]
-    # persist: the zval frame feeds FOUR downstream passes (the matching
-    # census + two global_row_number range pins) — uncached, the corpus
-    # scan + Morton interleave re-ran once per pass (5 scans total)
+    # NOT persisted: the zval frame feeds three downstream passes (the
+    # matching census + two global_row_number range pins), but an r10 sf1
+    # A/B showed caching 6M rows costs MORE than re-running the vectorized
+    # parquet scan + Morton interleave per pass (9.1 s vs 5.4 s steady) —
+    # the scan is page-cached and columnar, the cache build is not free
     li = raw.withColumn(
         "zval",
         z_value(
@@ -3323,7 +3325,7 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST((l_suppkey * {1 << _ZM_BITS}) div {sm + 1} AS BIGINT)"),
             _ZM_BITS,
         ),
-    ).persist()
+    )
     rows_per_file = (n + _ZM_FILES - 1) // _ZM_FILES
     preds = {
         "both_dims": (pm // 10, (3 * pm) // 10, sm // 10, (3 * sm) // 10),
@@ -3395,7 +3397,6 @@ def q_zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = census(
         [F.col("zval"), F.col("l_orderkey"), F.col("l_linenumber")], "zorder"
     )
-    li.unpersist(blocking=False)  # both censuses are checkpointed above
     return a.unionByName(b).withColumn(
         "scan_amplification_ppm",
         F.expr("CAST((1000000 * rows_scanned) div rows_matching AS BIGINT)"),
