@@ -1023,3 +1023,55 @@ def test_mapside_recall_eval_invariants(spark, sf_dir):
     assert out[900].n_true_pairs == 2
     assert out[900].n_lsh_found == 2
     assert out[900].recall_x1000 == 1000
+
+
+def test_shingle_table_null_text_is_empty_doc(spark):
+    """r11 ADVICE: NULL text == empty document (zero shingles, no output
+    row) — pinned because the old row loop raised and the docstring now
+    states the fill_null semantics explicitly."""
+    from videos_to_tfrecords_spark.operators.dedup import shingle_table
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.s) for r in shingle_table(df).collect()}
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_shingle_table_null_id_raises(spark):
+    """r11 ADVICE: a NULL id must raise (numpy would round-trip
+    int64-with-nulls through float64/NaN and emit a garbage id)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from videos_to_tfrecords_spark.operators.dedup import shingle_table
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (None, "e f g h")], "doc_id long, text string"
+    )
+    with _pytest.raises(PythonException, match="null doc ids"):
+        shingle_table(df).collect()
+
+
+def test_shingle_table_chunked_output_matches_single_batch(spark):
+    """r11 ADVICE: output >= the chunk cap splits into several doc-aligned
+    record batches (exercised with a tiny cap) — same rows, same within-doc
+    distinct, as the unchunked path."""
+    from videos_to_tfrecords_spark.operators.dedup import shingle_table
+
+    rows = [
+        (1, "aa bb cc dd ee aa bb cc"),   # has a within-doc duplicate shingle
+        (2, "xx yy zz ww"),
+        (3, ""),                           # zero shingles mid-stream
+        (4, "mm nn oo pp qq rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    want = {(r.doc_id, r.s) for r in shingle_table(df).collect()}
+    got = {(r.doc_id, r.s) for r in shingle_table(df, _chunk_bytes=64).collect()}
+    assert got == want
+    # a single doc larger than the cap raises with the documented message
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="split the document upstream"):
+        shingle_table(df, _chunk_bytes=32).collect()

@@ -24,7 +24,12 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        round_dir,
+    )
     os.makedirs(out_dir, exist_ok=True)
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod

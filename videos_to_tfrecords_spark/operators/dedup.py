@@ -44,7 +44,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    _chunk_bytes: int = 2**31,
+) -> DataFrame:
     """(id, shingle) distinct pairs — the unit of Jaccard similarity.
 
     Vectorized ``mapInArrow`` (guide §4.2): tokens come from a single-space
@@ -56,13 +62,29 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     whole-batch passes and one ragged gather builds the output buffer;
     within-doc distinct (the ``seen`` set of the old row-loop) is Arrow's
     C++ hash group-by. Output is byte-identical to the previous
-    row-at-a-time mapInPandas (A/B-verified incl. empty/short docs,
-    consecutive spaces, leading/trailing spaces, multi-byte UTF-8) and to
-    the declarative functions.textfn.shingles(). vs the row loop: no
-    per-row Python objects cross the boundary (mapInArrow, not
-    mapInPandas), no pandas import in the worker (fresh-worker init on a
-    cold executor drops ~0.7 s), and throughput scales with bytes, not
-    rows."""
+    row-at-a-time mapInPandas for NON-NULL inputs (A/B-verified incl.
+    empty/short docs, consecutive spaces, leading/trailing spaces,
+    multi-byte UTF-8) and to the declarative functions.textfn.shingles().
+    vs the row loop: no per-row Python objects cross the boundary
+    (mapInArrow, not mapInPandas), no pandas import in the worker
+    (fresh-worker init on a cold executor drops ~0.7 s), and throughput
+    scales with bytes, not rows.
+
+    Null semantics (r11 ADVICE): a NULL text is treated as an empty
+    document — zero shingles, no output row (the old row loop raised on
+    null text; no production table carries null text, but the kernel must
+    not corrupt if one appears). A NULL id raises — int64-with-nulls
+    silently round-trips through float64/NaN in numpy and would emit
+    garbage ids. Both are pinned by tests/test_text_similarity.py.
+
+    Large batches (r11 ADVICE): n-gram output is ~n× the input bytes, so a
+    batch can exceed Arrow's 2 GiB ``string`` value-buffer cap even when
+    the input (int32-offset) cannot. Output is emitted in sub-batches
+    split on DOC boundaries so each stays under 2³¹ bytes (mapInArrow
+    generators may yield several batches per input; within-doc distinct is
+    per-doc, so doc-aligned splits preserve it). A single document whose
+    own shingle bytes exceed 2³¹ cannot be represented in one ``string``
+    cell-set and raises with a clear message instead of overflowing."""
 
     def gen(batches):
         import numpy as np
@@ -81,8 +103,12 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     schema=out_schema,
                 )
                 continue
+            if ids_arr.null_count:
+                # int64-with-nulls comes back from to_numpy as float64 with
+                # NaN; astype(int64) would turn NaN into an arbitrary id.
+                raise ValueError("shingle_table: null doc ids are not supported")
             if sa.null_count:
-                sa = pc.fill_null(sa, "")
+                sa = pc.fill_null(sa, "")  # null text == empty doc (no shingles)
             if pa.types.is_large_string(sa.type):
                 off_dtype = np.int64
             else:
@@ -128,46 +154,77 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             )
             sh_start = starts[gidx]
             sh_len = ends[gidx + n - 1] - sh_start
-            total = int(sh_len.sum())
             out_off = np.zeros(n_sh + 1, dtype=np.int64)
             np.cumsum(sh_len, out=out_off[1:])
-            # 32-bit gather indices whenever the value buffer allows — the
-            # index temporaries are the dominant allocation of this kernel
-            idx_dt = np.int32 if int(offsets[-1]) < 2**31 else np.int64
-            pos = (
-                np.arange(total, dtype=idx_dt)
-                - np.repeat(out_off[:-1].astype(idx_dt), sh_len)
-                + np.repeat(sh_start.astype(idx_dt), sh_len)
-            )
-            out_bytes = data[pos]
-            if total < 2**31:
+            id_np = np.asarray(ids_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+            # Output bytes (~n× input) can exceed Arrow's 2 GiB string
+            # value-buffer cap even for int32-offset input. Emit doc-aligned
+            # sub-batches each < 2³¹ output bytes (doc-aligned keeps the
+            # within-doc distinct below exact). doc_out_end[d] = cumulative
+            # output bytes through doc d.
+            doc_out_end = out_off[sh_off[1:]]
+            d_lo = 0
+            while d_lo < n_docs:
+                base = int(out_off[sh_off[d_lo]])
+                d_hi = int(
+                    np.searchsorted(doc_out_end, base + _chunk_bytes, side="left")
+                )
+                if d_hi <= d_lo:
+                    # one document alone carries ≥ the chunk cap of shingle
+                    # bytes — unrepresentable as one string cell-set chunk
+                    raise ValueError(
+                        "shingle_table: a single document produces >= 2 GiB "
+                        "of shingle bytes; split the document upstream"
+                    )
+                lo, hi = sh_off[d_lo], sh_off[d_hi]
+                c_sh = int(hi - lo)
+                if c_sh == 0:
+                    d_lo = d_hi
+                    continue
+                c_off = out_off[lo : hi + 1] - base
+                c_total = int(c_off[-1])
+                c_len = sh_len[lo:hi]
+                # 32-bit gather indices whenever both the input value buffer
+                # and this chunk's output allow — the index temporaries are
+                # the dominant allocation of this kernel
+                idx_dt = (
+                    np.int32
+                    if int(offsets[-1]) < 2**31 and c_total < 2**31
+                    else np.int64
+                )
+                pos = (
+                    np.arange(c_total, dtype=idx_dt)
+                    - np.repeat(c_off[:-1].astype(idx_dt), c_len)
+                    + np.repeat(sh_start[lo:hi].astype(idx_dt), c_len)
+                )
+                out_bytes = data[pos]
                 s_arr = pa.Array.from_buffers(
                     pa.string(),
-                    n_sh,
+                    c_sh,
                     [
                         None,
-                        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+                        pa.py_buffer(c_off.astype(np.int32).tobytes()),
                         pa.py_buffer(out_bytes.tobytes()),
                     ],
                 )
-            else:  # >2 GiB of shingle bytes in one batch: large offsets, cast back
-                s_arr = pa.Array.from_buffers(
-                    pa.large_string(),
-                    n_sh,
-                    [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_bytes.tobytes())],
-                ).cast(pa.string())
-            id_np = np.asarray(ids_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
-            out_ids = pa.array(np.repeat(id_np, m), type=pa.int64())
-            # within-doc distinct, exactly the old `seen` set
-            dedup = (
-                pa.table({id_col: out_ids, "s": s_arr})
-                .group_by([id_col, "s"], use_threads=False)
-                .aggregate([])
-            )
-            yield pa.RecordBatch.from_arrays(
-                [dedup.column(id_col).combine_chunks(), dedup.column("s").combine_chunks()],
-                schema=out_schema,
-            )
+                out_ids = pa.array(
+                    np.repeat(id_np[d_lo:d_hi], m[d_lo:d_hi]), type=pa.int64()
+                )
+                # within-doc distinct, exactly the old `seen` set
+                dedup = (
+                    pa.table({id_col: out_ids, "s": s_arr})
+                    .group_by([id_col, "s"], use_threads=False)
+                    .aggregate([])
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        dedup.column(id_col).combine_chunks(),
+                        dedup.column("s").combine_chunks(),
+                    ],
+                    schema=out_schema,
+                )
+                d_lo = d_hi
 
     return df.select(id_col, text_col).mapInArrow(gen, f"{id_col} long, s string")
 

@@ -1738,12 +1738,19 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus scan feeds a single multi-metric aggregate
     (count distincts included), plus a length-census window that is
-    value-domain-sized. Output is 9 (metric, value) rows."""
+    value-domain-sized. Output is 9 (metric, value) rows.
+
+    r11 (guide §5, the price_mad fix pattern): ZERO mid-query collects —
+    the old form ran TWO driver collects, each re-running a corpus scan,
+    then assembled literals on the driver. Now the 8 base metrics unpivot
+    from the 1-row aggregate with one ``stack`` (a single reference, so
+    the corpus aggregate executes once) and the exact lower median comes
+    off the checkpointed length census with n derived from the census
+    itself — the whole query is one plan."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     d = docs.select(
-        "doc_id",
         "source",
         "lang",
         "n_chars",
@@ -1759,29 +1766,46 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count_distinct("k8"))
         .cast("long")
         .alias("leading8_dup_rows"),
-    ).collect()[0]
-    cen = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("t"))
+    )
+    metrics = base.select(
+        F.expr(
+            "stack(8,"
+            " 'n_docs', n_docs,"
+            " 'n_sources', n_sources,"
+            " 'n_langs', n_langs,"
+            " 'total_chars', total_chars,"
+            " 'mean_chars', total_chars div n_docs,"
+            " 'total_ws_tokens', total_ws_tokens,"
+            " 'leading8_dup_rows', leading8_dup_rows,"
+            " 'dup_rate_ppm', (1000000 * leading8_dup_rows) div n_docs"
+            ") AS (metric, value)"
+        )
+    ).select("metric", F.col("value").cast("long").alias("value"))
+    # value-domain-bounded length census (checkpointed: it feeds n AND the
+    # median filter); the single-partition window is the allowed bounded
+    # case per SCALE.md — census rows ∝ distinct n_chars, not corpus rows
+    cen = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    nf = cen.agg(F.sum("t").cast("long").alias("n"))
     wb = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
-    k = (base["n_docs"] + 1) // 2
     med = (
         cen.withColumn(
             "cum", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
         )
-        .filter((F.col("cum") < k) & (F.col("cum") + F.col("t") >= k))
-        .collect()[0]["n_chars"]
+        .crossJoin(F.broadcast(nf))
+        .filter(
+            (F.col("cum") < F.expr("(n + 1) div 2"))
+            & (F.col("cum") + F.col("t") >= F.expr("(n + 1) div 2"))
+        )
+        .select(
+            F.lit("median_chars_lower").alias("metric"),
+            F.col("n_chars").cast("long").alias("value"),
+        )
     )
-    rows = [
-        ("n_docs", base["n_docs"]),
-        ("n_sources", base["n_sources"]),
-        ("n_langs", base["n_langs"]),
-        ("total_chars", base["total_chars"]),
-        ("mean_chars", base["total_chars"] // base["n_docs"]),
-        ("total_ws_tokens", base["total_ws_tokens"]),
-        ("leading8_dup_rows", base["leading8_dup_rows"]),
-        ("dup_rate_ppm", (1_000_000 * base["leading8_dup_rows"]) // base["n_docs"]),
-        ("median_chars_lower", int(med)),
-    ]
-    return spark.createDataFrame(rows, "metric string, value long")
+    return metrics.unionByName(med)
 
 
 @query(

@@ -539,28 +539,18 @@ SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics (M5 text analysis: the vocab/merge-count
     shape of BPE-style tokenizer training): global bigram top-k with
-    deterministic tie-break. Partial aggregation makes the count map-side;
-    the top-k is TakeOrderedAndProject."""
+    deterministic tie-break. Partial aggregation is map-side — the
+    vectorized ``ngram_partial_counts`` Arrow kernel (r11: the shingle
+    offset-arithmetic trick applied to counting — bigrams are contiguous
+    byte slices, so no per-row Python loop and no pandas in the worker)
+    replaces the old row-loop Counter; the top-k is
+    TakeOrderedAndProject."""
+    from videos_to_tfrecords_spark.operators.text import ngram_partial_counts
+
     docs = load_table(spark, sf_dir, "documents")
-
-    def count_bigrams(batches):
-        import collections
-
-        import pandas as pd
-
-        for pdf in batches:
-            # partial combine inside the task (map-side), like a combiner
-            counts = collections.Counter()
-            for text in pdf["text"]:
-                toks = text.split(" ")
-                counts.update(
-                    f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
-                )
-            yield pd.DataFrame(
-                {"bigram": list(counts.keys()), "n": list(counts.values())}
-            )
-
-    partial = docs.select("text").mapInPandas(count_bigrams, "bigram string, n long")
+    partial = ngram_partial_counts(docs, "text", n=2).select(
+        F.col("ngram").alias("bigram"), F.col("cnt").alias("n")
+    )
     return (
         partial.groupBy("bigram")
         .agg(F.sum("n").alias("n"))
@@ -2707,7 +2697,11 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).distinct()
+    # ONE shingle pass feeds the signatures AND the exact-Jaccard verify
+    # (r11, VERDICT r10 #4 — the recall-eval sharing pattern): persist the
+    # shingle table, thread it into the verify via ``shingles=`` so the
+    # Python shingler runs once instead of twice.
+    sh = shingle_table(docs).distinct().persist()
     sig = minhash_signatures_portable(sh).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     sa = sig.select(
@@ -2727,9 +2721,12 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         .join(sb, "id_b")
         .select("id_a", "id_b", est_expr.cast("long").alias("sig_matches"))
     )
-    j = jaccard_verify_from_texts(cand, docs, threshold_x1000=0).select(
-        "id_a", "id_b", "j_x1000"
-    )
+    j = jaccard_verify_from_texts(
+        cand, docs, threshold_x1000=0, shingles=sh
+    ).select("id_a", "id_b", "j_x1000")
+    # the verify materializes eagerly (eager_release), so the shared
+    # shingle cache can drop before the final aggregation runs
+    sh.unpersist(blocking=False)
     per = m.join(j, ["id_a", "id_b"], "left").select(
         "sig_matches",
         F.coalesce(F.col("j_x1000"), F.lit(0)).cast("long").alias("j"),
