@@ -136,6 +136,28 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
+
+    # warm the worker pool for the mapInArrow path too (r11): the Arrow
+    # kernels import numpy+pyarrow (NOT pandas) in the worker, so a solo
+    # measurement of a 1-task mapInArrow query otherwise pays a per-worker
+    # pyarrow import (~0.3 s) that the full suite amortizes after its first
+    # Arrow query — warm-ups are outside every timed region, same rationale
+    # as the pandas_udf warm-up above. Run one task per core so the whole
+    # reusable pool is warmed, not just one worker.
+    def _warm_arrow(batches):
+        import numpy as np  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from batches
+
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    (
+        spark.range(n_cores, numPartitions=n_cores)
+        .mapInArrow(_warm_arrow, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     from videos_to_tfrecords_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:

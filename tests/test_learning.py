@@ -269,3 +269,46 @@ def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     mean_iso = sum(r["n"] * r["iso_rate_x1e6"] for r in out) / n
     mean_raw = sum(1_000_000 * r["n_pos"] for r in out) / n
     assert abs(mean_iso - mean_raw) <= len(out)  # ≤1 ulp of 1e-6 per bin
+
+
+def test_census_median_windows_are_value_domain_bounded(spark, sf_dir):
+    """VERDICT r10 #8: the census-median pattern (price_mad, conformal,
+    dataset_datasheet) runs a single-partition window over a CENSUS frame.
+    That is only scale-safe because the censused column's value DOMAIN is
+    bounded (business-bounded cents / residuals / char lengths), so census
+    rows saturate at the domain size instead of growing with the corpus.
+    Pin the boundedness itself: every censused column must fit the
+    documented domain cap, so a reuse of the pattern on an unbounded
+    column (a hash, an epoch-microsecond, a raw id) fails this test
+    loudly instead of silently shipping an unbounded global sort."""
+    from pyspark.sql import functions as F
+
+    from videos_to_tfrecords_spark.sources.tables import load_table
+
+    DOMAIN_CAP = 1 << 27  # ~1.3e8 distinct values; far below corpus scale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x")
+    )
+    stats = cents.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count("*").alias("n"),
+        F.count_distinct("x").alias("census_rows"),
+    ).first()
+    # price census: domain-bounded (cents of a business-bounded price)
+    assert 0 <= stats["lo"] and stats["hi"] < DOMAIN_CAP
+    assert stats["census_rows"] <= stats["hi"] - stats["lo"] + 1
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("x"))
+    es = ev_cents.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    # conformal residuals are |cents - pred| with pred a mean of cents, so
+    # the residual domain is bounded by the cents domain width
+    assert es["hi"] - es["lo"] < DOMAIN_CAP
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")).first()
+    # datasheet median censuses n_chars: document length, domain-bounded
+    assert 0 <= ds["lo"] and ds["hi"] < DOMAIN_CAP

@@ -49,11 +49,16 @@ def pagerank_integer(
     join+agg layer per iteration — fine for the typical 5-20; checkpoint
     every ~10 iterations if you run more.
     """
-    # persist the raw edge list: deg derives from it AND joins back to it,
-    # and n_nodes forces a third evaluation — without the cache the
-    # (usually expensive) upstream edge derivation runs 3×
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    # EAGER checkpoint of the edge list (r11): the lazy persist let
+    # concurrent AQE stage jobs race the cache population — the sf1 stage
+    # profile showed the (join + distinct) edge derivation re-running from
+    # parquet up to 4× before any block landed. One materialization job up
+    # front makes every consumer read the checkpoint. deg is persisted too:
+    # it feeds the e_deg join, n_nodes, AND the rank init (3 consumers).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).persist()
     e_deg = e.join(deg, "src").persist()
     n_nodes = deg.count()  # 1 driver scalar (metadata-scale, like AQE stats)
     base = total // n_nodes
@@ -61,8 +66,14 @@ def pagerank_integer(
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(base).alias("rank"))
     for _ in range(n_iter):
+        # SHUFFLE_HASH hint on the node-sized rank table (guide §3.1, r11):
+        # the planner's sort-merge join re-sorted the cached edge table
+        # EVERY iteration; hashing the small rank side skips both sorts.
+        # Per-partition build state is |nodes|/partitions rows — scales.
+        # sf1 A/B (in-session, alternating): 12.50 → 8.34 s with this +
+        # the eager checkpoint; results bit-identical (exceptAll 0 / 0).
         sums = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(ranks.hint("shuffle_hash"), e_deg.src == ranks.node)
             .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("insum"))
@@ -72,10 +83,10 @@ def pagerank_integer(
             (F.lit(teleport) + F.expr("(85 * insum) div 100")).alias("rank"),
         )
     # eager_release pattern (see dedup.py): materialize the fixed point,
-    # then drop the cached edge table so nothing leaks across queries
+    # then drop the cached tables so nothing leaks across queries
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
-    e.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     return out
 
 
@@ -98,41 +109,62 @@ def personalized_pagerank_integer(
         r_{i+1}(v) = [v ∈ S]·(15·(total div |S|)) div 100
                      + (85·Σ_{(u,v)∈E} (r_i(u) div outdeg(u))) div 100
 
-    Each iteration is one union + one keyed aggregation (a single
-    shuffle) — NO full-outer join (Spark can't hash-broadcast those), so
-    the plan stays hash-partitioned on the node key throughout. Nodes
-    that never receive mass never materialize a row.
+    Each iteration is ONE keyed aggregation (r11 — was two): the raw
+    flow contributions union the tagged teleport rows BEFORE the
+    aggregate, and one grouped expression applies the floor arithmetic
+    per part — exactly
+        rank(v) = coalesce((85·Σ_flow c) div 100, 0) + coalesce(Σ_tel c, 0)
+    which equals the old two-shuffle form term for term ([v∈S]·tel is a
+    single row, so its sum is itself; the flow floor is applied after the
+    full flow sum, as before). NO full-outer join (Spark can't
+    hash-broadcast those), and nodes that never receive mass never
+    materialize a row.
     """
-    # same 3×-evaluation guard as pagerank_integer: cache the edge list
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    # eager edge checkpoint + persisted degree + shuffle-hash rank join:
+    # the r11 pagerank_integer fixes (see its comments)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).persist()
     e_deg = e.join(deg, "src").persist()
     n_seeds = seeds.count()  # driver scalar, like n_nodes in pagerank
     base = total // n_seeds
     teleport = (15 * base) // 100
     seed_tel = seeds.select(
-        F.col("node"), F.lit(teleport).alias("part")
+        F.col("node"), F.lit(teleport).alias("c"), F.lit(False).alias("fl")
     ).persist()
 
     ranks = seeds.select(F.col("node"), F.lit(base).alias("rank"))
     for _ in range(n_iter):
-        flowed = (
+        # no shuffle_hash hint here (unlike pagerank_integer): the sf1 A/B
+        # read 10.35 s without vs 10.63 s with — the fused union+agg below
+        # already reshapes the exchange, and the hint lost all three reps
+        flow = (
             e_deg.join(ranks, e_deg.src == ranks.node)
-            .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.expr("(85 * sum(contrib)) div 100").alias("part"))
-            .select(F.col("dst").alias("node"), "part")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div d").alias("c"),
+                F.lit(True).alias("fl"),
+            )
         )
-        # teleport lands only on seeds; summing the union in ONE keyed agg
-        # replaces the full-outer join a naive formulation would need
         ranks = (
-            flowed.unionAll(seed_tel)
+            flow.unionAll(seed_tel)
             .groupBy("node")
-            .agg(F.sum("part").alias("rank"))
+            .agg(
+                (
+                    F.coalesce(
+                        F.expr("(85 * sum(CASE WHEN fl THEN c END)) div 100"),
+                        F.lit(0),
+                    )
+                    + F.coalesce(
+                        F.sum(F.expr("CASE WHEN NOT fl THEN c END")), F.lit(0)
+                    )
+                ).alias("rank")
+            )
         )
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
-    e.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     seed_tel.unpersist(blocking=False)
     return out
 
@@ -170,7 +202,12 @@ def label_propagation(
         .unionAll(e.select(F.col("d").alias("node")))
         .distinct()
     )
-    # self-loop: a node's own label always votes once
+    # self-loop: a node's own label always votes once. Kept LAZY and
+    # un-hinted (r11): the eager-checkpoint + shuffle_hash combo that pays
+    # in the pagerank family was A/B'd here 4-ways in one session —
+    # old 3.23 s vs eager+hint 3.45 / lazy+hint 3.41 / eager 3.66 — the
+    # original shape wins (LPA's vote join output is (node, lab)-keyed,
+    # so the hint reshapes a join whose sort the next groupBy reuses).
     e_self = e.unionAll(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
     e_self = e_self.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("lab"))
@@ -295,10 +332,11 @@ def kcore_rounds(
     """
     # round 1 consumes the raw edge derivation from multiple branches
     # (degree agg + two semi-joins); later rounds read the previous
-    # round's checkpoint. One lazy checkpoint here keeps the upstream
-    # join/distinct from re-executing per branch.
+    # round's checkpoint. EAGER (r11): the lazy form let round 1's
+    # concurrent AQE jobs race the materialization and re-run the
+    # join/distinct derivation per branch (the pagerank_integer fix).
     e = und.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint(
-        eager=False
+        eager=True
     )
     censuses = []
     for r in range(1, rounds + 1):
@@ -636,10 +674,13 @@ def feature_propagation(
     hash-check. One equi-join shuffle per round (the PageRank shape), each
     round's frame checkpointed so round k+1 never re-derives round k."""
     fcols = [c for c in feats.columns if c != "node"]
+    # materialize the edge list once (r11): it was consumed lazily by every
+    # round, re-running the upstream derivation per round
+    e = edges.localCheckpoint(eager=True)
     cur = feats.localCheckpoint(eager=True)
     for _ in range(n_rounds):
         msgs = (
-            edges.join(cur, edges.src == cur.node)
+            e.join(cur.hint("shuffle_hash"), e.src == cur.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(*[F.sum(c).alias(c) for c in fcols])
         )
@@ -676,11 +717,12 @@ def weighted_pagerank_integer(
     citation graph actually wants. Magnitude guard: rank ≤ total = 1e12
     and per-edge rank·w must stay < 2^63 — keep weights ≤ ~1e6 (here:
     order counts)."""
-    # same 3×-evaluation guard as pagerank_integer: cache the edge list
+    # eager edge checkpoint + persisted degree + shuffle-hash rank join:
+    # same three r11 fixes as pagerank_integer (see its comments)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).persist()
-    wdeg = e.groupBy("src").agg(F.sum("w").alias("wd"))
+    ).localCheckpoint(eager=True)
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wd")).persist()
     e_deg = e.join(wdeg, "src").persist()
     n_nodes = wdeg.count()
     base = total // n_nodes
@@ -689,7 +731,7 @@ def weighted_pagerank_integer(
     ranks = wdeg.select(F.col("src").alias("node"), F.lit(base).alias("rank"))
     for _ in range(n_iter):
         sums = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(ranks.hint("shuffle_hash"), e_deg.src == ranks.node)
             .select(F.col("dst"), F.expr("(rank * w) div wd").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("insum"))
@@ -700,7 +742,7 @@ def weighted_pagerank_integer(
         )
     out = ranks.localCheckpoint(eager=True)
     e_deg.unpersist(blocking=False)
-    e.unpersist(blocking=False)
+    wdeg.unpersist(blocking=False)
     return out
 
 
@@ -722,7 +764,12 @@ def hits_integer(
     shuffle per half-step (the PageRank profile); the three max() reads
     are 1-scalar driver actions, the same metadata stance as PageRank's
     node count."""
-    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("s")).persist()
+    # eager checkpoint (r11): the lazy persist let concurrent AQE stage
+    # jobs re-run the edge derivation from parquet before the cache
+    # populated (the pagerank_integer fix); e feeds four consumers
+    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("s")).localCheckpoint(
+        eager=True
+    )
 
     def norm(df: DataFrame, key: str) -> DataFrame:
         # each half-step feeds BOTH its max() read and the next round's
@@ -737,11 +784,19 @@ def hits_integer(
         t.unpersist(blocking=False)
         return out
 
+    # shuffle-hash hint on the node-sized score tables (guide §3.1): SMJ
+    # would re-sort the edge table per half-step for no benefit
     a1 = norm(
         e.groupBy("s").agg((F.count("*") * scale).alias("v")), "s"
     )  # h0 = scale for every hub
-    h1 = norm(e.join(a1, "s").groupBy("c").agg(F.sum("v").alias("v")), "c")
-    a2 = norm(e.join(h1, "c").groupBy("s").agg(F.sum("v").alias("v")), "s")
+    h1 = norm(
+        e.join(a1.hint("shuffle_hash"), "s").groupBy("c").agg(F.sum("v").alias("v")),
+        "c",
+    )
+    a2 = norm(
+        e.join(h1.hint("shuffle_hash"), "c").groupBy("s").agg(F.sum("v").alias("v")),
+        "s",
+    )
     out = (
         h1.select(
             F.lit("hub").alias("node_type"),
@@ -757,7 +812,6 @@ def hits_integer(
         )
         .localCheckpoint(eager=True)
     )
-    e.unpersist(blocking=False)
     return out
 
 
@@ -779,9 +833,13 @@ def bfs_levels(
     edge key and folds with min(dist) — per-round cost is O(edges touched),
     state is one (node, dist) row per reached node, and min() makes the
     fold order-independent, so the result is exact integers on any
-    cluster. The edge list is persisted once and reused every round; the
+    cluster. The edge list is materialized once (eager checkpoint, r11 —
+    the lazy persist let the first round's concurrent AQE jobs re-derive
+    it from parquet; the pagerank_integer fix) and reused every round; the
     per-round frontier table is metadata beside it."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     # Frontier-only expansion with per-round checkpoints: each round joins
     # ONLY the nodes first reached last round (frontiers are disjoint by
     # construction, so the final union needs no min-fold), and each
@@ -795,8 +853,10 @@ def bfs_levels(
     seen = seeds0.select("node")
     frontier = seeds0
     for i in range(1, n_iter + 1):
+        # shuffle-hash hint on the (small, shrinking) frontier: SMJ would
+        # re-sort the edge table every round (guide §3.1, r11)
         grown = (
-            e.join(frontier, e.src == frontier.node)
+            e.join(frontier.hint("shuffle_hash"), e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
@@ -812,5 +872,4 @@ def bfs_levels(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     out = out.localCheckpoint(eager=True)
-    e.unpersist(blocking=False)
     return out

@@ -2697,11 +2697,14 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE shingle pass feeds the signatures AND the exact-Jaccard verify
-    # (r11, VERDICT r10 #4 — the recall-eval sharing pattern): persist the
-    # shingle table, thread it into the verify via ``shingles=`` so the
-    # Python shingler runs once instead of twice.
-    sh = shingle_table(docs).distinct().persist()
+    # NOT shared with the verify (r11 A/B, VERDICT r10 #4 tried and
+    # REVERTED): persisting this table to thread it into the verify via
+    # ``shingles=`` measured 3.53 -> 4.37 s solo at sf0.1 — the cache
+    # materialization costs more than the verify's candidate-only
+    # re-shingle saves, because LSH candidates are a small subset of the
+    # corpus here (unlike the recall evals, where the table is persisted
+    # anyway and candidates ~ corpus).
+    sh = shingle_table(docs).distinct()
     sig = minhash_signatures_portable(sh).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     sa = sig.select(
@@ -2721,12 +2724,9 @@ def q_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         .join(sb, "id_b")
         .select("id_a", "id_b", est_expr.cast("long").alias("sig_matches"))
     )
-    j = jaccard_verify_from_texts(
-        cand, docs, threshold_x1000=0, shingles=sh
-    ).select("id_a", "id_b", "j_x1000")
-    # the verify materializes eagerly (eager_release), so the shared
-    # shingle cache can drop before the final aggregation runs
-    sh.unpersist(blocking=False)
+    j = jaccard_verify_from_texts(cand, docs, threshold_x1000=0).select(
+        "id_a", "id_b", "j_x1000"
+    )
     per = m.join(j, ["id_a", "id_b"], "left").select(
         "sig_matches",
         F.coalesce(F.col("j_x1000"), F.lit(0)).cast("long").alias("j"),
